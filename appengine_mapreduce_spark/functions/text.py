@@ -1,0 +1,37 @@
+"""Text tokenization / shingling expressions.
+
+Replaces the reference's user-code string mappers
+(reference: python/demo/main.py:181-192 split_into_sentences/words) with
+JVM-side column expressions that stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Split ``text`` into tokens on a regex (default: whitespace runs)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, pattern)
+
+
+def nonempty_tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Tokens with empty strings removed (split artifacts at string edges)."""
+    return F.filter(tokens(text, pattern), lambda t: t != F.lit(""))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (for Jaccard / MinHash).
+
+    Built entirely from higher-order array functions: tokenize, then for
+    each start position join the n-token window with single spaces.
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    toks = nonempty_tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capability (the reference has only user-code dedup via
+group-by-key); these are first-class here because a 100 TB corpus pipeline
+lives or dies on dedup throughput.
+
+Scale notes (100 TB):
+- exact dedup is a single hash-shuffle on a 16-byte digest — AQE coalesces
+  the post-agg partitions; no skew risk (md5 is uniform).
+- MinHash+LSH: cost is dominated by the shingle explode and the band-bucket
+  self-join. Bands are grouped-by (band_id, band_hash) so candidate pairs
+  only materialize within buckets — never an all-pairs product. Hot buckets
+  (boilerplate docs) are the skew risk; AQE skew-join handles moderate skew,
+  and `max_bucket_size` hard-caps pathological buckets.
+- n-gram Jaccard is exact but quadratic within shingle groups — use it to
+  verify MinHash on samples, or on already-bucketed candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from appengine_mapreduce_spark.functions.hashing import stable_hash32
+from appengine_mapreduce_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text; adds the md5 fingerprint.
+
+    One shuffle on the digest; at scale prefer this over
+    ``dropDuplicates([text_col])`` because the shuffle key is 16 bytes,
+    not the full document.
+    """
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` salted
+    hash functions, the min hash over the document's distinct shingles.
+
+    Output: (_id, sig array<bigint>). Engine-portable hashing
+    (md5-derived, functions/hashing.py) so the DuckDB oracle can replay it.
+    """
+    sh = _shingled(df, id_col, text_col, shingle_words)
+    aggs = [
+        F.min(stable_hash32(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    ``num_hashes`` must be divisible by ``num_bands``. The self-join is on
+    (band, band_sig) — only within-bucket pairs are generated.
+    ``max_bucket_size`` drops degenerate buckets (boilerplate explosion).
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // num_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda h: h.cast("string"),
+                ),
+                "_",
+            ).alias("band_sig"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = signatures.select(
+        "_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", "bb.band", "bb.band_sig")
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        counts = banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bc"))
+        banded = banded.join(
+            counts.filter(F.col("_bc") <= max_bucket_size).drop("_bc"),
+            ["band", "band_sig"],
+        )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    jaccard(a, b) = |A ∩ B| / (|A| + |B| - |A ∩ B|) computed from a
+    shingle-level self-join — pairs with zero overlap never materialize.
+    Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    sh = _shingled(df, id_col, text_col, shingle_words)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash: token hashes vote per bit position; the
+    fingerprint sets bits with a positive vote.
+
+    Bit votes are statically unrolled into ``bits`` aggregate columns over
+    one token explode — one shuffle keyed on the doc id, no bit-explosion
+    of the shuffle (a (token × bit) explode would move ``bits``× the data).
+    Output: (_id, simhash bigint).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).withColumn("th", stable_hash32(F.col("tok"), salt="simhash"))
+
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy("_id").agg(*vote_aggs)
+
+    fingerprint = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("_id", fingerprint.alias("simhash"))

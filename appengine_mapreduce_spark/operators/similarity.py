@@ -1,0 +1,76 @@
+"""Embedding similarity search (beyond-reference, training-data ops).
+
+- brute_force_topk: exact cosine top-k against one query vector. The scan
+  is embarrassingly parallel (per-partition partial top-k via the sort
+  + limit plan; Spark's TakeOrderedAndProject does the partial reduction).
+- sign_lsh_*: sign-bucketed ANN. Bucket = sign bits of the first ``b``
+  coordinates (coordinate-hyperplane LSH). At 100 TB, bucketing turns a
+  full-corpus scan into a handful of bucket probes; the bucket column is
+  a natural partition/bucketBy key for the stored corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from appengine_mapreduce_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    The literal query vector is inlined as an array literal — broadcast by
+    value, no join. Ordering ties broken by id for determinism.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def sign_bucket(vec: Column, num_bits: int = 8) -> Column:
+    """LSH bucket id: integer whose bit ``i`` is sign(vec[i]) for the first
+    ``num_bits`` coordinates. Engine-portable (pure arithmetic, statically
+    unrolled — no per-row loop)."""
+    expr = F.lit(0).cast("bigint")
+    for i in range(num_bits):
+        expr = expr + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return expr
+
+
+def sign_lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's sign bucket, exact cosine within.
+
+    Recall < 1.0 by construction (neighbors across a hyperplane are
+    missed); raise recall with fewer bits or multi-probe. This is the
+    scale path — the probe reads ~corpus/2^bits rows.
+    """
+    q_bucket = 0
+    for i in range(num_bits):
+        if query_vec[i] >= 0:
+            q_bucket |= 1 << i
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), num_bits))
+    probed = bucketed.filter(F.col("bucket") == q_bucket)
+    scored = probed.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -1,0 +1,124 @@
+"""Text-analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting. Beyond-reference training-data ops; all pure
+column expressions (whole-stage codegen, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from appengine_mapreduce_spark.functions.hashing import stable_hash32
+from appengine_mapreduce_spark.functions.text import nonempty_tokens
+
+# n-gram-heuristic marker words per language (tiny on purpose — the
+# pattern is what matters; swap in real frequency tables in production).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language-ID: argmax of marker-word hit counts, 'und' when
+    no marker fires. Deterministic tie-break by language code order."""
+    toks = nonempty_tokens(F.col(text_col))
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"_hits_{lang}", _marker_hits(F.col("_toks"), markers))
+
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        pred = F.when((F.col(f"_hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return out.select(id_col, pred.alias("pred_lang"))
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a combined score in [0, 1].
+
+    Features mirror standard corpus-filtering heuristics: token count,
+    mean token length, stopword ratio, non-alphanumeric character ratio.
+    """
+    toks = nonempty_tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alnum_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+    # No rounding anywhere: every input is integer-derived, so both engines
+    # compute bit-identical doubles — rounding would only create half-ulp
+    # boundary divergence (engines disagree on ties).
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_chars > 0, alnum_chars / n_chars).otherwise(F.lit(0.0))
+
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + stop_ratio * 0.3
+        + alnum_ratio * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token accounting: total tokens, distinct tokens,
+    mean tokens per document. Single-row result (counters-style)."""
+    toks = nonempty_tokens(F.col(text_col))
+    per_doc = df.select(F.size(toks).alias("_n"), toks.alias("_toks"))
+    exploded = per_doc.select(F.explode("_toks").alias("tok"))
+    totals = per_doc.agg(
+        F.sum("_n").alias("total_tokens"),
+        F.round(F.avg("_n"), 6).alias("mean_tokens_per_doc"),
+    )
+    distinct = exploded.agg(F.count_distinct("tok").alias("distinct_tokens"))
+    return totals.crossJoin(distinct).select(
+        "total_tokens", "distinct_tokens", "mean_tokens_per_doc"
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted sum of
+    stable token hashes. Engine-portable (md5-derived hashes, exact
+    bigint arithmetic — max term ≈ 2^32 · positions keeps the sum far
+    from bigint overflow for any realistic document)."""
+    toks = nonempty_tokens(F.col(text_col))
+    fp = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + stable_hash32(s.getField("t"), salt="fp") * s.getField("i").cast("bigint"),
+    )
+    fp = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(fp)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

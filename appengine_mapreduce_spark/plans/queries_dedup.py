@@ -1,0 +1,196 @@
+"""Deduplication queries over the ``documents`` table.
+
+The MinHash/SimHash oracles replay the exact same md5-derived hash
+arithmetic in DuckDB (functions/hashing.py), so the driver's value-hash
+check verifies the whole pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from appengine_mapreduce_spark.operators import dedup
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_NUM_HASHES = 8
+_NUM_BANDS = 4
+_SHINGLE_WORDS = 3
+_SIMHASH_BITS = 32
+
+# Shared SQL fragments (DuckDB). Tokens/shingles mirror functions/text.py.
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= {_SHINGLE_WORDS}
+                     THEN list_transform(
+                            generate_series(1, len(tk) - {_SHINGLE_WORDS - 1}),
+                            i -> array_to_string(tk[i:i+{_SHINGLE_WORDS - 1}], ' '))
+                     ELSE [] END) AS shingle
+            FROM toks))
+"""
+
+
+def _hash32_sql(expr: str, salt: str) -> str:
+    """DuckDB twin of functions/hashing.stable_hash32."""
+    return f"('0x' || substr(md5('{salt}:' || {expr}), 1, 8))::BIGINT"
+
+
+_SIG_COLS = ",\n               ".join(
+    f"min({_hash32_sql('shingle', str(i))}) AS h{i}" for i in range(_NUM_HASHES)
+)
+_SIG_CTE = f"sig AS (SELECT doc_id, {_SIG_COLS} FROM shingles GROUP BY doc_id)"
+_SIG_STR = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(_NUM_HASHES))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    description="Exact dedup: one row per distinct text (min doc_id kept), "
+    "16-byte digest as the shuffle key — the scale path for 100 TB exact "
+    "dedup.",
+    bench=True,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct,
+               count(*) - count(DISTINCT text) AS n_redundant
+        FROM documents
+    """,
+    description="Corpus-level dedup accounting (counters-style single row).",
+    tags=("dedup", "counters"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).alias("n_redundant"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE}
+        SELECT doc_id, {_SIG_STR} AS sig FROM sig
+    """,
+    description=f"MinHash signatures ({_NUM_HASHES} salted hash functions over "
+    f"{_SHINGLE_WORDS}-word shingles), engine-portable md5-derived hashing — "
+    "the map stage of MinHash+LSH near-dup detection.",
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        shingle_words=_SHINGLE_WORDS,
+    )
+    return sigs.select(
+        F.col("_id").alias("doc_id"),
+        F.array_join(F.transform("sig", lambda h: h.cast("string")), "_").alias("sig"),
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, "
+                f"h{2 * b}::VARCHAR || '_' || h{2 * b + 1}::VARCHAR AS band_sig FROM sig"
+                for b in range(_NUM_BANDS)
+            )}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    description=f"MinHash+LSH candidate pairs: {_NUM_BANDS} bands × "
+    f"{_NUM_HASHES // _NUM_BANDS} rows; self-join only within band buckets — "
+    "never an all-pairs product (the 100 TB near-dup scale path).",
+    bench=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        shingle_words=_SHINGLE_WORDS,
+    )
+    return dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS
+    ).select(F.col("id_a"), F.col("id_b"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    """,
+    description="Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle "
+    "(threshold 0.2) — the exact verifier for MinHash candidates.",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        shingle_words=_SHINGLE_WORDS,
+        threshold=0.2,
+    )
+
+
+_VOTE_COLS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_EXPR = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+        WITH th AS (
+            SELECT doc_id, {_hash32_sql("tok", "simhash")} AS h
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ),
+        votes AS (SELECT doc_id, {_VOTE_COLS} FROM th GROUP BY doc_id)
+        SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM votes
+    """,
+    description=f"{_SIMHASH_BITS}-bit SimHash fingerprints: per-bit token "
+    "votes statically unrolled into aggregate columns (one shuffle on "
+    "doc_id; Hamming-near fingerprints ⇒ near-duplicate docs).",
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dedup.simhash(load(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    return fp.select(F.col("_id").alias("doc_id"), F.col("simhash"))

@@ -1,0 +1,142 @@
+"""Similarity-search queries over the ``embeddings`` table
+(array<float> column, 64 dims in the synthetic fixture).
+
+The query vector is the embedding of vec_id=0 (fetched driver-side — it is
+the query *parameter*, not a distributed read). Cosine arithmetic runs as
+a sequential fold over the array in both engines, so doubles agree and
+round(6) is hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from appengine_mapreduce_spark.functions.vectors import cosine_similarity, l2_norm
+from appengine_mapreduce_spark.operators import similarity
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_K = 10
+_LSH_BITS = 8
+
+# DuckDB twin of functions/vectors.py (sequential fold, double precision).
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return list(row[0])
+
+
+_QVEC_CTE = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+        WITH {_QVEC_CTE}
+        SELECT vec_id, round({_cos_sql("embedding", "qv")}, 6) AS cosine
+        FROM embeddings, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT {_K}
+    """,
+    description="Brute-force exact cosine top-k against a query vector — "
+    "the ANN baseline. Embarrassingly parallel scan; Spark's "
+    "TakeOrderedAndProject does per-partition partial top-k, so only k rows "
+    "per partition reach the driver.",
+    bench=True,
+    tags=("similarity", "ann"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    return similarity.brute_force_topk(
+        load(spark, sf_dir, "embeddings"), qv, k=_K
+    )
+
+
+_BUCKET_SQL = "(" + " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_LSH_BITS)
+) + ")"
+
+
+@register(
+    "ann_sign_lsh_topk",
+    oracle=f"""
+        WITH {_QVEC_CTE},
+        qb AS (SELECT {_BUCKET_SQL.replace("embedding[", "qv[")} AS qbucket FROM q)
+        SELECT vec_id, round({_cos_sql("embedding", "qv")}, 6) AS cosine
+        FROM embeddings, q, qb
+        WHERE {_BUCKET_SQL} = qbucket
+        ORDER BY cosine DESC, vec_id
+        LIMIT {_K}
+    """,
+    description=f"ANN top-k via sign-LSH: probe only the query's "
+    f"{_LSH_BITS}-bit sign bucket (~corpus/2^{_LSH_BITS} rows read), exact "
+    "cosine within — the 100 TB scale path (bucket is a storage "
+    "partition/bucketBy key).",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    return similarity.sign_lsh_topk(
+        load(spark, sf_dir, "embeddings"), qv, k=_K, num_bits=_LSH_BITS
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+        SELECT vec_id, label,
+               round(sqrt({_DOT.format(a="embedding", b="embedding")}), 6) AS l2
+        FROM embeddings
+    """,
+    description="Per-vector L2 norm — vector math stays in JVM codegen "
+    "(F.aggregate fold), no Python per row.",
+    tags=("similarity", "vectors"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2")
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+        SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   unnest(generate_series(0, len(embedding) - 1)) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    """,
+    description="Per-label centroid (element-wise mean) via posexplode + "
+    "group — the k-means/IVF building block; one shuffle keyed (label, dim).",
+    tags=("similarity", "vectors", "ivf"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
