@@ -29,6 +29,22 @@ def stable_hash64(col: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("bigint")
 
 
+# Prime > 2^32 for Carter-Wegman hash families (a + i·b stays < 2^36,
+# far inside BIGINT — exact in any engine).
+MINHASH_PRIME = 4294967311
+
+
+def hash_pair(col: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hashes from ONE md5 (hex nibbles 1-8 and
+    9-16) — the seed pair for a Carter-Wegman hash family
+    ``h_i(x) = (a + i·b) mod p``. One digest per value instead of one
+    per (value × hash function)."""
+    hx = F.md5(col)
+    a = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    b = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    return a, b
+
+
 def murmur3_bucket(col: Column, num_buckets: int) -> Column:
     """Spark-native stable bucket assignment: ``pmod(murmur3(x), n)``.
 

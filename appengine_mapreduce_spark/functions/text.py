@@ -20,14 +20,13 @@ def nonempty_tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     return F.filter(tokens(text, pattern), lambda t: t != F.lit(""))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (for Jaccard / MinHash).
-
-    Built entirely from higher-order array functions: tokenize, then for
-    each start position join the n-token window with single spaces.
-    Documents shorter than ``n`` tokens yield an empty array.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Keep tokenization in its own projection: passing the
+    raw ``split(...)`` expression here would re-tokenize the document at
+    every window position (Catalyst does not CSE inside a Generate),
+    turning a linear scan quadratic.
     """
-    toks = nonempty_tokens(text)
     count = F.size(toks) - F.lit(n - 1)
     starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
@@ -35,3 +34,14 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (for Jaccard / MinHash).
+
+    Convenience single-expression form; prefer projecting
+    ``nonempty_tokens`` first and calling ``shingles_from_tokens`` in a
+    second projection (see that function's note on quadratic re-splitting).
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    return shingles_from_tokens(nonempty_tokens(text), n)

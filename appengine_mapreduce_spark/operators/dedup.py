@@ -42,9 +42,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+    from appengine_mapreduce_spark.functions.text import (
+        nonempty_tokens,
+        shingles_from_tokens,
+    )
+
+    # Widen before the CPU-heavy shingle/hash projection: a source that
+    # delivered fewer splits than cores would otherwise serialize it.
+    # Tokenize in its own projection so the regex split runs once per doc,
+    # not once per shingle position (see shingles_from_tokens).
+    toked = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), nonempty_tokens(F.col(text_col)).alias("_tk")
+    )
+    return toked.select(
+        "_id",
+        F.explode(shingles_from_tokens(F.col("_tk"), shingle_words)).alias("shingle"),
     )
 
 
@@ -55,18 +68,24 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of ``num_hashes`` salted
-    hash functions, the min hash over the document's distinct shingles.
+    """Per-document MinHash signature: for each of ``num_hashes`` hash
+    functions from a Carter-Wegman family ``h_i = (a + i·b) mod p``,
+    the min hash over the document's distinct shingles.
 
-    Output: (_id, sig array<bigint>). Engine-portable hashing
-    (md5-derived, functions/hashing.py) so the DuckDB oracle can replay it.
+    One md5 per shingle (not per shingle × hash function) — the digest is
+    the dominant cost at corpus scale. Output: (_id, sig array<bigint>);
+    engine-portable so the DuckDB oracle can replay it.
     """
+    from appengine_mapreduce_spark.functions.hashing import MINHASH_PRIME, hash_pair
+
     sh = _shingled(df, id_col, text_col, shingle_words)
+    a, b = hash_pair(F.col("shingle"))
+    seeded = sh.select("_id", a.alias("_a"), b.alias("_b"))
     aggs = [
-        F.min(stable_hash32(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+        F.min((F.col("_a") + F.lit(i) * F.col("_b")) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("_id").agg(*aggs)
+    sig = seeded.groupBy("_id").agg(*aggs)
     return sig.select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -101,28 +120,30 @@ def lsh_candidate_pairs(
         "_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("_id", "bb.band", "bb.band_sig")
 
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        counts = banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bc"))
-        banded = banded.join(
-            counts.filter(F.col("_bc") <= max_bucket_size).drop("_bc"),
-            ["band", "band_sig"],
-        )
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    # Pair generation via per-bucket collect + array combinatorics instead of
+    # a self-join: a self-join would recompute the entire signature pipeline
+    # for each side (shingle → md5 → min-agg, the dominant cost), while one
+    # groupBy computes it once. max_bucket_size caps both skew and the
+    # quadratic pair fan-out per bucket.
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    return pairs
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -176,7 +197,9 @@ def simhash(
     of the shuffle (a (token × bit) explode would move ``bits``× the data).
     Output: (_id, simhash bigint).
     """
-    toks = df.select(
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
 from appengine_mapreduce_spark.functions.hashing import stable_hash32
 from appengine_mapreduce_spark.functions.text import nonempty_tokens
 
@@ -53,6 +54,7 @@ def quality_score(
     Features mirror standard corpus-filtering heuristics: token count,
     mean token length, stopword ratio, non-alphanumeric character ratio.
     """
+    df = ensure_parallelism(df)
     toks = nonempty_tokens(F.col(text_col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
@@ -109,6 +111,7 @@ def fingerprint(
     stable token hashes. Engine-portable (md5-derived hashes, exact
     bigint arithmetic — max term ≈ 2^32 · positions keeps the sum far
     from bigint overflow for any realistic document)."""
+    df = ensure_parallelism(df.select(id_col, text_col))
     toks = nonempty_tokens(F.col(text_col))
     fp = F.aggregate(
         F.zip_with(

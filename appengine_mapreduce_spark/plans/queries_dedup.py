@@ -39,10 +39,19 @@ def _hash32_sql(expr: str, salt: str) -> str:
     return f"('0x' || substr(md5('{salt}:' || {expr}), 1, 8))::BIGINT"
 
 
+# DuckDB twin of functions/hashing.hash_pair + the Carter-Wegman family.
+_MINHASH_PRIME = 4294967311
 _SIG_COLS = ",\n               ".join(
-    f"min({_hash32_sql('shingle', str(i))}) AS h{i}" for i in range(_NUM_HASHES)
+    f"min((a + {i} * b) % {_MINHASH_PRIME}) AS h{i}" for i in range(_NUM_HASHES)
 )
-_SIG_CTE = f"sig AS (SELECT doc_id, {_SIG_COLS} FROM shingles GROUP BY doc_id)"
+_SEEDED_CTE = """
+    seeded AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+        FROM shingles)
+"""
+_SIG_CTE = f"{_SEEDED_CTE}, sig AS (SELECT doc_id, {_SIG_COLS} FROM seeded GROUP BY doc_id)"
 _SIG_STR = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(_NUM_HASHES))
 
 
