@@ -58,6 +58,7 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     # Import query modules lazily to avoid import cycles; they self-register.
     from appengine_mapreduce_spark.plans import (  # noqa: F401
+        queries_api,
         queries_mr,
         queries_analytics,
         queries_dedup,

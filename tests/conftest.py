@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+
+# Executors spawn fresh Python workers; put the repo + tests dirs on their
+# path BEFORE the JVM starts so classes defined in test modules unpickle.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH", "")]
+)
 
 from appengine_mapreduce_spark.session import get_spark
 

@@ -1,0 +1,189 @@
+"""Source/sink parity tests (≙ input_readers_test.py / output_writers_test.py
+shape: small deterministic fixtures, exact-equality assertions)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.sinks.bigquery_like import BigQueryStageOutput
+from appengine_mapreduce_spark.sinks.files import FileOutput, ShardedByKeyOutput
+from appengine_mapreduce_spark.sinks.mutation import MutationPoolOutput
+from appengine_mapreduce_spark.sources.generators import (
+    consecutive_longs,
+    random_longs,
+    random_strings,
+)
+from appengine_mapreduce_spark.sources.inmemory import concatenate, in_memory, no_input
+from appengine_mapreduce_spark.sources.text import line_input, multi_file_line_input
+from appengine_mapreduce_spark.sources.zipsource import zip_member_lines, zip_members
+
+LINES_A = ["alpha one", "beta two", "", "gamma three four"]
+LINES_B = ["delta", "epsilon five"]
+
+
+@pytest.fixture(scope="module")
+def text_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("text")
+    (d / "a.txt").write_text("\n".join(LINES_A) + "\n")
+    (d / "b.txt").write_text("\n".join(LINES_B) + "\n")
+    return str(d)
+
+
+def test_line_input_offsets(spark, text_dir):
+    """Byte-offset parity with BlobstoreLineInputReader (offset, line)."""
+    df = line_input(spark, f"{text_dir}/a.txt", with_offsets=True)
+    got = sorted((r.offset, r.line) for r in df.collect())
+    expected, off = [], 0
+    for line in LINES_A:
+        expected.append((off, line))
+        off += len(line) + 1
+    assert got == expected
+
+
+def test_line_input_plain(spark, text_dir):
+    df = line_input(spark, f"{text_dir}/a.txt")
+    assert sorted(r.line for r in df.collect()) == sorted(LINES_A)
+
+
+def test_multi_file_line_input(spark, text_dir):
+    df = multi_file_line_input(spark, [f"{text_dir}/a.txt", f"{text_dir}/b.txt"])
+    rows = df.collect()
+    assert len(rows) == len(LINES_A) + len(LINES_B)
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r.file_name), []).append(r.line)
+    assert sorted(by_file) == ["a.txt", "b.txt"]
+    assert sorted(by_file["b.txt"]) == sorted(LINES_B)
+
+
+@pytest.fixture(scope="module")
+def zip_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zips")
+    p = d / "archive.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("first.txt", "\n".join(LINES_A) + "\n")
+        zf.writestr("second.txt", "\n".join(LINES_B) + "\n")
+    return str(p)
+
+
+def test_zip_members(spark, zip_path):
+    df = zip_members(spark, zip_path)
+    rows = sorted(df.collect(), key=lambda r: r.member_index)
+    assert [r.member_name for r in rows] == ["first.txt", "second.txt"]
+    assert bytes(rows[0].content).decode() == "\n".join(LINES_A) + "\n"
+
+
+def test_zip_member_lines(spark, zip_path):
+    """((member_index, offset), line) parity with BlobstoreZipLineInputReader."""
+    df = zip_member_lines(spark, zip_path)
+    got = sorted((r.member_index, r.offset, r.line) for r in df.collect())
+    expected = []
+    for idx, lines in enumerate([LINES_A, LINES_B]):
+        off = 0
+        for line in lines:
+            expected.append((idx, off, line))
+            off += len(line) + 1
+    assert got == expected
+
+
+def test_consecutive_longs(spark):
+    df = consecutive_longs(spark, 5, 25, num_partitions=4)
+    vals = sorted(r.value for r in df.collect())
+    assert vals == list(range(5, 25))
+
+
+def test_random_generators_deterministic(spark):
+    a = sorted(map(tuple, random_strings(spark, 50, length=6, seed=7).collect()))
+    b = sorted(map(tuple, random_strings(spark, 50, length=6, seed=7).collect()))
+    c = sorted(map(tuple, random_strings(spark, 50, length=6, seed=8).collect()))
+    assert a == b
+    assert a != c
+    assert all(len(v) == 6 and v.islower() for _, v in a)
+    r1 = sorted(map(tuple, random_longs(spark, 30, seed=3).collect()))
+    r2 = sorted(map(tuple, random_longs(spark, 30, seed=3).collect()))
+    assert r1 == r2
+
+
+def test_in_memory_and_concat_and_empty(spark):
+    d1 = in_memory(spark, [(1, "a"), (2, "b")], "id bigint, v string")
+    d2 = in_memory(spark, [(3, "c")], "id bigint, v string")
+    empty = no_input(spark, "id bigint, v string")
+    unioned = concatenate([d1, d2, empty])
+    assert sorted(map(tuple, unioned.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_file_output_shards(spark, tmp_path):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = FileOutput(str(tmp_path / "out"), format="parquet", shards=3)
+    path = out.write(df)
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 3
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_sharded_by_key_output(spark, tmp_path):
+    df = spark.range(0, 500).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    out = ShardedByKeyOutput(str(tmp_path / "sharded"), key="k", num_shards=4)
+    path = out.write(df)
+    shard_dirs = sorted(glob.glob(f"{path}/_shard=*"))
+    assert len(shard_dirs) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    # same key never lands in two shards
+    spread = back.groupBy("k").agg(F.count_distinct("_shard").alias("n")).agg(F.max("n")).first()[0]
+    assert spread == 1
+
+
+def test_mutation_pool_batches(spark, tmp_path):
+    """Batch-size parity with the reference's 20-entity mutation pool."""
+    log_dir = tmp_path / "mutations"
+    log_dir.mkdir()
+
+    def apply_batch(batch):
+        import uuid
+
+        assert len(batch) <= 20
+        with open(log_dir / f"{uuid.uuid4().hex}.txt", "w") as fh:
+            for m in batch:
+                fh.write(f"{m.op}:{m.row[0]}\n")
+
+    df = spark.range(0, 205).select(F.col("id"), F.lit("x").alias("v"))
+    n = MutationPoolOutput(apply_batch).write(df)
+    assert n == 205
+    seen = []
+    for f in glob.glob(f"{log_dir}/*.txt"):
+        with open(f) as fh:
+            seen.extend(fh.read().splitlines())
+    assert len(seen) == 205
+    assert all(s.startswith("put:") for s in seen)
+
+
+def test_bigquery_stage_output(spark, tmp_path):
+    """Schema derivation parity: nested struct → record, array → REPEATED,
+    long → integer, double → float, timestamp → timestamp."""
+    df = spark.createDataFrame(
+        [(1, "n", 2.5, True, ["t1", "t2"], (7, "lbl"))],
+        "count bigint, name string, score double, active boolean, "
+        "tags array<string>, nested struct<id:bigint, label:string>",
+    ).withColumn("created", F.current_timestamp())
+    out = BigQueryStageOutput(str(tmp_path / "bq"))
+    res = out.write(df)
+    schema = {f["name"]: f for f in res["schema"]}
+    assert schema["count"]["type"] == "integer"
+    assert schema["score"]["type"] == "float"
+    assert schema["active"]["type"] == "boolean"
+    assert schema["created"]["type"] == "timestamp"
+    assert schema["tags"] == {"name": "tags", "mode": "REPEATED", "type": "string"}
+    assert schema["nested"]["type"] == "record"
+    assert [sub["name"] for sub in schema["nested"]["fields"]] == ["id", "label"]
+    with open(tmp_path / "bq" / "schema.json") as fh:
+        assert json.load(fh) == res["schema"]
+    data_files = glob.glob(f"{res['data_dir']}/part-*")
+    assert data_files
+    assert spark.read.json(res["data_dir"]).count() == 1
