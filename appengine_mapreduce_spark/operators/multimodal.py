@@ -1,0 +1,161 @@
+"""Multimodal (image/audio/video) column operators.
+
+Design: media lives in opaque ``binary`` columns with a typed metadata
+struct alongside (media_type, width/height or sample_rate/duration, codec).
+All Spark-side plumbing — schemas, Arrow batch shapes, partition widening,
+UDF signatures — is real and tested; the actual codec calls are STUBBED
+(``DECODERS_AVAILABLE = False``) because image/audio libraries are not in
+this container. Swapping a real decoder in changes exactly one function
+per operator, marked ``# STUB``.
+
+Scale notes: decode/feature steps run via ``mapInPandas`` so one Arrow
+batch of binary blobs crosses into Python at a time;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory (a
+4K-frame batch at default 10k records would OOM — callers set it per
+media size). Partition widening uses ensure_parallelism, same policy as
+the text operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+
+DECODERS_AVAILABLE = False  # flip when PIL/librosa/pyav exist in the image
+
+MEDIA_META_SCHEMA = (
+    "media_type string, width int, height int, sample_rate int, "
+    "duration_ms bigint, codec string"
+)
+
+
+def _stub_decode_image(blob: bytes) -> tuple[int, int, bytes]:
+    """# STUB — deterministic fake decoder.
+
+    Real implementation: PIL.Image.open(io.BytesIO(blob)) → size + RGB
+    bytes. The fake derives (width, height) and a pixel digest from the
+    blob content so tests are reproducible and content-sensitive.
+    """
+    if DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("wire the real decoder here")
+    h = hashlib.md5(blob).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    return width, height, h
+
+
+def embed_media_table(
+    df: DataFrame, content_col: str = "content", media_type: str = "image"
+) -> DataFrame:
+    """Attach the typed metadata struct to a binary-column table —
+    the canonical multimodal layout (blob + metadata, queryable without
+    touching bytes)."""
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit(None).cast("string").alias("codec"),
+    )
+    return df.withColumn("media_meta", meta)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Decode blobs → (width, height, feature vector). Pipeline shape for
+    any per-item media transform: widen partitions, Arrow-batch the blobs,
+    one Python crossing per batch.
+
+    Feature vector: 8 floats from the pixel digest (# STUB — a real
+    implementation would pool CNN activations or color histograms)."""
+    out_schema = f"{id_col} bigint, width int, height int, features array<float>"
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, feats = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, digest = _stub_decode_image(bytes(blob))
+                ids.append(int(i))
+                widths.append(w)
+                heights.append(h)
+                feats.append(
+                    [x / 255.0 for x in _struct.unpack("8B", digest[:8])]
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "width": widths, "height": heights, "features": feats}
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize blobs to (target_w, target_h). # STUB: emits a deterministic
+    re-encoded blob (digest-prefixed) of the right declared size; a real
+    implementation swaps only the inner function."""
+    out_schema = f"{id_col} bigint, width int, height int, {content_col} binary"
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                digest = hashlib.md5(bytes(blob)).digest()
+                fake = digest + bytes([target_w % 256, target_h % 256])
+                rows.append((int(i), target_w, target_h, fake))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", content_col]
+            )
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "id",
+    content_col: str = "content",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame sampling: one output row per sampled timestamp (explode shape).
+    Frame extraction is # STUB (digest of (blob, ts)); the row-explosion,
+    schema, and batch handling are the real pipeline."""
+    out_schema = f"{id_col} bigint, frame_ts_ms bigint, frame binary"
+    df = ensure_parallelism(df.select(id_col, content_col, duration_col))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob, dur in zip(
+                pdf[id_col], pdf[content_col], pdf[duration_col]
+            ):
+                for ts in range(0, int(dur), every_ms):
+                    frame = hashlib.md5(bytes(blob) + ts.to_bytes(8, "big")).digest()
+                    rows.append((int(i), ts, frame))
+            yield (
+                pd.DataFrame(rows, columns=[id_col, "frame_ts_ms", "frame"])
+                if rows
+                else pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="int64"),
+                        "frame_ts_ms": pd.Series(dtype="int64"),
+                        "frame": pd.Series(dtype="object"),
+                    }
+                )
+            )
+
+    return df.mapInPandas(sample, schema=out_schema)

@@ -1,0 +1,149 @@
+"""Streaming twins of the batch operators.
+
+Each builder takes a *streaming* DataFrame (``spark.readStream...``) and
+returns the transformed streaming DataFrame — sink/trigger choices belong
+to the caller. The batch twins in plans/ are oracle-checked; these reuse
+the same expressions, so the logic is verified once and run twice.
+
+Scale notes: watermarks bound state (late events beyond the horizon drop);
+``session_counts`` uses applyInPandasWithState, the engine's custom
+stateful-operator escape hatch (the reference has nothing comparable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — streaming twin of the
+    oracle-checked ``hourly_event_stats`` batch query.
+
+    ``watermark=None`` skips adding one (the caller already set it, or is
+    running complete-mode over a finite replay)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_wordcount(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Incremental wordcount over a text stream (demo/main.py:195-208 as a
+    continuous job)."""
+    words = lines.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+_GAP_US = 1_800_000_000  # 30 min, matches the batch sessionize_users query
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    use_timeout: bool = True,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: emit a row per CLOSED 30-min-gap session.
+
+    State is (session_start_us, last_seen_us, n_events). A processing-time
+    timeout (when enabled) flushes the open session when the stream goes
+    quiet.
+    """
+    (user_id,) = key
+    if use_timeout and state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_us.sort()
+
+    closed: list[tuple[int, int, int]] = []
+    if not ts_us:
+        return
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = ts_us[0]
+        n = 0
+    for t in ts_us:
+        if n > 0 and t - last > _GAP_US:
+            closed.append((start, last, n))
+            start, n = t, 0
+        n += 1
+        last = t
+    state.update((start, last, n))
+    if use_timeout:
+        state.setTimeoutDuration(60_000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+
+def session_counts(events: DataFrame, use_timeout: bool = True) -> DataFrame:
+    """Sessionize a user event stream with a custom stateful operator
+    (applyInPandasWithState) — emits one row per closed session.
+
+    ``use_timeout=False`` disables the idle-flush (deterministic finite
+    replays: only gap-closed sessions emit)."""
+    import functools
+
+    fn = functools.partial(_session_fn, use_timeout=use_timeout)
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

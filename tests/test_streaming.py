@@ -1,0 +1,116 @@
+"""Structured Streaming tests: drive each streaming job to completion with
+file sources + memory sinks (processAllAvailable), then compare against the
+batch twin computed on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.plans.tables import load
+from appengine_mapreduce_spark.streaming.jobs import (
+    hourly_event_counts,
+    session_counts,
+    streaming_wordcount,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_hourly_event_counts_matches_batch(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # generous watermark: finite replay in complete mode drops nothing
+    agg = hourly_event_counts(stream, watermark="100 days")
+    _run_stream(agg, "hourly_stream")
+    got = {
+        (r.hour, r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM hourly_stream").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    expected = {
+        (r.hour, r.event_type): (r.n, round(r.total_value, 2)) for r in batch.collect()
+    }
+    assert got == expected
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    docs = load(spark, SF_SMOKE, "documents").select("text")
+    d = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    _run_stream(streaming_wordcount(stream), "wc_stream")
+    got = {
+        (r.word, r.n) for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+    expected = {
+        (r.word, r.n)
+        for r in docs.select(
+            F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_session_counts_stateful(spark, tmp_path):
+    """Two bursts per user separated by >30 min: the first session closes
+    when the second burst arrives (state transition), the second stays open."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for uid in (1, 2):
+        for i in range(3):  # burst 1: 3 events 1 min apart
+            rows.append((uid, base + dt.timedelta(minutes=i)))
+        for i in range(2):  # burst 2: 45 min later
+            rows.append((uid, base + dt.timedelta(minutes=45 + i)))
+    pdf_dir = str(tmp_path / "sessions_stream")
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.parquet(pdf_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(pdf_dir)
+    out = session_counts(stream, use_timeout=False)
+    q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    closed = spark.sql("SELECT * FROM sessions").collect()
+    assert len(closed) == 2  # one closed session per user
+    for r in closed:
+        assert r.n_events == 3
+        assert r.session_start == base
+        assert r.session_end == base + dt.timedelta(minutes=2)
