@@ -1,0 +1,122 @@
+"""Join operators beyond Spark's built-ins.
+
+The reference has NO join operator at all (SURVEY.md §2.3) — joins were
+hand-written map-side tagging + reduce-side co-group. Spark's equi-joins
+cover the standard cases; this module adds the two that matter for
+large-scale pipelines and aren't built in:
+
+- ``as_of_join`` — temporal "latest right row at-or-before left.ts".
+  Implemented as tag → union → window last(ignorenulls) → filter: ONE
+  shuffle on the key, linear in rows. The naive formulation
+  (range-condition join + row_number) explodes quadratically per key at
+  scale; this one is the classic sort-based as-of algorithm expressed
+  relationally.
+- ``salted_join`` — equi-join for skewed keys: replicate the build side
+  ``salt``× with a salt column, scatter the probe side with a random salt,
+  join on (key, salt). Hot keys spread over ``salt`` reducers. AQE's
+  skew-join handles moderate skew automatically; salting is the explicit
+  tool for pathological keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_key: str | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` for the same key (left join semantics:
+    unmatched rows keep null payloads).
+
+    Right-side ties on (key, right_ts) must be pre-deduplicated by the
+    caller if deterministic payloads are required.
+    """
+    right_key = right_key or key
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (right_key, right_ts)
+    ]
+    left_cols = [c for c in left.columns if c not in (key, left_ts)]
+    overlap = set(left_cols) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+
+    tagged_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in payload_cols],
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload_cols],
+    )
+
+    # At equal timestamps the right row must sort BEFORE the left row so
+    # `<=` matches it; _is_right DESC does exactly that.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    carried = unioned.select(
+        key,
+        "_ts",
+        "_is_right",
+        *left_cols,
+        *[
+            F.last(F.when(F.col("_is_right") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in payload_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_right") == 0)
+        .drop("_is_right")
+        .withColumnRenamed("_ts", left_ts)
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    build_key: str | None = None,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each probe key over ``salt``
+    buckets, replicate the build side into all buckets. Build side grows
+    ``salt``× — use for small-to-medium build sides with hot probe keys.
+    """
+    build_key = build_key or key
+    salted_probe = probe.withColumn(
+        "_salt", (F.rand() * salt).cast("int")
+    )
+    exploded_build = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (F.col(f"p.{key}") == F.col(f"b.{build_key}")) & (
+        F.col("p._salt") == F.col("b._salt")
+    )
+    return (
+        salted_probe.alias("p")
+        .join(exploded_build.alias("b"), cond, how)
+        .drop(F.col("p._salt"))
+        .drop(F.col("b._salt"))
+    )

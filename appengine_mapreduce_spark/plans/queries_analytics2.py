@@ -1,0 +1,254 @@
+"""Second batch of analytics queries: as-of join, more TPC-H shapes,
+set operations, approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_D = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_D)
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS last_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="As-of join: latest order at-or-before each event, per user. "
+    "Implemented single-pass (tag → union → window last ignorenulls), one "
+    "shuffle on the key — not a quadratic range join. Oracle: DuckDB's "
+    "native ASOF JOIN.",
+    tags=("analytics", "join", "asof"),
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.joins import as_of_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # de-tie (key, ts)
+    )
+    joined = as_of_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_key="o_custkey",
+        payload_cols=["o_orderkey", "o_orderdate"],  # carry matched ts too
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+@register(
+    "q10_returned_customers",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    description="TPC-H Q10 returned-item reporting: 3-way join filtered on "
+    "return flag, top-20 customers by lost revenue.",
+    tags=("analytics", "join", "topk"),
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE 0 END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    description="TPC-H Q14 promotion effect: broadcast part join + "
+    "conditional decimal aggregate.",
+    tags=("analytics", "join", "aggregation"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+                    F.lit(0).cast("decimal(38,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_custkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    """,
+    description="TPC-H Q18 large-volume orders: join + group + HAVING on a "
+    "decimal sum (aggregate pushdown-friendly: group key is the join key, "
+    "so AQE can plan a single shuffle).",
+    tags=("analytics", "join", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 180)
+        .select(
+            "o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """,
+    description="TPC-H Q19 disjunctive predicates across both join sides — "
+    "Catalyst pushes the residual OR below the join where possible.",
+    tags=("analytics", "join", "pushdown"),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.filter(cond).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+        SELECT user_id FROM (
+            (SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events WHERE event_type = 'purchase')
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+    """,
+    description="Set operations (INTERSECT/EXCEPT) — absent from the "
+    "reference (SURVEY.md §2.6), free Catalyst builtins here.",
+    tags=("analytics", "setops"),
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.intersect(buyers).exceptAll(erroring.distinct())
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # accuracy vs exact is asserted in tests/test_operators.py
+    description="approx_count_distinct (HyperLogLog++) per return flag — "
+    "the constant-memory distinct path for 100 TB (exact distinct shuffles "
+    "every key; the sketch is mergeable map-side).",
+    tags=("analytics", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "median_quantity_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Exact percentiles (median/p90) per group — continuous "
+    "interpolation, identical semantics in Spark percentile() and DuckDB "
+    "quantile_cont().",
+    tags=("analytics", "percentile"),
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    )

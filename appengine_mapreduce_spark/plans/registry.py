@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_api,
         queries_mr,
         queries_analytics,
+        queries_analytics2,
         queries_dedup,
         queries_similarity,
         queries_text,

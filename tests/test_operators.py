@@ -1,0 +1,111 @@
+"""Operator unit tests: as-of join semantics, salted join equivalence,
+approx-distinct accuracy, shuffle helpers, hashing stability."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.functions.hashing import murmur3_bucket
+from appengine_mapreduce_spark.operators import shuffle
+from appengine_mapreduce_spark.operators.joins import as_of_join, salted_join
+from tests.conftest import SF_CORRECT
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "e1"),  # before any right row → null
+            (1, _ts(12), "e2"),  # matches r1 (12:00, tie → <= matches)
+            (1, _ts(15), "e3"),  # matches r2 (14:00)
+            (2, _ts(12), "e4"),  # other key, matches r3
+            (3, _ts(12), "e5"),  # key with no right rows → null
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(12), 100),
+            (1, _ts(14), 200),
+            (2, _ts(11), 300),
+        ],
+        "k bigint, rts timestamp, payload bigint",
+    )
+    out = {
+        r.tag: r.payload
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out == {"e1": None, "e2": 100, "e3": 200, "e4": 300, "e5": None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed probe: 90% of rows share one key
+    probe = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.range(0, 50).select(
+        F.col("id").alias("bk"), (F.col("id") * 100).alias("bv")
+    )
+    plain = (
+        probe.join(build, probe.k == build.bk)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bv").alias("s"))
+    )
+    salted = (
+        salted_join(probe, build, key="k", build_key="bk", salt=8)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bv").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_approx_distinct_accuracy(spark):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.a
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.e
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("e"))
+        .collect()
+    }
+    for flag, e in exact.items():
+        assert abs(approx[flag] - e) <= max(3, 0.05 * e), (flag, approx[flag], e)
+
+
+def test_group_values_chunking(spark):
+    df = spark.createDataFrame(
+        [("k", i) for i in range(20)] + [("j", 1)], "key string, v bigint"
+    )
+    out = {
+        r.key: r["values"]
+        for r in shuffle.group_values(df, "key", "v", max_grouped_values=5).collect()
+    }
+    assert out["k"] == [0, 1, 2, 3, 4]  # sorted then capped
+    assert out["j"] == [1]
+
+
+def test_murmur3_bucket_stable_and_bounded(spark):
+    df = spark.range(0, 10000).select(F.col("id").cast("string").alias("k"))
+    b1 = df.select("k", murmur3_bucket(F.col("k"), 32).alias("b"))
+    assert b1.filter((F.col("b") < 0) | (F.col("b") >= 32)).count() == 0
+    # deterministic across evaluations
+    x = {r.k: r.b for r in b1.collect()}
+    y = {r.k: r.b for r in b1.collect()}
+    assert x == y
+    # reasonably uniform: no bucket more than 2x the mean
+    counts = b1.groupBy("b").count().collect()
+    assert max(r["count"] for r in counts) < 2 * (10000 / 32)

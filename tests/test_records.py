@@ -1,0 +1,87 @@
+"""LevelDB record codec tests (≙ records_test.py shape): crc32c test
+vectors, roundtrips, block-spanning records, corruption detection,
+distributed read."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pytest
+
+from appengine_mapreduce_spark.sources.records import (
+    BLOCK_SIZE,
+    RecordReader,
+    RecordWriter,
+    crc32c,
+    read_records_file,
+    records_input,
+    write_records_file,
+)
+
+
+def test_crc32c_known_vectors():
+    # Canonical Castagnoli vectors (RFC 3720 appendix + common test suites)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_roundtrip_small_records(tmp_path):
+    records = [b"alpha", b"", b"beta" * 10, bytes(range(256))]
+    p = str(tmp_path / "small.rec")
+    write_records_file(p, records)
+    assert read_records_file(p) == records
+
+
+def test_roundtrip_block_spanning(tmp_path):
+    """Records larger than a block must produce FIRST/MIDDLE/LAST chains."""
+    records = [b"x" * (BLOCK_SIZE * 2 + 123), b"tail", b"y" * (BLOCK_SIZE - 7)]
+    p = str(tmp_path / "big.rec")
+    write_records_file(p, records)
+    assert read_records_file(p) == records
+
+
+def test_block_trailer_padding(tmp_path):
+    """A record that leaves <7 bytes in the block forces zero padding."""
+    first = b"a" * (BLOCK_SIZE - 7 - 3)  # leaves 3 bytes in block 0
+    records = [first, b"second"]
+    p = str(tmp_path / "pad.rec")
+    write_records_file(p, records)
+    raw = open(p, "rb").read()
+    assert raw[BLOCK_SIZE - 3 : BLOCK_SIZE] == b"\x00\x00\x00"
+    assert read_records_file(p) == records
+
+
+def test_crc_corruption_detected(tmp_path):
+    p = str(tmp_path / "corrupt.rec")
+    write_records_file(p, [b"hello world"])
+    raw = bytearray(open(p, "rb").read())
+    raw[HEADER := 7] ^= 0xFF  # flip a data byte
+    with pytest.raises(IOError, match="crc mismatch"):
+        list(RecordReader(io.BytesIO(bytes(raw))))
+
+
+def test_header_layout():
+    """Header is (crc32c LE, length LE u16, type u8) per the public spec."""
+    buf = io.BytesIO()
+    RecordWriter(buf).write(b"data")
+    raw = buf.getvalue()
+    crc, length, rtype = struct.unpack("<IHB", raw[:7])
+    assert length == 4
+    assert rtype == 1  # FULL
+    assert raw[7:11] == b"data"
+
+
+def test_records_input_distributed(spark, tmp_path):
+    d = tmp_path / "recs"
+    d.mkdir()
+    expect = set()
+    for shard in range(3):
+        recs = [f"shard{shard}-rec{i}".encode() for i in range(100)]
+        expect.update(recs)
+        write_records_file(str(d / f"shard-{shard}.rec"), recs)
+    df = records_input(spark, str(d))
+    got = {bytes(r.record) for r in df.collect()}
+    assert got == expect
