@@ -79,18 +79,34 @@ def run_mapper(
     out_schema: StructType,
     acc,
     combiner: Combiner | None = None,
+    expand_parameters: bool = False,
+    rate_per_sec: int | None = None,
 ) -> DataFrame:
     """Map stage: per-partition lifecycle (begin/end shard), per-row
     generator dispatch, optional map-side combine on the first output
-    column (the key)."""
+    column (the key).
+
+    ``expand_parameters`` ≙ the reference's multi-arg handler mode
+    (input_readers.py:127-130): call ``mapper(ctx, *row)`` instead of
+    ``mapper(ctx, row)``.
+    ``rate_per_sec`` ≙ processing_rate throttling (handlers.py:1008-1027,
+    default cap parameters.py:222): the job-wide records/sec budget is
+    split evenly across partitions; each worker sleeps when ahead.
+    """
+    per_part_rate = None
+    if rate_per_sec is not None:
+        per_part_rate = max(1.0, rate_per_sec / max(1, df.rdd.getNumPartitions()))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         tc = TaskContext.get()
         ctx = CounterContext(acc, shard_id=tc.partitionId() if tc else -1)
         mapper.begin_shard(ctx)
         buf: list[tuple] = []
         pending: dict = {}  # key -> [values] for map-side combine
         n_calls = 0
+        t0 = _time.monotonic()
 
         def flush_combine() -> None:
             for k, vals in pending.items():
@@ -98,10 +114,17 @@ def run_mapper(
                     buf.append((k, v))
             pending.clear()
 
+        def throttle() -> None:
+            if per_part_rate is not None and n_calls > 0:
+                ahead = n_calls / per_part_rate - (_time.monotonic() - t0)
+                if ahead > 0:
+                    _time.sleep(ahead)
+
         for pdf in batches:
+            throttle()
             for row in pdf.itertuples(index=False):
                 n_calls += 1
-                out = mapper(ctx, row)
+                out = mapper(ctx, *row) if expand_parameters else mapper(ctx, row)
                 if out is None:
                     continue
                 for item in out:
@@ -117,6 +140,7 @@ def run_mapper(
                     buf = []
         if combiner is not None:
             flush_combine()
+        throttle()  # settle the rate budget before finishing the shard
         mapper.end_shard(ctx)
         ctx.increment(C.MAPPER_CALLS, n_calls)
         if buf:

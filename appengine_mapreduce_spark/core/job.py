@@ -63,6 +63,7 @@ class MapReduceResult:
     output: Any
     counters: dict[str, int]
     output_df: DataFrame | None = None
+    job_id: str | None = None
 
 
 @dataclass
@@ -98,6 +99,8 @@ class MapReduceSpecification:
     map_output_schema: str | StructType = "key string, value string"
     combiner: Combiner | None = None
     num_reducers: int | None = None
+    expand_parameters: bool = False  # ≙ input_readers.py:127-130
+    processing_rate: int | None = None  # records/sec cap ≙ parameters.py:222
 
     class _Builder:
         def __init__(self):
@@ -137,6 +140,8 @@ class MapReduceJob:
         mapped = run_mapper(
             df, as_mapper(spec.mapper), map_schema, counters.accumulator,
             combiner=as_combiner(spec.combiner),
+            expand_parameters=spec.expand_parameters,
+            rate_per_sec=spec.processing_rate,
         )
 
         key_col = map_schema.fields[0].name
@@ -150,19 +155,37 @@ class MapReduceJob:
 
     @staticmethod
     def run(spark: SparkSession, spec: MapReduceSpecification) -> MapReduceResult:
+        from appengine_mapreduce_spark.core import status
+
         counters = Counters(spark.sparkContext)
-        reduced = MapReduceJob.plan(spark, spec, counters)
-        result_value = spec.output.write(reduced, spec.job_name)
-        return MapReduceResult(result_value, counters.to_dict(), reduced)
+        job_id = status.start_job(spec.job_name)
+        try:
+            reduced = MapReduceJob.plan(spark, spec, counters)
+            result_value = spec.output.write(reduced, spec.job_name)
+        except BaseException as e:
+            status.fail_job(job_id, e)
+            raise
+        status.finish_job(job_id, counters.to_dict(), result_value)
+        return MapReduceResult(result_value, counters.to_dict(), reduced, job_id)
 
     @staticmethod
     def run_map(spark: SparkSession, spec: MapSpecification) -> MapReduceResult:
+        from appengine_mapreduce_spark.core import status
+
         counters = Counters(spark.sparkContext)
-        df = ensure_parallelism(spec.input.read(spark))
-        out_schema = _ddl(spec.output_schema)
-        mapped = run_mapper(df, as_mapper(spec.mapper), out_schema, counters.accumulator)
-        result_value = spec.output.write(mapped, spec.job_name)
-        return MapReduceResult(result_value, counters.to_dict(), mapped)
+        job_id = status.start_job(spec.job_name)
+        try:
+            df = ensure_parallelism(spec.input.read(spark))
+            out_schema = _ddl(spec.output_schema)
+            mapped = run_mapper(
+                df, as_mapper(spec.mapper), out_schema, counters.accumulator
+            )
+            result_value = spec.output.write(mapped, spec.job_name)
+        except BaseException as e:
+            status.fail_job(job_id, e)
+            raise
+        status.finish_job(job_id, counters.to_dict(), result_value)
+        return MapReduceResult(result_value, counters.to_dict(), mapped, job_id)
 
 
 # --- Inputs (job-level wrappers over sources/) -------------------------------

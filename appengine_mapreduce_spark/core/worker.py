@@ -75,8 +75,8 @@ def as_mapper(fn: Callable | Mapper) -> Mapper:
         return fn
 
     class _FnMapper(Mapper):
-        def __call__(self, ctx, row):
-            return fn(ctx, row)
+        def __call__(self, ctx, *args):
+            return fn(ctx, *args)
 
     return _FnMapper()
 
