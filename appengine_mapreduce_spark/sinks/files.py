@@ -35,9 +35,23 @@ class FileOutput:
     max_records_per_file: int | None = None
     mode: str = "overwrite"
     options: dict[str, str] = field(default_factory=dict)
+    sort_by: list[str] | None = None
 
     def write(self, df: DataFrame, job_name: str = "") -> str:
-        if self.shards is not None:
+        if self.sort_by:
+            # Globally sorted shard files (shard i's keys all precede
+            # shard i+1's) ≙ the reference's sorted shuffle output
+            # (java SortJob/MergeJob, MapReduceJob.java:184-364):
+            # range-partition then sort within each partition — Spark's
+            # ExternalSorter spills/merges exactly like the reference's
+            # tiered merge, no operator to build.
+            cols = [F.col(c) for c in self.sort_by]
+            if self.shards is not None:
+                df = df.repartitionByRange(self.shards, *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
+        elif self.shards is not None:
             df = df.repartition(self.shards)
         writer = df.write.mode(self.mode)
         if self.max_records_per_file is not None:

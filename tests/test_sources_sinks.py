@@ -187,3 +187,28 @@ def test_bigquery_stage_output(spark, tmp_path):
     data_files = glob.glob(f"{res['data_dir']}/part-*")
     assert data_files
     assert spark.read.json(res["data_dir"]).count() == 1
+
+
+def test_file_output_sorted_shards(spark, tmp_path):
+    """Globally-sorted shard files: within-file sorted, cross-file ranges
+    disjoint and ordered (the reference's sorted shuffle output contract)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 10**6), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = FileOutput(str(tmp_path / "sorted"), shards=4, sort_by=["k"])
+    path = out.write(df)
+    files = sorted(glob.glob(f"{path}/part-*"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges across files
+    total = spark.read.parquet(path).count()
+    assert total == 5000
