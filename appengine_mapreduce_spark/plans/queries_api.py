@@ -31,6 +31,47 @@ _TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
     tags=("api", "mr-parity", "udf"),
 )
 def mapreduce_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wordcount_plan(spark, sf_dir)
+
+
+@register(
+    "mapreduce_api_eventfilter",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    description="Map-only job (MapOnlyMapper ≙ java MapOnlyMapper.java:15) "
+    "through the generator adapter over the full events table — doubles as "
+    "the generator-path throughput probe (records/sec through Python, "
+    "BASELINE.md target ≥1M/s aggregate).",
+    bench=True,
+    tags=("api", "mr-parity", "udf", "map-only"),
+)
+def mapreduce_api_eventfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.core.adapters import run_mapper
+    from appengine_mapreduce_spark.core.counters import Counters
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+    from appengine_mapreduce_spark.core.worker import MapOnlyMapper
+    from pyspark.sql.types import StructType
+
+    class PurchaseFilter(MapOnlyMapper):
+        def __call__(self, ctx, row):
+            if row.event_type == "purchase":
+                yield (row.event_id, row.user_id, row.value)
+
+    ev = ensure_parallelism(
+        load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    )
+    counters = Counters(spark.sparkContext)
+    return run_mapper(
+        ev,
+        PurchaseFilter(),
+        StructType.fromDDL("event_id bigint, user_id bigint, value double"),
+        counters.accumulator,
+    )
+
+
+def _wordcount_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.core.job import (
         DataFrameInput,
         MapReduceJob,

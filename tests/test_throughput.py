@@ -1,0 +1,46 @@
+"""Generator-path throughput guardrail.
+
+BASELINE.md target: ≥1M records/sec aggregate through the generator-UDF
+path (the reference's own design cap, parameters.py:222). Measured
+~4.1M rec/s on local[32]; the floor here is deliberately conservative
+because this VM shows ~8% CPU steal with multi-second bursts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from appengine_mapreduce_spark.core.adapters import run_mapper
+from appengine_mapreduce_spark.core.counters import Counters
+from appengine_mapreduce_spark.core.worker import MapOnlyMapper
+
+N = 2_000_000
+FLOOR_RECORDS_PER_SEC = 250_000
+
+
+class _PassThrough(MapOnlyMapper):
+    def __call__(self, ctx, row):
+        if row.v % 10 != 0:
+            yield (row.id, row.v * 2)
+
+
+def test_generator_path_throughput(spark):
+    df = spark.range(0, N, 1, spark.sparkContext.defaultParallelism).select(
+        F.col("id"), (F.col("id") % 1000).alias("v")
+    )
+    schema = StructType.fromDDL("id bigint, v2 bigint")
+    counters = Counters(spark.sparkContext)
+    run_mapper(df, _PassThrough(), schema, counters.accumulator).count()  # warm
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = run_mapper(df, _PassThrough(), schema, counters.accumulator).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert n_out == N * 9 // 10
+    rate = N / best
+    assert rate >= FLOOR_RECORDS_PER_SEC, f"only {rate:,.0f} rec/s"
