@@ -52,6 +52,26 @@ class Counters:
         return dict(self._acc.value)
 
 
+def observe_counters(df, name: str, **exprs):
+    """Attach Spark-native observed metrics to a plan — the zero-overhead
+    counter path for built-in-expression jobs (vs the accumulator path for
+    generator UDFs). Returns ``(df, observation)``; after the first action
+    ``observation.get`` holds the metric dict.
+
+    Example::
+
+        df2, obs = observe_counters(df, "scan",
+                                    rows=F.count(F.lit(1)),
+                                    total_chars=F.sum(F.length("text")))
+        df2.collect()
+        obs.get  # {"rows": ..., "total_chars": ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[v.alias(k) for k, v in exprs.items()]), obs
+
+
 class CounterContext:
     """Worker-side context passed to mappers/reducers.
 

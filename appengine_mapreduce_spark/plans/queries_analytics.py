@@ -293,6 +293,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Sessionization (30-min inactivity gap) via lag + flag-sum — "
     "a stateful op the reference cannot express without a custom two-pass "
     "job; one window + one aggregate here.",
+    bench=True,
     tags=("analytics", "window", "sessionization"),
 )
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:

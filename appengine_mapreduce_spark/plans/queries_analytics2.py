@@ -33,6 +33,7 @@ def _dec(col: str):
     "Implemented single-pass (tag → union → window last ignorenulls), one "
     "shuffle on the key — not a quadratic range join. Oracle: DuckDB's "
     "native ASOF JOIN.",
+    bench=True,
     tags=("analytics", "join", "asof"),
 )
 def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +150,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q18 large-volume orders: join + group + HAVING on a "
     "decimal sum (aggregate pushdown-friendly: group key is the join key, "
     "so AQE can plan a single shuffle).",
+    bench=True,
     tags=("analytics", "join", "having"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

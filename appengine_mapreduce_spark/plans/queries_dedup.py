@@ -198,6 +198,7 @@ _SIMHASH_EXPR = " + ".join(
     description=f"{_SIMHASH_BITS}-bit SimHash fingerprints: per-bit token "
     "votes statically unrolled into aggregate columns (one shuffle on "
     "doc_id; Hamming-near fingerprints ⇒ near-duplicate docs).",
+    bench=True,
     tags=("dedup", "simhash"),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

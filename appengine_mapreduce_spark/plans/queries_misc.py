@@ -250,6 +250,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only that partition with exact cosine — reads corpus/n_lists rows. "
     "The deterministic min-id representative stands in for a k-means "
     "centroid so the oracle can replay list selection exactly.",
+    bench=True,
     tags=("similarity", "ann", "ivf"),
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -185,3 +185,22 @@ def test_multi_column_values(spark, docs):
         mine = [r for r in rows if r.doc_id % 7 == bucket]
         assert n == len(mine)
         assert total == sum(len(r.text) for r in mine)
+
+
+def test_observe_counters(spark, docs):
+    """Spark-native observed metrics — the zero-overhead counter path
+    (≙ counters without touching Python per row)."""
+    from appengine_mapreduce_spark.core.counters import observe_counters
+
+    df, obs = observe_counters(
+        docs,
+        "scan",
+        rows=F.count(F.lit(1)),
+        total_chars=F.sum(F.length("text")),
+    )
+    df.collect()
+    got = obs.get
+    expected_rows = docs.count()
+    expected_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+    assert got["rows"] == expected_rows
+    assert got["total_chars"] == expected_chars
