@@ -1,0 +1,90 @@
+"""Statistical quality tests for the near-dup operators: MinHash must
+actually estimate Jaccard, LSH must actually find planted near-duplicates,
+shingles must match a naive reference implementation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.functions.text import word_shingles
+from appengine_mapreduce_spark.operators import dedup
+
+VOCAB = [f"w{i}" for i in range(200)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _mutate(rng: random.Random, text: str, k: int) -> str:
+    toks = text.split()
+    for _ in range(k):
+        toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """100 random docs + 10 planted near-dup pairs (2-word mutations)."""
+    rng = random.Random(13)
+    rows = [(i, _doc(rng)) for i in range(100)]
+    for j in range(10):
+        base_id = j * 7
+        rows.append((1000 + j, _mutate(rng, rows[base_id][1], 2)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _true_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = [x for x in t.split() if x]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_jaccard(spark, planted):
+    """With 64 hashes, |estimate − true jaccard| should be small for the
+    planted near-dup pairs (std ≈ sqrt(j(1−j)/64) ≈ 0.06)."""
+    sigs = {
+        r._id: r.sig
+        for r in dedup.minhash_signatures(planted, num_hashes=64).collect()
+    }
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    for j in range(10):
+        a, b = j * 7, 1000 + j
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        true = _true_jaccard(texts[a], texts[b])
+        assert abs(est - true) < 0.25, (a, b, est, true)
+        assert true > 0.5  # the plant really is a near-dup
+
+
+def test_lsh_finds_planted_pairs(spark, planted):
+    """Every planted pair must appear among LSH candidates (16 hashes,
+    8 bands of 2 ⇒ P[miss] = (1−j²)⁸ < 1% at j≈0.8)."""
+    sigs = dedup.minhash_signatures(planted, num_hashes=16)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, num_hashes=16, num_bands=8).collect()
+    }
+    found = sum((j * 7, 1000 + j) in pairs for j in range(10))
+    assert found >= 9, f"only {found}/10 planted pairs found: {sorted(pairs)[:20]}"
+    # and candidates stay sparse — nowhere near all-pairs
+    assert len(pairs) < 1000
+
+
+def test_word_shingles_match_naive(spark):
+    rng = random.Random(3)
+    rows = [(i, _doc(rng, n)) for i, n in enumerate([0, 1, 2, 3, 4, 30])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: sorted(r.s)
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()
+    }
+    for i, text in rows:
+        toks = [x for x in text.split() if x]
+        naive = sorted({" ".join(toks[k : k + 3]) for k in range(max(0, len(toks) - 2))})
+        assert got[i] == naive, (i, got[i][:5], naive[:5])
