@@ -212,3 +212,35 @@ def test_file_output_sorted_shards(spark, tmp_path):
         assert hi1 <= lo2  # disjoint, ordered ranges across files
     total = spark.read.parquet(path).count()
     assert total == 5000
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count join with NO Exchange —
+    the pre-shuffled layout for repeat joins at scale."""
+    import contextlib
+    import io
+
+    from appengine_mapreduce_spark.sinks.bucketed import BucketedTableOutput
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = spark.range(0, 10000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        BucketedTableOutput("t_facts", key="k", num_buckets=8).write(facts)
+        BucketedTableOutput("t_dims", key="k", num_buckets=8).write(dims)
+
+        joined = spark.table("t_facts").join(spark.table("t_dims"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_facts")
+        spark.sql("DROP TABLE IF EXISTS t_dims")
