@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_dynamic,
         queries_misc,
         queries_similarity,
+        queries_sql,
         queries_tpch3,
         queries_text,
     )
