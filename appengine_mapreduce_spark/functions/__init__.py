@@ -3,9 +3,12 @@
 from appengine_mapreduce_spark.functions.text import (
     tokens,
     word_shingles,
+    shingles_from_tokens,
     nonempty_tokens,
 )
 from appengine_mapreduce_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash_pair,
     stable_hash32,
     stable_hash64,
     murmur3_bucket,
@@ -19,7 +22,10 @@ from appengine_mapreduce_spark.functions.vectors import (
 __all__ = [
     "tokens",
     "word_shingles",
+    "shingles_from_tokens",
     "nonempty_tokens",
+    "MINHASH_PRIME",
+    "hash_pair",
     "stable_hash32",
     "stable_hash64",
     "murmur3_bucket",

@@ -64,3 +64,28 @@ def group_count(df: DataFrame, key: str | list[str], alias: str = "n") -> DataFr
     """Count records per key — the canonical wordcount reduce."""
     keys = [key] if isinstance(key, str) else list(key)
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def cogroup_apply(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    fn,
+    schema,
+) -> DataFrame:
+    """Reduce-side co-group: ``fn(key_tuple, left_pdf, right_pdf) -> pdf``.
+
+    This is the reference's ONLY join idiom made first-class: mappers
+    tagged records by side, the reducer saw both sides' values per key
+    (SURVEY.md §2.3; e.g. the word→files index, python/demo/main.py:211-224).
+    Spark's ``cogroup`` shuffles each side once on the key and hands the
+    user both groups as pandas DataFrames — use a real ``join`` for equi
+    semantics; use this when per-key logic is genuinely custom
+    (per-key reconciliation, asymmetric dedup, windowless merges).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(fn, schema=schema)
+    )

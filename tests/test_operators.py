@@ -109,3 +109,33 @@ def test_murmur3_bucket_stable_and_bounded(spark):
     # reasonably uniform: no bucket more than 2x the mean
     counts = b1.groupBy("b").count().collect()
     assert max(r["count"] for r in counts) < 2 * (10000 / 32)
+
+
+def test_cogroup_apply_join_idiom(spark):
+    """Implement an equi-join via reduce-side co-group (the reference's
+    manual join idiom) and check it against the real join."""
+    import pandas as pd
+
+    from appengine_mapreduce_spark.operators.shuffle import cogroup_apply
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (4, 40)], "k bigint, rv bigint"
+    )
+
+    def join_fn(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "lv": pd.Series(dtype="object"),
+                                 "rv": pd.Series(dtype="int64")})
+        out = lpdf.merge(rpdf, on="k")
+        return out[["k", "lv", "rv"]]
+
+    got = sorted(
+        map(tuple, cogroup_apply(left, right, "k", join_fn,
+                                 "k bigint, lv string, rv bigint").collect())
+    )
+    expected = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == expected

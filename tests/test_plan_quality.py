@@ -89,3 +89,22 @@ def test_topk_uses_take_ordered(spark):
 def test_semi_join_for_exists(spark):
     plan = plan_of(spark, "orders_with_heavy_items")
     assert "LeftSemi" in plan, plan
+
+
+def test_q13_left_outer_join(spark):
+    plan = plan_of(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in plan, plan
+
+
+def test_q22_anti_join(spark):
+    plan = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must shuffle each side once (union + window), never
+    a nested-loop/range join."""
+    plan = plan_of(spark, "asof_join_latest_order")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
