@@ -1,0 +1,101 @@
+"""Second dedup batch: normalized-text exact dedup and embedding-cosine
+near-duplicate pairs (the last two channels from the training-data dedup
+toolbox: exact → normalized-exact → MinHash/SimHash → embedding-cosine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_LSH_BITS = 6  # coarser buckets than ANN probing: recall matters more here
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+        SELECT norm_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS norm_hash
+            FROM documents
+        )
+        GROUP BY norm_hash
+    """,
+    description="Exact dedup after canonical normalization (lowercase, trim, "
+    "whitespace collapse) — catches trivially-reformatted duplicates that "
+    "byte-exact dedup misses; still a 16-byte-digest shuffle.",
+    tags=("dedup", "normalization"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.withColumn("norm_hash", F.md5(norm))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_BUCKET = "(" + " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_LSH_BITS)
+) + ")"
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_BUCKET} AS bucket,
+                   sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+            FROM embeddings
+        )
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               round({_DOT.format(a="x.embedding", b="y.embedding")}
+                     / (x.nrm * y.nrm), 6) AS cosine
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {_DOT.format(a="x.embedding", b="y.embedding")}
+              / (x.nrm * y.nrm) >= 0.8
+    """,
+    description=f"Embedding-cosine near-dup pairs: {_LSH_BITS}-bit sign-LSH "
+    "buckets bound the candidate set (~n²/2^bits pairs instead of n²), "
+    "exact cosine ≥ 0.8 within buckets — the semantic-dedup channel for "
+    "embedding-bearing corpora.",
+    tags=("dedup", "similarity", "embedding"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.functions.vectors import dot, l2_norm
+    from appengine_mapreduce_spark.operators.similarity import sign_bucket
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), _LSH_BITS).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    x, y = emb.alias("x"), emb.alias("y")
+    cos = dot(F.col("x.embedding"), F.col("y.embedding")) / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.8)
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

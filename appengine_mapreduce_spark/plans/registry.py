@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_analytics,
         queries_analytics2,
         queries_dedup,
+        queries_dedup2,
         queries_dynamic,
         queries_misc,
         queries_similarity,
