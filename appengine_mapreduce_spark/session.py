@@ -49,12 +49,3 @@ def get_spark(
     return spark
 
 
-def configure_for_oracle(spark: SparkSession) -> SparkSession:
-    """Pin runtime confs that must match the DuckDB oracle.
-
-    DuckDB reads parquet timestamps as UTC-naive; Spark renders them in the
-    session time zone — pin UTC so both sides agree. Safe to call on a
-    session we didn't build (runtime-mutable confs only).
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark
