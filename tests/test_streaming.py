@@ -114,3 +114,33 @@ def test_session_counts_stateful(spark, tmp_path):
         assert r.n_events == 3
         assert r.session_start == base
         assert r.session_end == base + dt.timedelta(minutes=2)
+
+
+def test_idempotent_foreachbatch_sink(spark, tmp_path):
+    """Exactly-once foreachBatch sink: replaying the same batch_id must not
+    duplicate rows."""
+    from appengine_mapreduce_spark.streaming.sinks import idempotent_parquet_sink
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    spark.range(0, 100).write.parquet(src_dir)
+
+    sink = idempotent_parquet_sink(out_dir)
+    stream = spark.readStream.schema("id bigint").parquet(src_dir)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    first = spark.read.parquet(f"{out_dir}/batch_id=*").count()
+    assert first == 100
+
+    # simulate a replay of batch 0: the marker must suppress the rewrite
+    import pyspark.sql.functions as F
+
+    replay_df = spark.range(0, 100).select((F.col("id") + 1000).alias("id"))
+    sink(replay_df, 0)
+    after = spark.read.parquet(f"{out_dir}/batch_id=*")
+    assert after.count() == 100
+    assert after.filter(F.col("id") >= 1000).count() == 0  # replay ignored
