@@ -144,3 +144,29 @@ def test_idempotent_foreachbatch_sink(spark, tmp_path):
     after = spark.read.parquet(f"{out_dir}/batch_id=*")
     assert after.count() == 100
     assert after.filter(F.col("id") >= 1000).count() == 0  # replay ignored
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: enrich a stream with a static dimension —
+    no state, the static side re-reads per micro-batch."""
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 2.5), (1, 1.0)], "uid bigint, amount double"
+    ).write.parquet(src)
+    static_dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "uid bigint, tier string"
+    )
+    stream = spark.readStream.schema("uid bigint, amount double").parquet(src)
+    enriched = stream.join(static_dim, "uid", "left_outer")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r.uid, r.amount, r.tier) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert rows == {(1, 10.0, "gold"), (2, 5.0, "silver"), (3, 2.5, None), (1, 1.0, "gold")}
