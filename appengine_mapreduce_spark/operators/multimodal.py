@@ -26,6 +26,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+from appengine_mapreduce_spark.core.pickling import register_self
+
+register_self(__name__)
+
 
 DECODERS_AVAILABLE = False  # flip when PIL/librosa/pyav exist in the image
 

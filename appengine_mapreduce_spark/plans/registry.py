@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_dedup2,
         queries_dynamic,
         queries_misc,
+        queries_misc2,
         queries_similarity,
         queries_sql,
         queries_tpch3,

@@ -28,6 +28,10 @@ from __future__ import annotations
 import io
 import struct
 from collections.abc import Iterator
+from appengine_mapreduce_spark.core.pickling import register_self
+
+register_self(__name__)
+
 
 BLOCK_SIZE = 32768
 HEADER_SIZE = 7

@@ -20,6 +20,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from appengine_mapreduce_spark.core.pickling import register_self
+
+register_self(__name__)
+
 
 _MEMBER_SCHEMA = "zip_path string, member_index int, member_name string, content binary"
 _LINE_SCHEMA = "zip_path string, member_index int, offset bigint, line string"

@@ -1,0 +1,73 @@
+"""Simulate the driver: vanilla SparkSession, import __spark_entry__,
+run entry() smoke + every queries() entry vs oracle_sql() in DuckDB at
+sf0.01 with order-insensitive value-hash compare."""
+import hashlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# Vanilla session — deliberately NOT appengine_mapreduce_spark.session.get_spark:
+# no UTC pin, no nanosAsLong, default shuffle partitions. The contract must
+# set what it needs at runtime.
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+conn = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    conn.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def value_hash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = []
+    for tup in pdf.itertuples(index=False):
+        cells = []
+        for v in tup:
+            if isinstance(v, float):
+                cells.append(f"{v:.9g}")
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+# 1. entry() smoke
+res = entrymod.entry(spark)
+rows = res.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
+assert len(rows) >= 0
+
+# 2. queries vs oracles
+qs = entrymod.queries()
+oracles = entrymod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+fails = []
+for name, fn in sorted(qs.items()):
+    try:
+        spdf = fn(spark, SF).toPandas()
+        if name in oracles:
+            dpdf = conn.sql(oracles[name]).df()
+            ok_rows = len(spdf) == len(dpdf)
+            ok_cols = sorted(spdf.columns) == sorted(dpdf.columns)
+            ok_hash = value_hash(spdf) == value_hash(dpdf)
+            status = "MATCH" if (ok_rows and ok_cols and ok_hash) else f"MISMATCH rows={ok_rows} cols={ok_cols} hash={ok_hash}"
+        else:
+            status = f"rows-only ({len(spdf)} rows)"
+        print(f"  {name}: {status}")
+        if "MISMATCH" in status:
+            fails.append(name)
+    except Exception as e:
+        print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+        fails.append(name)
+
+print("RESULT:", "FAIL " + str(fails) if fails else "ALL OK")
+sys.exit(1 if fails else 0)
