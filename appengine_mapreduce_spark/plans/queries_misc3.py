@@ -1,0 +1,109 @@
+"""Last coverage batch: conditional-share aggregation (TPC-H Q8 shape) and
+a funnel analysis (the archetypal product-analytics query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_D = "decimal(18,2)"
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(CAST(sum(CASE WHEN n_name = 'CHINA'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS DOUBLE) AS mkt_share
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+    """,
+    description="TPC-H Q8 market-share shape: one supplier nation's share "
+    "of regional revenue per year — conditional decimal sums ratioed after "
+    "exact accumulation (numerator and denominator both order-independent).",
+    tags=("analytics", "join", "share"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_D) * (
+        F.lit(1) - F.col("l_discount").cast(_D)
+    )
+    china_rev = F.when(F.col("n_name") == "CHINA", rev).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(china_rev).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "signup_purchase_funnel",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_signed_up,
+               CAST(sum(CASE WHEN first_signup IS NOT NULL
+                              AND first_purchase > first_signup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM per_user
+    """,
+    description="Signup→purchase funnel: per-user first-event times via "
+    "conditional min, then conversion counting — one shuffle on user_id, "
+    "the archetypal product-analytics rollup the reference could only "
+    "express as two chained MR jobs.",
+    tags=("analytics", "funnel"),
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )
