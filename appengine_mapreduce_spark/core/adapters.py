@@ -93,6 +93,13 @@ def run_mapper(
     default cap parameters.py:222): the job-wide records/sec budget is
     split evenly across partitions; each worker sleeps when ahead.
     """
+    if combiner is not None and len(out_schema.fields) != 2:
+        raise ValueError(
+            "map-side combine requires a 2-column (key, value) map output "
+            f"schema; got {len(out_schema.fields)} columns "
+            f"({[f.name for f in out_schema.fields]}) — drop the combiner or "
+            "pack values into a struct column"
+        )
     per_part_rate = None
     if rate_per_sec is not None:
         per_part_rate = max(1.0, rate_per_sec / max(1, df.rdd.getNumPartitions()))

@@ -204,3 +204,22 @@ def test_observe_counters(spark, docs):
     expected_chars = docs.agg(F.sum(F.length("text"))).first()[0]
     assert got["rows"] == expected_rows
     assert got["total_chars"] == expected_chars
+
+
+def test_combiner_requires_two_column_schema(spark, docs):
+    """A combiner with a >2-column map output must fail loudly, not drop
+    value columns silently."""
+    spec = (
+        MapReduceSpecification.builder()
+        .set_job_name("bad-combiner")
+        .set_input(DataFrameInput(docs))
+        .set_mapper(WordCountMapper())
+        .set_map_output_schema("word string, n bigint, extra bigint")
+        .set_combiner(sum_combiner)
+        .set_reducer(SumReducer())
+        .set_output_schema("word string, n bigint")
+        .set_output(InMemoryOutput())
+        .build()
+    )
+    with pytest.raises(ValueError, match="2-column"):
+        MapReduceJob.run(spark, spec)
