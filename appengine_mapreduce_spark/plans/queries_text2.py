@@ -1,0 +1,94 @@
+"""TF-IDF and dedup-clustering queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   round(tf * ln((n_docs + 1) / (df + 1)), 6) AS tfidf
+            FROM tf JOIN df USING (tok), n
+        )
+        SELECT doc_id, tok, tfidf FROM (
+            SELECT doc_id, tok, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    description="TF-IDF top-3 terms per document: term frequencies + "
+    "document frequencies (two aggregations), smoothed idf, ranking "
+    "window. df is a tiny broadcastable side; tf shuffles once on "
+    "(doc, term). ln() on identical doubles is bit-stable across engines; "
+    "round(6) absorbs any last-ulp libm variation.",
+    tags=("text", "tfidf", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar job parameter (like the query vector)
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; correctness is
+    # asserted on planted clusters in tests/test_graph.py
+    description="Near-duplicate clustering: MinHash+LSH candidate pairs → "
+    "connected components (iterative label propagation, one join+agg per "
+    "round, lineage truncated per iteration) → (component, members, size, "
+    "keeper). The final step of corpus dedup: keep one doc per component.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators import dedup
+    from appengine_mapreduce_spark.operators.graph import dedup_groups
+
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_hashes=8, shingle_words=3
+    )
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, num_bands=4)
+    groups = dedup_groups(pairs)
+    return groups.select(
+        "component",
+        F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias(
+            "members"
+        ),
+        "size",
+        "keeper",
+    )

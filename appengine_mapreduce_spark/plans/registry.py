@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_sql,
         queries_tpch3,
         queries_text,
+        queries_text2,
     )
 
     return dict(_REGISTRY)
