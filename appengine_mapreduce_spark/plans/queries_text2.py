@@ -92,3 +92,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         "keeper",
     )
+
+
+@register(
+    "kmeans_ivf_clusters",
+    oracle=None,  # iterative Lloyd's — not SQL-expressible; convergence,
+    # determinism and blob separation asserted in tests/test_clustering.py
+    description="Distributed k-means (Lloyd's, 3 iterations, k=8) over the "
+    "embeddings table: statically-unrolled JVM distance expressions for "
+    "assignment, posexplode+avg for the update, model on the driver — the "
+    "real IVF list builder. Returns per-cluster sizes and mean squared "
+    "distance.",
+    tags=("similarity", "ivf", "iterative", "clustering"),
+)
+def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, assigned = kmeans(emb, k=8, n_iterations=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("dist_sq"), 6).alias("mean_dist_sq"),
+    )

@@ -1,0 +1,61 @@
+"""k-means tests: objective decreases, assignments deterministic,
+clusters separate planted blobs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.operators.clustering import (
+    assign_clusters,
+    inertia,
+    kmeans,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """3 well-separated 8-dim blobs, 60 points each."""
+    rng = random.Random(5)
+    rows = []
+    centers = [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    for i in range(180):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.5) for x in c]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_kmeans_objective_decreases(blobs):
+    _, a1 = kmeans(blobs, k=3, n_iterations=1)
+    _, a5 = kmeans(blobs, k=3, n_iterations=5)
+    assert inertia(a5) <= inertia(a1) + 1e-6
+
+
+def test_kmeans_separates_blobs(blobs):
+    _, assigned = kmeans(blobs, k=3, n_iterations=8)
+    rows = assigned.collect()
+    # every planted blob maps to exactly one cluster
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    assert all(len(cs) == 1 for cs in by_blob.values()), by_blob
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == 3
+
+
+def test_kmeans_deterministic(blobs):
+    c1, a1 = kmeans(blobs, k=3, n_iterations=3)
+    c2, a2 = kmeans(blobs, k=3, n_iterations=3)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_kmeans_on_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids, assigned = kmeans(emb, k=4, n_iterations=3)
+    assert len(centroids) == 4 and len(centroids[0]) == 64
+    n = assigned.count()
+    assert n == emb.count()
+    assert assigned.select("cluster").distinct().count() <= 4
