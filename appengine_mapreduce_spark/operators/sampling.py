@@ -1,0 +1,61 @@
+"""Deterministic sampling and table profiling.
+
+Training pipelines need *reproducible* samples — the same 10% every run,
+on any engine, independent of partitioning. RNG-based ``df.sample`` can't
+promise that; hashing the row key can: a row is in the p% sample iff
+``stable_hash32(key) % 10000 < p·100``. Same idea powers train/test
+splits and per-stratum quotas.
+
+``profile_table`` is the ANALYZE-style utility: per-column null counts,
+distincts, min/max — one pass, one aggregate row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from appengine_mapreduce_spark.functions.hashing import stable_hash32
+
+
+def sample_bucket(key: Column, salt: str = "sample") -> Column:
+    """Stable bucket in [0, 10000) for percentage-based splits."""
+    return stable_hash32(key.cast("string"), salt=salt) % 10000
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    across runs, engines, and partitionings."""
+    return df.filter(sample_bucket(F.col(key), salt) < int(fraction * 10000))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible (train, test) split by key hash."""
+    cut = int(test_fraction * 10000)
+    bucket = sample_bucket(F.col(key), salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (column, n_nulls, n_distinct, min_s, max_s) —
+    one aggregation pass, min/max stringified for heterogeneous display."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column, n_nulls, n_distinct, min_s, max_s)"
+    )

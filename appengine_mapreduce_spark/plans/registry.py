@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_misc,
         queries_misc2,
         queries_misc3,
+        queries_sampling,
         queries_similarity,
         queries_sql,
         queries_tpch3,
