@@ -158,6 +158,35 @@ def read_records_file(path: str) -> list[bytes]:
         return list(RecordReader(fh))
 
 
+def records_output(df, out_dir: str, record_col: str = "record") -> int:
+    """Distributed write: one LevelDB record file per partition
+    (≙ the reference's one-file-per-shard writers,
+    outputs/GoogleCloudStorageLevelDbOutput.java:17). ``record_col`` must
+    be binary/string; returns the row count written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        path = os.path.join(out_dir, f"shard-{pid:05d}.rec")
+        wrote = False
+        with open(path, "wb") as fh:
+            w = RecordWriter(fh)
+            for row in rows:
+                data = row[record_col]
+                w.write(data if isinstance(data, bytes) else bytes(data))
+                wrote = True
+        if not wrote:
+            os.remove(path)  # no empty shard files
+
+    df.select(record_col).foreachPartition(write_partition)
+    return df.count()
+
+
 def records_input(spark, path: str):
     """Distributed scan of LevelDB record files → DataFrame[file, record].
 

@@ -85,3 +85,23 @@ def test_records_input_distributed(spark, tmp_path):
     df = records_input(spark, str(d))
     got = {bytes(r.record) for r in df.collect()}
     assert got == expect
+
+
+def test_records_distributed_roundtrip(spark, tmp_path):
+    """Distributed write (one record file per partition) → distributed
+    read reproduces the dataset exactly."""
+    from appengine_mapreduce_spark.sources.records import records_output
+
+    df = spark.range(0, 500, 1, 6).selectExpr(
+        "CAST(concat('record-', id) AS BINARY) AS record"
+    )
+    out = str(tmp_path / "recs_out")
+    n = records_output(df, out)
+    assert n == 500
+    import glob as g
+
+    files = g.glob(f"{out}/shard-*.rec")
+    assert 1 <= len(files) <= 6
+    back = records_input(spark, out)
+    got = {bytes(r.record).decode() for r in back.collect()}
+    assert got == {f"record-{i}" for i in range(500)}
