@@ -1,12 +1,24 @@
 """Reusable DataFrame operators.
 
 ``shuffle``       — the reference's shuffle/reducer semantics as DataFrame
-                    ops (group-by-key collation, distinct, chunked collect).
+                    ops (group-by-key collation, distinct, chunked collect,
+                    reduce-side cogroup).
 ``dedup``         — exact + near-duplicate detection (md5, MinHash+LSH,
                     SimHash, n-gram Jaccard) for training-data pipelines.
 ``similarity``    — embedding similarity search (brute-force cosine top-k,
                     sign-LSH bucketed ANN).
+``clustering``    — distributed k-means (IVF list building).
+``graph``         — connected components / dedup clustering.
+``joins``         — as-of join, salted skew join.
+``sampling``      — deterministic samples, train/test split, profiling.
 ``text_analysis`` — language-ID, quality scoring, token stats, fingerprints.
 ``multimodal``    — opaque-binary column plumbing (decode stubs, real
                     Spark-side schema/batching).
 """
+
+from appengine_mapreduce_spark.operators import (  # noqa: F401
+    dedup,
+    shuffle,
+    similarity,
+    text_analysis,
+)

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_tpch3,
         queries_text,
         queries_text2,
+        queries_timeseries,
     )
 
     return dict(_REGISTRY)
