@@ -152,14 +152,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     jaccard(a, b) = |A ∩ B| / (|A| + |B| - |A ∩ B|) computed from a
     shingle-level self-join — pairs with zero overlap never materialize.
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    ``max_doc_freq`` is the stop-shingle cut, the twin of
+    ``lsh_candidate_pairs``'s ``max_bucket_size``: shingles appearing in
+    more than that many documents are dropped *before* the self-join (and
+    from the set sizes, so jaccard stays a true Jaccard over the reduced
+    shingle universe). Without it a boilerplate shingle shared by 100k docs
+    generates 10^10 join rows; with it the fan-out per shingle is bounded
+    by max_doc_freq². The heavy-hitter list is tiny by construction
+    (≤ |shingle rows| / max_doc_freq entries), so it broadcasts.
     """
     sh = _shingled(df, id_col, text_col, shingle_words)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
 
     a = sh.alias("a")

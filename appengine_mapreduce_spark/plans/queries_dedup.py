@@ -17,6 +17,10 @@ _NUM_HASHES = 8
 _NUM_BANDS = 4
 _SHINGLE_WORDS = 3
 _SIMHASH_BITS = 32
+# Stop-shingle doc-frequency cap for the exact-Jaccard gate query: low
+# enough to actively filter at sf0.01 (max observed DF there is 7) so the
+# gate exercises the cut, not just the uncapped path.
+_MAX_DOC_FREQ = 5
 
 # Shared SQL fragments (DuckDB). Tokens/shingles mirror functions/text.py.
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -150,10 +154,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        kept AS (  -- stop-shingle cut: drop shingles in > {_MAX_DOC_FREQ} docs
+            SELECT doc_id, shingle FROM shingles
+            WHERE shingle NOT IN (
+                SELECT shingle FROM shingles
+                GROUP BY shingle HAVING count(*) > {_MAX_DOC_FREQ})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-            FROM shingles a JOIN shingles b
+            FROM kept a JOIN kept b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
@@ -163,8 +173,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    JOIN sizes sb ON inter.id_b = sb.doc_id
         WHERE i / (sa.sz + sb.sz - i) >= 0.2
     """,
-    description="Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle "
-    "(threshold 0.2) — the exact verifier for MinHash candidates.",
+    description="Exact n-gram Jaccard similarity for pairs sharing ≥1 "
+    f"surviving shingle (threshold 0.2, stop-shingle cut at doc-freq "
+    f"{_MAX_DOC_FREQ}) — the exact verifier for MinHash candidates, with "
+    "the quadratic boilerplate fan-out capped before the self-join.",
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +184,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         shingle_words=_SHINGLE_WORDS,
         threshold=0.2,
+        max_doc_freq=_MAX_DOC_FREQ,
     )
 
 

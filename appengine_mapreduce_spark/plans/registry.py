@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_dedup,
         queries_dedup2,
         queries_dynamic,
+        queries_files,
         queries_misc,
         queries_misc2,
         queries_misc3,

@@ -88,3 +88,62 @@ def test_word_shingles_match_naive(spark):
         toks = [x for x in text.split() if x]
         naive = sorted({" ".join(toks[k : k + 3]) for k in range(max(0, len(toks) - 2))})
         assert got[i] == naive, (i, got[i][:5], naive[:5])
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """A boilerplate prefix shared by every doc must not blow up the exact
+    Jaccard self-join: with the stop-shingle cut (max_doc_freq) the
+    boilerplate shingles are dropped before pairing, so the pair count
+    stays near zero; without it every one of the C(120,2) pairs
+    materializes through the join (the quadratic fan-out VERDICT.md
+    flagged)."""
+    rng = random.Random(7)
+    boiler = "copyright notice all rights reserved by the company"
+    rows = [(i, boiler + " " + _doc(rng)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, threshold=0.01, max_doc_freq=None
+    ).count()
+    assert uncapped == 120 * 119 // 2  # boilerplate forces all-pairs
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, threshold=0.01, max_doc_freq=50
+    ).count()
+    assert capped < 500  # only genuine (random) overlap survives
+
+
+def test_ngram_jaccard_cap_keeps_true_jaccard_semantics(spark):
+    """With the cut active, jaccard is still a true Jaccard — over the
+    reduced shingle universe (boilerplate removed from sizes too)."""
+    boiler = "copyright notice all rights reserved by the company"
+    a = boiler + " alpha beta gamma delta epsilon zeta"
+    b = boiler + " alpha beta gamma delta nine ten"
+    filler = [(i + 10, boiler + f" unique{i} filler{i} words{i} here{i}") for i in range(60)]
+    df = spark.createDataFrame(
+        [(0, a), (1, b)] + filler, "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.05, max_doc_freq=50
+        ).collect()
+    }
+    # Expected: shingles of a/b with any boilerplate-internal shingle (DF=62)
+    # removed; transition + tail shingles (DF 1-2) survive.
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    from collections import Counter
+
+    dfreq = Counter()
+    texts = {0: a, 1: b, **{i: t for i, t in filler}}
+    for t in texts.values():
+        for s in sh(t):
+            dfreq[s] += 1
+    ka = {s for s in sh(a) if dfreq[s] <= 50}
+    kb = {s for s in sh(b) if dfreq[s] <= 50}
+    expected = len(ka & kb) / len(ka | kb)
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - expected) < 1e-6, (got[(0, 1)], expected)
