@@ -105,3 +105,96 @@ def test_records_distributed_roundtrip(spark, tmp_path):
     back = records_input(spark, out)
     got = {bytes(r.record).decode() for r in back.collect()}
     assert got == {f"record-{i}" for i in range(500)}
+
+
+# --- Golden byte fixtures (VERDICT.md "What's missing" #2) ----------------
+# An INDEPENDENT encoder, written from the public spec with a different
+# CRC implementation (bit-at-a-time, no table) and different framing code,
+# so the bytes below are NOT produced by sources/records.RecordWriter.
+
+def _crc32c_bitwise(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask(c: int) -> int:
+    return ((c >> 15 | c << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _independent_encode(records: list[bytes]) -> bytes:
+    """Spec-faithful encoder: 32768-byte blocks, 7-byte headers, zero
+    trailer when <7 bytes remain, FULL/FIRST/MIDDLE/LAST fragmentation."""
+    out = bytearray()
+    for rec in records:
+        pos = 0
+        emitted = 0  # fragments emitted so far for this record
+        while True:
+            room = 32768 - len(out) % 32768
+            if room < 7:
+                out += b"\x00" * room  # block trailer
+                continue
+            take = min(len(rec) - pos, room - 7)
+            frag = rec[pos : pos + take]
+            pos += take
+            done = pos == len(rec)
+            if emitted == 0:
+                rtype = 1 if done else 2  # FULL / FIRST
+            else:
+                rtype = 4 if done else 3  # LAST / MIDDLE
+            out += struct.pack(
+                "<IHB", _mask(_crc32c_bitwise(bytes([rtype]) + frag)), len(frag), rtype
+            )
+            out += frag
+            emitted += 1
+            if done:
+                break
+    return bytes(out)
+
+
+# Precomputed with the independent encoder above (all-FULL, fits block 0):
+# records [b"hello", b"world"*3, b"", bytes(range(32))]
+_GOLDEN_SMALL_HEX = (
+    "0bb9575805000168656c6c6f3d7b14780f0001776f726c64776f726c64776f726c64"
+    "052b28430000012e05e718200001000102030405060708090a0b0c0d0e0f10111213"
+    "1415161718191a1b1c1d1e1f"
+)
+_GOLDEN_SMALL_RECORDS = [b"hello", b"world" * 3, b"", bytes(range(32))]
+
+
+def test_reader_decodes_golden_hex():
+    """Reader must decode bytes it did not write (golden hex constant)."""
+    got = list(RecordReader(io.BytesIO(bytes.fromhex(_GOLDEN_SMALL_HEX))))
+    assert got == _GOLDEN_SMALL_RECORDS
+
+
+def test_writer_matches_golden_hex():
+    """Writer must emit the exact golden bytes (byte-compatibility both ways)."""
+    buf = io.BytesIO()
+    w = RecordWriter(buf)
+    for r in _GOLDEN_SMALL_RECORDS:
+        w.write(r)
+    assert buf.getvalue().hex() == _GOLDEN_SMALL_HEX
+
+
+def test_reader_decodes_independent_block_spanning():
+    """Block-spanning FIRST/MIDDLE/LAST chains + trailer padding, encoded by
+    the independent encoder, must decode exactly."""
+    records = [
+        bytes((i * 7 + 3) & 0xFF for i in range(BLOCK_SIZE * 2 + 123)),  # 3 blocks
+        b"tail-record",
+        b"z" * (BLOCK_SIZE - 7 - 5),  # leaves 5 bytes -> trailer pad
+        b"after-pad",
+        b"",
+    ]
+    blob = _independent_encode(records)
+    assert list(RecordReader(io.BytesIO(blob))) == records
+    # and our writer produces the identical byte stream
+    buf = io.BytesIO()
+    w = RecordWriter(buf)
+    for r in records:
+        w.write(r)
+    assert buf.getvalue() == blob
