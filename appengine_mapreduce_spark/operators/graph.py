@@ -13,8 +13,11 @@ diameter is tiny in practice (``max_iterations`` guards adversarial
 chains).
 
 At 100 TB scale the same loop runs with the edge list on disk between
-iterations; large-diameter graphs would want the large-star/small-star
-algorithm (Kiveris et al.) — noted as the upgrade path.
+iterations. For adversarially large diameters ``connected_components_star``
+implements the large-star/small-star alternation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public paper,
+re-derived here as DataFrame ops), which converges in O(log² n) rounds
+regardless of diameter and keeps every round a plain groupBy+join.
 """
 
 from __future__ import annotations
@@ -87,6 +90,93 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation.
+
+    Same output contract as ``connected_components`` — (node, component)
+    with component = min reachable id, isolated nodes absent — but round
+    count is O(log² n) in the worst case independent of graph diameter,
+    so a 10k-node path converges in ~a dozen rounds where plain label
+    propagation would need 10k.
+
+    Per round (each a groupBy + join over the current edge set):
+    - large-star: for every node u, attach each strictly-larger neighbor
+      to m = min(N(u) ∪ {u}).
+    - small-star: orient edges child>parent, attach each parent-side
+      neighbor and u itself to the minimum.
+    Fixpoint ⇒ the edge set is a union of stars centered at component
+    minima. ``stats``, if given, receives {"rounds": n}.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive content digest with no ANSI
+            # overflow (sum of hashes overflows long under ANSI mode)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        out = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(m, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(cur)
+    rounds = 0
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
+        nsig = _signature(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # Fixpoint edges are stars (child > center): child's component is its
+    # center; centers (and any node appearing only as a center) map to
+    # themselves.
+    child = cur.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    )
+    centers = cur.select(
+        F.least("u", "v").alias("node"), F.least("u", "v").alias("component")
+    )
+    return child.unionByName(centers).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
 
 
 def dedup_groups(
