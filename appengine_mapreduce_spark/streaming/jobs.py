@@ -56,6 +56,45 @@ def streaming_wordcount(lines: DataFrame, text_col: str = "text") -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
+def conversion_join(
+    leads: DataFrame,
+    conversions: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time inner join: match each conversion to the
+    lead event(s) of the same user that happened within ``within`` before
+    it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so the engine can expire join state — without the time
+    bound a stream-stream join would buffer both streams forever. Output:
+    (user_id, lead_ts, conv_ts, delay_s, conv_value).
+    """
+    l = leads.select(
+        F.col(key).alias("l_key"), F.col("ts").alias("lead_ts")
+    ).withWatermark("lead_ts", watermark)
+    c = conversions.select(
+        F.col(key).alias("c_key"), F.col("ts").alias("conv_ts"), F.col("value")
+    ).withWatermark("conv_ts", watermark)
+    joined = l.join(
+        c,
+        F.expr(
+            f"l_key = c_key AND conv_ts >= lead_ts "
+            f"AND conv_ts <= lead_ts + interval {within}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("l_key").alias("user_id"),
+        "lead_ts",
+        "conv_ts",
+        (F.unix_timestamp("conv_ts") - F.unix_timestamp("lead_ts")).alias("delay_s"),
+        F.col("value").alias("conv_value"),
+    )
+
+
 _SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

@@ -170,3 +170,104 @@ def test_stream_static_join(spark, tmp_path):
         q.stop()
     rows = {(r.uid, r.amount, r.tier) for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert rows == {(1, 10.0, "gold"), (2, 5.0, "silver"), (3, 2.5, None), (1, 1.0, "gold")}
+
+
+def test_stream_stream_conversion_join(spark, tmp_path):
+    """Stream-stream event-time join (clicks→purchases within 1h) must match
+    the identical join computed in batch over the same data."""
+    from appengine_mapreduce_spark.streaming.jobs import conversion_join
+
+    events = load(spark, SF_SMOKE, "events")
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    events.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    events.filter(F.col("event_type") == "purchase").write.parquet(buys_dir)
+
+    schema = events.schema
+    s_clicks = spark.readStream.schema(schema).parquet(clicks_dir)
+    s_buys = spark.readStream.schema(schema).parquet(buys_dir)
+    joined = conversion_join(s_clicks, s_buys, within="1 hour", watermark="100 days")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("conv_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.lead_ts, r.conv_ts, r.delay_s, r.conv_value)
+        for r in spark.sql("SELECT * FROM conv_join").collect()
+    }
+
+    b_clicks = events.filter(F.col("event_type") == "click")
+    b_buys = events.filter(F.col("event_type") == "purchase")
+    batch = conversion_join(
+        b_clicks, b_buys, within="1 hour", watermark="100 days"
+    )  # watermark is a no-op on batch DataFrames
+    want = {
+        (r.user_id, r.lead_ts, r.conv_ts, r.delay_s, r.conv_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the join actually fired
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after its window closed must be dropped, and on-time counts
+    must be unaffected."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["ts", "k"])
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    # batch 1: three events 10:00-10:04, plus one at 12:00 to advance the
+    # watermark far past the 10:00 window
+    write_batch(
+        [(base, "a"), (base + dt.timedelta(minutes=2), "a"),
+         (base + dt.timedelta(minutes=4), "a"),
+         (base + dt.timedelta(hours=2), "a")],
+        "b1",
+    )
+
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(
+        src
+    ).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", "10 minutes").alias("win"), "k").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.col("win.start").alias("start"), "k", "n")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_agg")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event inside the long-closed 10:00 window, and an
+        # on-time one at 12:05
+        write_batch(
+            [(base + dt.timedelta(minutes=1), "a"),
+             (base + dt.timedelta(hours=2, minutes=5), "a")],
+            "b2",
+        )
+        q.processAllAvailable()
+        # empty batch to let the final watermark close remaining windows
+        write_batch([(base + dt.timedelta(hours=3), "a")], "b3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = {
+        (r.start, r.k): r.n for r in spark.sql("SELECT * FROM late_agg").collect()
+    }
+    # the 10:00 window emitted exactly the 3 on-time events; the late row
+    # (10:01, arriving in batch 2) was dropped, not added
+    assert counts[(base, "a")] == 3, counts
