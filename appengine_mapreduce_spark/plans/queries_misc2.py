@@ -61,6 +61,67 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(1 + doc_id % 16 AS INT) AS width,
+               CAST(1 + n_chars % 16 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(0 AS INT) AS color_type,
+               CAST(list_sum(flatten(list_transform(
+                        generate_series(0, (1 + n_chars % 16) - 1),
+                        y -> list_transform(
+                            generate_series(0, (1 + doc_id % 16) - 1),
+                            x -> (doc_id * 7 + x * 3 + y * 5) % 256))))
+                    AS BIGINT) AS pixel_sum,
+               CAST((1 + doc_id % 16) * (1 + n_chars % 16) AS BIGINT) AS n_pixels
+        FROM documents WHERE doc_id < 200
+    """,
+    description="REAL image decode through the driver gate: synthesize a "
+    "valid grayscale PNG per document (dims + pixel formula from table "
+    "columns; row filters cycle through all five PNG filter types), then "
+    "fully decode — chunk parse, CRC32 verify, zlib inflate, scanline "
+    "unfilter (functions/png.py, stdlib-only) — and emit decode-sensitive "
+    "pixel stats the oracle recomputes from the generating formula. "
+    "Upgrades multimodal decode from stub/rows-only to a full value-hash "
+    "gate row (VERDICT.md missing #6).",
+    tags=("multimodal", "udf", "png"),
+)
+def png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.png import encode_png
+    from appengine_mapreduce_spark.operators.multimodal import decode_png_images
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 1 + int(did) % 16
+                h = 1 + int(nc) % 16
+                pixels = bytes(
+                    (int(did) * 7 + x * 3 + y * 5) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                blob = encode_png(
+                    w, h, pixels, color_type=0,
+                    row_filters=[y % 5 for y in range(h)],
+                )
+                rows.append((int(did), blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_png_images(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
     "mapreduce_api_chained",
     oracle="""
         SELECT tok AS word, count(*) AS n

@@ -59,3 +59,80 @@ def test_sample_video_frames(spark):
     assert 3 not in by_id  # zero-duration → no frames
     frames = {bytes(r.frame) for r in out}
     assert len(frames) == len(out)  # every (blob, ts) frame distinct
+
+
+# --- Real PNG codec (functions/png.py) ------------------------------------
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import random
+
+    from appengine_mapreduce_spark.functions.png import decode_png, encode_png
+
+    rng = random.Random(11)
+    for color_type, ch in [(0, 1), (2, 3), (6, 4)]:
+        w, h = 13, 9
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filters in (None, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [y % 5 for y in range(h)]):
+            blob = encode_png(w, h, pixels, color_type=color_type,
+                              row_filters=filters)
+            img = decode_png(blob)
+            assert (img.width, img.height, img.bit_depth, img.color_type) == (
+                w, h, 8, color_type)
+            assert img.pixels == pixels, (color_type, filters)
+
+
+def test_png_crc_corruption_detected():
+    import pytest as _pytest
+
+    from appengine_mapreduce_spark.functions.png import (
+        PngFormatError, decode_png, encode_png,
+    )
+
+    blob = bytearray(encode_png(4, 4, bytes(range(16))))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT
+    with _pytest.raises(PngFormatError):
+        decode_png(bytes(blob))
+
+
+def test_png_ihdr_peek_matches_full_decode():
+    from appengine_mapreduce_spark.functions.png import (
+        decode_ihdr, decode_png, encode_png,
+    )
+
+    blob = encode_png(640, 360, bytes(640 * 360), color_type=0)
+    assert decode_ihdr(blob) == (640, 360, 8, 0)
+    img = decode_png(blob)
+    assert (img.width, img.height) == (640, 360)
+
+
+def test_stub_decoder_takes_real_path_for_png():
+    from appengine_mapreduce_spark.functions.png import encode_png
+    from appengine_mapreduce_spark.operators.multimodal import _stub_decode_image
+
+    pixels = bytes((x * 31) % 256 for x in range(20 * 10))
+    blob = encode_png(20, 10, pixels, color_type=0)
+    w, h, digest = _stub_decode_image(blob)
+    assert (w, h) == (20, 10)  # REAL dims, not the md5-derived fake
+    import hashlib as _hl
+
+    assert digest == _hl.md5(pixels).digest()  # digest of decoded pixels
+
+
+def test_decode_png_images_distributed(spark):
+    from appengine_mapreduce_spark.functions.png import encode_png
+    from appengine_mapreduce_spark.operators.multimodal import decode_png_images
+
+    rows = []
+    for i in range(50):
+        w, h = 1 + i % 7, 1 + (i * 3) % 5
+        pixels = bytes((i + p) % 256 for p in range(w * h))
+        rows.append((i, encode_png(w, h, pixels,
+                                   row_filters=[y % 5 for y in range(h)])))
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {r.id: (r.width, r.height, r.pixel_sum, r.n_pixels)
+           for r in decode_png_images(df).collect()}
+    for i in range(50):
+        w, h = 1 + i % 7, 1 + (i * 3) % 5
+        want_sum = sum((i + p) % 256 for p in range(w * h))
+        assert got[i] == (w, h, want_sum, w * h), i
