@@ -147,23 +147,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderkey, o_custkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
     """,
-    description="TPC-H Q18 large-volume orders: join + group + HAVING on a "
-    "decimal sum (aggregate pushdown-friendly: group key is the join key, "
-    "so AQE can plan a single shuffle).",
+    description="TPC-H Q18 large-volume orders, pre-aggregation form: sum "
+    "lineitem by l_orderkey and apply the HAVING *before* the join (legal "
+    "because o_orderkey is unique in orders, so grouping by the join key "
+    "then joining ≡ joining then grouping). The join input shrinks from "
+    "|lineitem| to |large orders| — a tiny set AQE then broadcasts — "
+    "instead of shuffling the full fact table through the join.",
     bench=True,
     tags=("analytics", "join", "having"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_custkey")
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("_tq"))
         .filter(F.col("_tq") > 180)
-        .select(
-            "o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty")
-        )
+    )
+    return qty.join(orders, qty.l_orderkey == orders.o_orderkey).select(
+        "o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty")
     )
 
 

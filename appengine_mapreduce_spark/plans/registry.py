@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_dedup2,
         queries_dynamic,
         queries_files,
+        queries_merge,
         queries_misc,
         queries_misc2,
         queries_misc3,

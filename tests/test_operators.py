@@ -139,3 +139,52 @@ def test_cogroup_apply_join_idiom(spark):
     )
     expected = sorted(map(tuple, left.join(right, "k").collect()))
     assert got == expected
+
+
+def test_merge_upsert_replaces_inserts_keeps(spark):
+    from appengine_mapreduce_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B2"), (9, "NEW")], "k bigint, v string"
+    )
+    got = {(r.k, r.v) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "NEW")}
+
+
+def test_scd2_upsert_semantics(spark):
+    import datetime as dt
+
+    from appengine_mapreduce_spark.operators.merge import scd2_upsert
+
+    d0 = dt.date(2020, 1, 1)
+    eff = dt.date(2023, 6, 15)
+    dim = spark.createDataFrame(
+        [
+            # history row (must pass through untouched)
+            (1, "old", d0, dt.date(2022, 1, 1), False),
+            # current rows
+            (1, "mid", dt.date(2022, 1, 1), None, True),   # will change
+            (2, "same", d0, None, True),                   # no-op update
+            (3, "keep", d0, None, True),                   # no update at all
+        ],
+        "key bigint, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", eff), (2, "same", eff), (7, "insert", eff)],
+        "key bigint, attr string, effective_date date",
+    )
+    got = {
+        (r.key, r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_upsert(dim, updates, ["key"], ["attr"]).collect()
+    }
+    assert got == {
+        (1, "old", "2020-01-01", "2022-01-01", False),    # history untouched
+        (1, "mid", "2022-01-01", "2023-06-15", False),    # closed
+        (1, "new", "2023-06-15", "None", True),           # opened
+        (2, "same", "2020-01-01", "None", True),          # no-op: unchanged
+        (3, "keep", "2020-01-01", "None", True),          # no update
+        (7, "insert", "2023-06-15", "None", True),        # brand-new key
+    }

@@ -108,3 +108,16 @@ def test_asof_join_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_q18_preaggregates_below_join(spark):
+    """Q18 rewrite: the lineitem sum (and its HAVING) must sit BELOW the
+    join, so the join consumes |large orders| rows, not |lineitem|. In
+    explain('formatted') a join's children print after the join line, so
+    a HashAggregate appearing after the first Join line proves the
+    pre-aggregation."""
+    plan = plan_of(spark, "q18_large_orders")
+    tree = plan.split("\n\n")[0].splitlines()
+    join_idx = next(i for i, l in enumerate(tree) if "Join" in l)
+    agg_after = [l for l in tree[join_idx + 1 :] if "HashAggregate" in l]
+    assert agg_after, plan
