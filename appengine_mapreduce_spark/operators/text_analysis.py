@@ -104,6 +104,100 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher-style corpus filters):
+
+    - dup_tok_fraction:    1 − distinct/total tokens
+    - top_tok_fraction:    occurrences of the most frequent token / total
+    - top_bigram_fraction: tokens covered by the most frequent bigram
+                           (2 × its count / total tokens)
+
+    Computed by explode + groupBy (one shuffle keyed on the doc id), NOT by
+    per-row quadratic array expressions — a 100k-token document costs
+    O(tokens), not O(tokens²). Ratios divide integers, so both engines
+    produce bit-identical doubles (no rounding needed).
+    """
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), nonempty_tokens(F.col(text_col)).alias("_tk")
+    )
+    # NON-distinct bigrams (shingles_from_tokens dedups — wrong for
+    # repetition counting): every adjacent pair, duplicates preserved.
+    bg_starts = F.when(
+        F.size("_tk") - 1 > 0, F.sequence(F.lit(1), F.size("_tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bg_starts, lambda i: F.array_join(F.slice(F.col("_tk"), i, 2), " ")
+    )
+    tok_counts = (
+        base.select("_id", F.explode("_tk").alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tok_stats = tok_counts.groupBy("_id").agg(
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.max("n").alias("_top"),
+    )
+    bigram_top = (
+        base.select("_id", F.explode(bigrams).alias("bg"))
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("_id")
+        .agg(F.max("n").alias("_top_bg"))
+    )
+    return (
+        tok_stats.join(bigram_top, "_id", "left_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.lit(1.0) - F.col("_distinct") / F.col("_total")).alias(
+                "dup_tok_fraction"
+            ),
+            (F.col("_top") / F.col("_total")).alias("top_tok_fraction"),
+            (F.coalesce(F.col("_top_bg"), F.lit(0)) * 2 / F.col("_total")).alias(
+                "top_bigram_fraction"
+            ),
+        )
+    )
+
+
+# Conservative patterns that parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "intl_phone": r"\+[0-9]{7,15}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    redact: bool = True,
+) -> DataFrame:
+    """Per-document PII accounting + optional redaction — the scrub pass a
+    training corpus runs before anything else. Pure regexp expressions
+    (whole-stage codegen); counts via regexp_extract_all, redaction via
+    chained regexp_replace with [TYPE] placeholders."""
+    df = ensure_parallelism(df)
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+    if redact:
+        redacted = F.col(text_col)
+        for name, pat in PII_PATTERNS.items():
+            redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+        cols.append(redacted.alias("redacted_text"))
+    return df.select(*cols)
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -70,10 +70,12 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_misc,
         queries_misc2,
         queries_misc3,
+        queries_pipeline,
         queries_sampling,
         queries_similarity,
         queries_sql,
         queries_tpch3,
+        queries_tpch4,
         queries_text,
         queries_text2,
         queries_timeseries,
