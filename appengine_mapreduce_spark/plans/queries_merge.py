@@ -98,6 +98,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "effective date and a new current row opens; no-op updates (segment "
     "unchanged) leave the dimension untouched; unseen keys insert as "
     "current. One full-outer key-shuffle; history passes through.",
+    bench=True,
     tags=("merge", "mutation", "scd2"),
 )
 def scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,7 @@ _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
     "coverage — the standard pre-training quality cut for looping/spam "
     "text. Explode + groupBy (O(tokens), one doc-keyed shuffle), never "
     "quadratic per-row array ops.",
+    bench=True,
     tags=("pipeline", "text", "quality"),
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier was late) on the same fact table, late-ship proxy as in Q4. "
     "Both correlations compile to one semi and one anti hash join — no "
     "per-row subquery execution.",
+    bench=True,
     tags=("analytics", "semi-join", "anti-join"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

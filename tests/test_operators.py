@@ -188,3 +188,42 @@ def test_scd2_upsert_semantics(spark):
         (3, "keep", "2020-01-01", "None", True),          # no update
         (7, "insert", "2023-06-15", "None", True),        # brand-new key
     }
+
+
+def test_repetition_signals_edge_cases(spark):
+    from appengine_mapreduce_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all same token
+            (2, "a b c d"),          # all distinct
+            (3, "x"),                # single token: no bigrams
+            (4, "p q p q p q"),      # dominant bigram
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].dup_tok_fraction == 0.75 and got[1].top_tok_fraction == 1.0
+    assert got[2].dup_tok_fraction == 0.0 and got[2].top_tok_fraction == 0.25
+    assert got[3].top_bigram_fraction == 0.0  # bigram-less doc → 0, not null
+    # "p q" appears 3 times in 6 tokens → covers 3*2/6 = 1.0
+    assert got[4].top_bigram_fraction == 1.0
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    from appengine_mapreduce_spark.operators.text_analysis import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org see https://x.y/z ip 1.2.3.4 tel +12345678"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (got[1].n_email, got[1].n_url, got[1].n_ipv4, got[1].n_intl_phone) == (2, 1, 1, 1)
+    assert got[2].n_email == got[2].n_url == got[2].n_ipv4 == got[2].n_intl_phone == 0
+    red = got[1].redacted_text
+    assert "[EMAIL]" in red and "[URL]" in red and "[IPV4]" in red and "[INTL_PHONE]" in red
+    assert "a@b.com" not in red and "1.2.3.4" not in red
+    assert got[2].redacted_text == "clean text with no pii at all"
