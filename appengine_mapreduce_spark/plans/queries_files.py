@@ -85,6 +85,10 @@ def _build_fixtures(sf_dir: str) -> str:
     lines = _doc_lines(sf_dir)
     with open(os.path.join(tmp, "all_lines.txt"), "w", encoding="ascii") as fh:
         fh.writelines(line + "\n" for _, line in lines)
+    import gzip
+
+    with gzip.open(os.path.join(tmp, "all_lines.txt.gz"), "wt", encoding="ascii") as fh:
+        fh.writelines(line + "\n" for _, line in lines)
 
     parts: list[list[str]] = [[] for _ in range(_N_FILES)]
     for doc_id, line in lines:
@@ -203,6 +207,73 @@ def zip_line_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _build_fixtures(sf_dir)
     df = zip_member_lines(spark, os.path.join(root, "parts.zip"))
     return df.select("member_index", "offset", "line")
+
+
+@register(
+    "line_input_gzip",
+    oracle=f"""
+        WITH {_LINES_CTE}
+        SELECT line FROM lines
+    """,
+    description="Gzip-compressed text input: Hadoop's codec chain "
+    "decompresses transparently (the reference reads gzip blobs the same "
+    "way, input_readers.py line reader over zlib streams). Non-splittable "
+    "— one task per .gz file, the known property; split upstream for "
+    "parallelism.",
+    tags=("sources", "line", "compression"),
+)
+def line_input_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.sources.text import line_input
+
+    root = _build_fixtures(sf_dir)
+    return line_input(spark, os.path.join(root, "all_lines.txt.gz"))
+
+
+@register(
+    "csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+    description="CSV sink→source roundtrip: distributed header-CSV write, "
+    "schema-ful read back (no inference job), values bit-identical to the "
+    "parquet original — doubles survive because Spark emits shortest-"
+    "roundtrip decimal strings. ≙ the reference's text marshalling "
+    "(output_writers.py text formats).",
+    tags=("sources", "sinks", "csv"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.plans.tables import load
+
+    out = os.path.join(_fixture_root(sf_dir), "csv_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    cust.write.option("header", "true").csv(out)
+    return spark.read.option("header", "true").schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double"
+    ).csv(out)
+
+
+@register(
+    "json_lines_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    description="Newline-delimited JSON sink→source roundtrip with an "
+    "explicit read schema — ≙ the reference's MarshallingOutput/"
+    "UnmarshallingInput JSON path (Marshallers.java), minus the "
+    "per-record framing Spark doesn't need.",
+    tags=("sources", "sinks", "json"),
+)
+def json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.plans.tables import load
+
+    out = os.path.join(_fixture_root(sf_dir), "json_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.json(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(out)
 
 
 @register(
