@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_sql,
         queries_tpch3,
         queries_tpch4,
+        queries_tpch5,
         queries_text,
         queries_text2,
         queries_timeseries,

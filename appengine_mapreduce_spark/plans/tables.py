@@ -16,9 +16,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Pins the session time zone to UTC so timestamp semantics match the
     DuckDB oracle (which reads parquet timestamps UTC-naive).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it via the nanosAsLong escape hatch and truncate
-    to microseconds (identical to DuckDB's ns→µs semantics).
+    ``events.ts`` is written as TIMESTAMP(NANOS).  Depending on reader
+    path, Spark surfaces it as bigint (the nanosAsLong escape hatch) or
+    TIMESTAMP_NTZ (native nanos support, truncated to µs); normalize both
+    to a session-UTC TIMESTAMP so every query sees one type (identical to
+    DuckDB's ns→µs semantics under a UTC-naive read).
     """
     from pyspark.sql import functions as F
 
@@ -27,7 +29,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
