@@ -31,10 +31,15 @@ from appengine_mapreduce_spark.core.pickling import register_self
 register_self(__name__)
 
 
-DECODERS_AVAILABLE = False  # flip when PIL/librosa/pyav exist in the image
+DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
+# now covers ONLY audio/video (and full JPEG pixel decode): PNG decode and
+# JPEG header decode are real, stdlib-only implementations.
 # PNG decode is REAL (stdlib zlib/struct implementation of the public PNG
-# spec — functions/png.py); the flag above covers the other codecs.
+# spec — functions/png.py): full chunk parse + inflate + unfilter.
 PNG_DECODER_AVAILABLE = True
+# JPEG header decode is REAL (stdlib segment scan of the public T.81
+# format — functions/jpeg.py): dimensions/precision/components/mode.
+JPEG_HEADER_DECODER_AVAILABLE = True
 
 MEDIA_META_SCHEMA = (
     "media_type string, width int, height int, sample_rate int, "
@@ -46,15 +51,21 @@ def _stub_decode_image(blob: bytes) -> tuple[int, int, bytes]:
     """Decode a blob to (width, height, pixel digest).
 
     PNG blobs take the REAL path: full parse + inflate + unfilter via
-    functions/png.py, digest over the decoded pixels. Other formats fall
-    back to a deterministic fake (# STUB) until their codecs exist
-    (``DECODERS_AVAILABLE``).
+    functions/png.py, digest over the decoded pixels. JPEG blobs take the
+    REAL header path: SOFn segment scan via functions/jpeg.py for true
+    dimensions (digest over the raw blob — pixel decode for JPEG stays
+    behind ``DECODERS_AVAILABLE``). Other formats fall back to a
+    deterministic fake (# STUB) until their codecs exist.
     """
+    from appengine_mapreduce_spark.functions.jpeg import JPEG_SOI, decode_jpeg_meta
     from appengine_mapreduce_spark.functions.png import PNG_SIGNATURE, decode_png
 
     if blob[:8] == PNG_SIGNATURE:
         img = decode_png(blob)
         return img.width, img.height, hashlib.md5(img.pixels).digest()
+    if blob[:2] == JPEG_SOI:
+        meta = decode_jpeg_meta(blob)
+        return meta.width, meta.height, hashlib.md5(blob).digest()
     if DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("wire the real decoder here")
     h = hashlib.md5(blob).digest()
@@ -160,6 +171,55 @@ def decode_png_images(
                         "color_type": pd.Series(dtype="int32"),
                         "pixel_sum": pd.Series(dtype="int64"),
                         "n_pixels": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_jpeg_headers(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL JPEG header decode over a binary column: marker-segment scan to
+    the SOFn frame header (functions/jpeg.py, stdlib-only), Arrow-batched
+    via mapInPandas. Output per image: dimensions, sample precision,
+    component count, and baseline/progressive mode — the fields a corpus
+    dimension-filter reads without entropy-decoding pixels."""
+    from appengine_mapreduce_spark.functions.jpeg import decode_jpeg_meta
+
+    out_schema = (
+        f"{id_col} bigint, width int, height int, precision int, "
+        "n_components int, progressive boolean"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_jpeg_meta(bytes(blob))
+                rows.append(
+                    (int(i), m.width, m.height, m.precision,
+                     m.n_components, m.progressive)
+                )
+            yield (
+                pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "width", "height", "precision",
+                        "n_components", "progressive",
+                    ],
+                )
+                if rows
+                else pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="int64"),
+                        "width": pd.Series(dtype="int32"),
+                        "height": pd.Series(dtype="int32"),
+                        "precision": pd.Series(dtype="int32"),
+                        "n_components": pd.Series(dtype="int32"),
+                        "progressive": pd.Series(dtype="bool"),
                     }
                 )
             )

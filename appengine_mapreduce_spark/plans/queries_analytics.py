@@ -85,8 +85,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
     """,
     description="TPC-H Q3 shipping priority: 3-way join + group + top-k. "
-    "customer is the small side — broadcast join, no shuffle of lineitem "
-    "beyond the groupBy.",
+    "Join strategy is left to AQE's size guard: customer and orders scale "
+    "with SF, so a hard broadcast hint would OOM executors at 100 TB; at "
+    "small SF Spark still picks broadcast from measured sizes.",
     bench=True,
     tags=("analytics", "join", "topk"),
 )
@@ -100,8 +101,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -131,9 +132,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
     """,
-    description="TPC-H Q5 local-supplier revenue: 6-way join. Dimension "
-    "tables (region/nation/supplier/customer) broadcast; only "
-    "lineitem⨝orders is a real shuffle.",
+    description="TPC-H Q5 local-supplier revenue: 6-way join. Only the "
+    "constant-size dims (region=5, nation=25 rows) carry broadcast hints; "
+    "customer/supplier are SF-scaled, so their join strategy is left to "
+    "AQE's size guard (broadcast at small SF, shuffle at 100 TB).",
     bench=True,
     tags=("analytics", "join"),
 )
@@ -150,9 +152,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -369,14 +371,15 @@ def orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_custkey, c_name
     """,
     description="Fact-to-dimension join + per-customer aggregate; customer "
-    "broadcast, orders aggregated in one shuffle.",
+    "is SF-scaled so the join strategy is left to AQE's size guard; orders "
+    "aggregated in one shuffle.",
     tags=("analytics", "join", "aggregation"),
 )
 def customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -122,6 +122,58 @@ def png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(1 + doc_id % 200 AS INT) AS width,
+               CAST(1 + n_chars % 150 AS INT) AS height,
+               CAST(8 AS INT) AS precision,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INT)
+                   AS n_components,
+               (doc_id % 2 = 1) AS progressive
+        FROM documents WHERE doc_id < 300
+    """,
+    description="REAL JPEG header decode through the driver gate: "
+    "synthesize a structurally valid baseline or progressive JPEG per "
+    "document (dims/components/mode from table columns), then scan the "
+    "marker segments to the SOFn frame header (functions/jpeg.py, "
+    "stdlib-only T.81 segment layer) and emit the decoded fields, which "
+    "the oracle recomputes from the generating formula. Together with "
+    "png_decode_meta this narrows DECODERS_AVAILABLE to audio/video only "
+    "(VERDICT.md round-2 ask #5).",
+    tags=("multimodal", "udf", "jpeg"),
+)
+def jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.jpeg import encode_minimal_jpeg
+    from appengine_mapreduce_spark.operators.multimodal import decode_jpeg_headers
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_minimal_jpeg(
+                    width=1 + did % 200,
+                    height=1 + nc % 150,
+                    n_components=3 if did % 3 == 0 else 1,
+                    progressive=did % 2 == 1,
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_jpeg_headers(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
     "mapreduce_api_chained",
     oracle="""
         SELECT tok AS word, count(*) AS n

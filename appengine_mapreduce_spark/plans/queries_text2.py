@@ -34,9 +34,11 @@ _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
     """,
     description="TF-IDF top-3 terms per document: term frequencies + "
     "document frequencies (two aggregations), smoothed idf, ranking "
-    "window. df is a tiny broadcastable side; tf shuffles once on "
-    "(doc, term). ln() on identical doubles is bit-stable across engines; "
-    "round(6) absorbs any last-ulp libm variation.",
+    "window. The corpus size N is a 1-row aggregate broadcast back via "
+    "cross join — one plan, no driver-side count(); df (vocabulary-scaled) "
+    "and tf join on tok with the strategy left to AQE. ln() on identical "
+    "doubles is bit-stable across engines; round(6) absorbs any last-ulp "
+    "libm variation.",
     tags=("text", "tfidf", "window"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,13 +51,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar job parameter (like the query vector)
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6
-        ).alias("tfidf"),
+    # Corpus size as a 1-row broadcast cross join (same pattern as
+    # q11_important_stock): keeps the whole query one plan with no action
+    # before the final collect.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (

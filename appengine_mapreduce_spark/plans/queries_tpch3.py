@@ -38,7 +38,9 @@ _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL
     """,
     description="TPC-H Q7 shape: shipping volume between distinct "
     "customer/supplier nations — the same dimension table joined twice "
-    "under different roles.",
+    "under different roles. Only nation (25 rows) carries broadcast hints; "
+    "customer/supplier are SF-scaled so AQE's size guard picks their "
+    "strategy.",
     tags=("analytics", "join"),
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +60,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == n1.c_nk)
         .join(F.broadcast(n2), supp.s_nationkey == n2.s_nk)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -131,7 +133,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("total_revenue").desc())
     top = revenue.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     supp = load(spark, sf_dir, "supplier")
-    return top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey).select(
+    return top.join(supp, top.supplier_no == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -160,7 +162,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantities are x.0 doubles; sum/count both exact ⇒ avg deterministic
     with_avg = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
     return (
-        with_avg.join(F.broadcast(part), with_avg.l_partkey == part.p_partkey)
+        with_avg.join(part, with_avg.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(

@@ -103,7 +103,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

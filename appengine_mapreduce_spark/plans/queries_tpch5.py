@@ -13,10 +13,12 @@ distinct-count with NOT-IN exclusion (Q16), nested correlated semi-joins
 (Q20).
 
 Scale notes (100 TB): the derived partsupp is one hash aggregation on
-(partkey, suppkey) — the same shuffle key the subsequent joins use, so AQE
-reuses the partitioning.  Dimension joins (part, supplier, nation, region)
-are broadcast.  Q11's global scalar is a 1-row broadcast cross join, not a
-driver collect.
+(partkey, suppkey) — the same shuffle key the subsequent joins use, so the
+join's partsupp side needs no further exchange.  Only the constant-size
+dims (nation=25, region=5 rows) carry broadcast hints; part/supplier/
+customer are SF-scaled, so their join strategy is left to AQE's size guard
+(broadcast at small SF, shuffle at 100 TB).  Q11's global scalar is a
+1-row broadcast cross join, not a driver collect.
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     europe = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
@@ -101,7 +103,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cost", F.min("ps_supplycost").over(w)
     ).filter(F.col("ps_supplycost") == F.col("min_cost"))
     return cheapest.join(
-        F.broadcast(part), cheapest.ps_partkey == part.p_partkey
+        part, cheapest.ps_partkey == part.p_partkey
     ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
 
 
@@ -124,9 +126,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, year(o_orderdate)
     """,
     description="TPC-H Q9 product-type profit: five-way join (fact × derived "
-    "partsupp × three broadcast dims) rolled up by nation and order year. "
+    "partsupp × dims) rolled up by nation and order year. "
     "The partsupp agg and the fact join share the (partkey, suppkey)-hash "
-    "shuffle; part/supplier/nation broadcast; orders co-keyed on orderkey. "
+    "shuffle; nation broadcast (constant-size); part/supplier left to AQE's "
+    "size guard; orders co-keyed on orderkey. "
     "Per-row profit is computed in double (bit-identical in any engine), "
     "scaled to integer 1e-4 units, and summed as BIGINT so the rollup is "
     "exact and summation-order-independent.",
@@ -146,8 +149,8 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -183,13 +186,15 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING sum(value_i) * 1000 > (SELECT sum(value_i) FROM scoped)
     """,
     description="TPC-H Q11 important stock: per-part value rollup kept only "
-    "when above a fraction of the GLOBAL value — the global scalar subquery "
-    "is computed once and broadcast as a 1-row cross join (no driver "
-    "collect, no re-scan: Spark reuses the scoped aggregation for both "
-    "sides via the exchange). Per-pair values are scaled to integer 1e-4 "
-    "units and summed as BIGINT — exact and summation-order-independent — "
-    "so Spark and the oracle agree to the last bit; the global-fraction "
-    "HAVING compares in the integer domain too.",
+    "when above a fraction of the GLOBAL value — the global scalar is the "
+    "sum of the per-part sums, so it is derived FROM the grouped aggregate "
+    "and broadcast back as a 1-row cross join (no driver collect; the "
+    "ps_partkey exchange feeds both branches, eligible for ReusedExchange). "
+    "Per-pair values are scaled to integer 1e-4 units and summed as "
+    "DECIMAL(38,0) — exact, summation-order-independent, and with headroom "
+    "far beyond int64 (a 100 TB corpus sums to ~1e19 in 1e-4 units, vs "
+    "1e38 capacity), matching DuckDB's HUGEINT sum; the global-fraction "
+    "HAVING compares in the decimal domain too.",
     tags=("analytics", "tpch", "scalar-subquery"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,7 +204,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     scoped = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             "ps_partkey",
@@ -208,8 +213,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_i"),
         )
     )
-    per_part = scoped.groupBy("ps_partkey").agg(F.sum("value_i").alias("_sv_i"))
-    threshold = scoped.agg(F.sum("value_i").alias("_total"))
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("value_i").cast("decimal(28,0)")).alias("_sv_i")
+    )
+    # Global total = sum of the per-part sums: derives from per_part's own
+    # exchange instead of re-aggregating scoped, so the lineitem scan and
+    # the ps_partkey shuffle are shared between both consumers.
+    threshold = per_part.agg(F.sum("_sv_i").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("_sv_i") * F.lit(1000) > F.col("_total"))
@@ -272,14 +282,18 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
           AND p_size IN (1, 5, 9, 15, 23, 30, 41, 49)
           AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                 WHERE s_acctbal < 0)
+                                 WHERE s_acctbal < 0
+                                   AND s_suppkey IS NOT NULL)
         GROUP BY p_brand, p_type, p_size
     """,
     description="TPC-H Q16 parts/supplier relationship: distinct supplier "
     "count per (brand, type, size) with a NOT-IN exclusion subquery "
     "(suppliers with negative balance standing in for the comment-complaint "
-    "filter) — compiled to a broadcast anti-join; the distinct pair set "
-    "derives from lineitem as partsupp does.",
+    "filter) — compiled to an anti-join; the distinct pair set derives from "
+    "lineitem as partsupp does. NOT IN and anti-join diverge when the "
+    "subquery side contains NULL keys, so the exclusion list filters "
+    "s_suppkey IS NOT NULL in BOTH engines — the equivalence is guarded, "
+    "not assumed from fixture data.",
     tags=("analytics", "tpch", "anti-join", "distinct-agg"),
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,14 +310,16 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 15, 23, 30, 41, 49)
     )
-    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    excluded = load(spark, sf_dir, "supplier").filter(
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    )
     return (
         pairs.join(
-            F.broadcast(excluded),
+            excluded,
             pairs.ps_suppkey == excluded.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(part, F.col("ps_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -360,7 +376,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ps_availqty") > F.lit(0.01) * F.col("qty_1996"))
         .join(
-            F.broadcast(small_parts),
+            small_parts,
             F.col("ps_partkey") == F.col("p_partkey"),
             "left_semi",
         )

@@ -33,6 +33,54 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver's correctness gate checks the FIRST 50 queries in ``queries()``
+# order. Registration order follows module import order, which clusters by
+# family — so a naive ordering leaves whole families (tpch, text, ANN,
+# timeseries, merge) outside the checked window. This curated prefix pulls
+# ≥1 representative of every family into the window; everything not listed
+# follows in registration order and is still covered by the pytest
+# full-gate twin (tests/test_oracle_parity.py) and tools/driver_sim.py.
+_CURATED_FIRST: tuple[str, ...] = (
+    # MapReduce-parity API surface
+    "mapreduce_api_wordcount", "mapreduce_api_eventfilter",
+    "mapreduce_api_chained", "wordcount", "group_values_by_user",
+    "job_counters",
+    # entity-scan sources (pushdown / pruning / namespaces / time-range)
+    "entity_scan_filtered", "keys_only_scan", "namespace_enum",
+    "log_time_range", "consecutive_longs",
+    # file sources: line offsets, gzip, glob, zip, LevelDB records
+    "line_input_offsets", "line_input_gzip", "glob_file_lines",
+    "zip_toc_members", "zip_line_records", "records_roundtrip",
+    # sink roundtrips
+    "csv_roundtrip", "json_lines_roundtrip",
+    # MERGE / SCD2 mutation sinks
+    "merge_upsert_customers", "scd2_upsert",
+    # core analytics + windows + sessionization
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q6_revenue_delta", "sessionize_users", "hourly_event_stats",
+    # as-of join (custom operator)
+    "asof_join_latest_order",
+    # TPC-H batches 3/4/5 representatives
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q9_profit_by_nation",
+    "q11_important_stock",
+    # text analysis
+    "lang_id_pred", "quality_scores", "tfidf_top_terms",
+    # training-data pipeline filters
+    "repetition_signals", "pii_scan_redact",
+    # similarity / ANN
+    "cosine_topk", "ivf_topk",
+    # dedup + graph connectivity
+    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "cc_star_components",
+    # timeseries
+    "daily_active_users", "weekly_retention",
+    # multimodal decode (PNG full decode, JPEG header decode)
+    "png_decode_meta", "jpeg_decode_meta",
+    # dynamic schema, sampling, SQL interface
+    "dynamic_props_agg", "deterministic_sample_10pct",
+    "sql_interface_revenue",
+)
+
 
 def register(
     name: str,
@@ -82,7 +130,12 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_timeseries,
     )
 
-    return dict(_REGISTRY)
+    missing = [n for n in _CURATED_FIRST if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"curated window references unknown queries: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _CURATED_FIRST}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def bench_queries() -> dict[str, QuerySpec]:

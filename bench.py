@@ -4,14 +4,20 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "spread": {...}, "runs": N, "sf": ...}.
 
-Methodology (VERDICT.md round-1 ask #9): after a warmup pass (JIT +
-parquet footer reads), every query runs once per measurement ROUND and
-rounds repeat — interleaved, so a transient noisy-neighbor spike on this
-VM (~8% CPU steal, 1.5-3x jitter observed) hits one round of many queries
-instead of all runs of one query. Reported per-query time is the MEDIAN
-across rounds; "spread" records (max-min)/median as a jitter diagnostic.
-Each run fully materializes the result (collect), so the measurement
-covers the whole plan.
+Methodology:
+- Interleaved rounds (VERDICT.md round-1 ask #9): after a warmup pass
+  (JIT + parquet footer reads), every query runs once per measurement
+  ROUND and rounds repeat, so a transient noisy-neighbor spike on this VM
+  hits one round of many queries instead of all runs of one query.
+  Reported per-query time is the MEDIAN across rounds; "spread" records
+  (max-min)/median as a jitter diagnostic. Each run fully materializes
+  the result (collect), so the measurement covers the whole plan.
+- Process isolation for UDF queries (VERDICT.md round-2 ask #2): queries
+  that spawn Python UDF workers run in a SEPARATE SparkContext, created
+  after the JVM-only context stops. Round 2 showed resident Python
+  workers (spark.python.worker.reuse) degrading later JVM-only stages
+  3-5x in the shared session; stopping the context kills the workers, so
+  the JVM-only phase measures plans, not resident-worker drag.
 """
 
 from __future__ import annotations
@@ -30,33 +36,50 @@ from appengine_mapreduce_spark.session import get_spark
 N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
-
-    specs = bench_queries()
-    # Queries that spawn Python UDF workers run LAST within each round: the
-    # resident workers (spark.python.worker.reuse) measurably slow later
-    # JVM-only stages.
-    ordered = sorted(specs.items(), key=lambda kv: ("udf" in kv[1].tags, kv[0]))
-
+def _measure(
+    spark, ordered, sf_dir: str,
+    samples: dict[str, list[float]], rows: dict[str, int],
+) -> None:
     # Warmup: whole-stage-codegen JIT, parquet footers, broadcast warm paths.
     for name, spec in ordered:
         spec.fn(spark, sf_dir).collect()
-
-    samples: dict[str, list[float]] = {name: [] for name, _ in ordered}
-    rows: dict[str, int] = {}
-    for rnd in range(N_ROUNDS):
+    for _rnd in range(N_ROUNDS):
         for name, spec in ordered:
             t0 = time.perf_counter()
             rows[name] = len(spec.fn(spark, sf_dir).collect())
             samples[name].append(time.perf_counter() - t0)
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    specs = bench_queries()
+    jvm_only = sorted(
+        ((n, s) for n, s in specs.items() if "udf" not in s.tags),
+        key=lambda kv: kv[0],
+    )
+    udf = sorted(
+        ((n, s) for n, s in specs.items() if "udf" in s.tags),
+        key=lambda kv: kv[0],
+    )
+
+    samples: dict[str, list[float]] = {n: [] for n in specs}
+    rows: dict[str, int] = {}
+
+    spark = get_spark(app_name="bench-jvm")
+    _measure(spark, jvm_only, sf_dir, samples, rows)
+    if udf:
+        # Fresh context for the UDF phase: the JVM-only numbers above were
+        # taken with zero Python workers resident.
+        spark.stop()
+        spark = get_spark(app_name="bench-udf")
+        _measure(spark, udf, sf_dir, samples, rows)
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0
-    for name, _ in ordered:
+    for name, _ in jvm_only + udf:
         runs = samples[name]
         med = statistics.median(runs)
         timings[name] = round(med, 4)

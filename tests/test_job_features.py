@@ -88,17 +88,19 @@ def test_processing_rate_throttles(spark):
     def m(ctx, row):
         yield (row.k, row.v)
 
-    fast = _spec(df, m, job_name="fast")
-    t0 = time.monotonic()
-    MapReduceJob.run(spark, fast)
-    fast_t = time.monotonic() - t0
+    # Warm-up run (untimed): absorbs Python-worker spawn + first-job JIT so
+    # the timed run below measures throttling, not session warm-up. The old
+    # fast-vs-slow delta assertion was wall-clock-noise flaky on a busy VM.
+    MapReduceJob.run(spark, _spec(df, m, job_name="warmup"))
 
     slow = _spec(df, m, job_name="slow", processing_rate=200)
     t0 = time.monotonic()
     MapReduceJob.run(spark, slow)
     slow_t = time.monotonic() - t0
-    # 400 records at 200/sec job-wide ⇒ ≥ ~1s of throttling
-    assert slow_t > fast_t + 0.8, (fast_t, slow_t)
+    # Absolute floor: 400 records at 200/sec job-wide ⇒ every partition
+    # settles its budget (adapters.run_mapper throttle()), so wall-clock
+    # must be ≥ records/rate − ε regardless of machine noise.
+    assert slow_t >= 400 / 200 - 0.2, slow_t
 
 
 def test_job_status_registry(spark):

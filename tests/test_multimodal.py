@@ -119,6 +119,88 @@ def test_stub_decoder_takes_real_path_for_png():
     assert digest == _hl.md5(pixels).digest()  # digest of decoded pixels
 
 
+# --- Real JPEG header codec (functions/jpeg.py) ----------------------------
+
+def test_jpeg_header_roundtrip():
+    from appengine_mapreduce_spark.functions.jpeg import (
+        decode_jpeg_meta, encode_minimal_jpeg,
+    )
+
+    for w, h, ncomp, prog in [
+        (1, 1, 1, False), (640, 480, 3, False), (1920, 1080, 3, True),
+        (65535, 1, 1, True), (13, 7, 4, False),
+    ]:
+        blob = encode_minimal_jpeg(w, h, n_components=ncomp, progressive=prog)
+        m = decode_jpeg_meta(blob)
+        assert (m.width, m.height, m.n_components, m.progressive) == (
+            w, h, ncomp, prog)
+        assert m.precision == 8
+
+
+def test_jpeg_malformed_rejected():
+    from appengine_mapreduce_spark.functions.jpeg import (
+        JpegFormatError, decode_jpeg_meta, encode_minimal_jpeg,
+    )
+
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_meta(b"not a jpeg")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_meta(b"\xff\xd8\xff")  # truncated marker stream
+    blob = bytearray(encode_minimal_jpeg(8, 8))
+    # corrupt the SOF segment length so it overruns the buffer
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    blob[sof_at + 2 : sof_at + 4] = (60000).to_bytes(2, "big")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_meta(bytes(blob))
+    # no SOF before SOS
+    no_sof = bytes(blob[:sof_at]) + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_meta(no_sof)
+
+
+def test_jpeg_fill_bytes_and_restart_markers_skipped():
+    """T.81 allows 0xFF fill bytes before any marker and standalone
+    TEM/RSTn markers between segments — the scanner must skip both."""
+    from appengine_mapreduce_spark.functions.jpeg import (
+        JPEG_SOI, decode_jpeg_meta, encode_minimal_jpeg,
+    )
+
+    blob = encode_minimal_jpeg(320, 200, n_components=3)
+    body = blob[2:]
+    padded = JPEG_SOI + b"\xff\xff" + b"\xff\x01" + b"\xff\xd0" + body
+    m = decode_jpeg_meta(padded)
+    assert (m.width, m.height) == (320, 200)
+
+
+def test_stub_decoder_takes_real_path_for_jpeg():
+    import hashlib as _hl
+
+    from appengine_mapreduce_spark.functions.jpeg import encode_minimal_jpeg
+    from appengine_mapreduce_spark.operators.multimodal import _stub_decode_image
+
+    blob = encode_minimal_jpeg(321, 123)
+    w, h, digest = _stub_decode_image(blob)
+    assert (w, h) == (321, 123)  # REAL dims from the SOF scan
+    assert digest == _hl.md5(blob).digest()
+
+
+def test_decode_jpeg_headers_distributed(spark):
+    from appengine_mapreduce_spark.functions.jpeg import encode_minimal_jpeg
+    from appengine_mapreduce_spark.operators.multimodal import decode_jpeg_headers
+
+    rows = []
+    for i in range(40):
+        rows.append((i, encode_minimal_jpeg(
+            1 + i % 11, 1 + (i * 3) % 9,
+            n_components=3 if i % 2 else 1, progressive=i % 3 == 0)))
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {r.id: (r.width, r.height, r.n_components, r.progressive)
+           for r in decode_jpeg_headers(df).collect()}
+    for i in range(40):
+        assert got[i] == (1 + i % 11, 1 + (i * 3) % 9,
+                          3 if i % 2 else 1, i % 3 == 0), i
+
+
 def test_decode_png_images_distributed(spark):
     from appengine_mapreduce_spark.functions.png import encode_png
     from appengine_mapreduce_spark.operators.multimodal import decode_png_images

@@ -61,13 +61,54 @@ def test_q6_all_predicates_pushed(spark):
 
 @pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue",
                                   "top_customers_per_nation", "customer_order_totals"])
-def test_dimension_joins_broadcast(spark, name):
+def test_joins_broadcast_when_small(spark, name):
+    """At test SF the optimizer's size guard picks broadcast on its own —
+    the queries carry NO hints on SF-scaled tables, so this is the *chosen*
+    strategy under the default autoBroadcastJoinThreshold, not a pin."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan, plan
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _conf(spark, key: str, value: str):
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@pytest.mark.parametrize(
+    "name,allowed_bhj",
+    [
+        ("q3_top_orders", 0),          # no constant-size dims → no hints
+        ("customer_order_totals", 0),  # customer is SF-scaled → no hint
+        ("q5_region_revenue", 2),      # nation + region hints only
+        ("q9_profit_by_nation", 1),    # nation hint only
+    ],
+)
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, name, allowed_bhj):
+    """The 100 TB safety gate: with the size guard disabled
+    (autoBroadcastJoinThreshold=-1) the ONLY BroadcastHashJoins left are
+    the explicit hints on constant-size dims (region=5, nation=25 rows).
+    A hard F.broadcast on customer/supplier/part/orders would survive the
+    disabled threshold and fail this count — exactly the hint that OOMs
+    executors when the table is GBs at production scale."""
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        plan = plan_of(spark, name)
+    # explain("formatted") prints each node twice (tree + detail section);
+    # count in the tree block only.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == allowed_bhj, plan
+
+
 def test_q5_single_fact_shuffle_join(spark):
-    """lineitem⨝orders is the only non-broadcast join in Q5."""
+    """lineitem⨝orders is the only non-broadcast join in Q5 at test SF
+    (the SF-scaled dims broadcast by measured size, not by hint)."""
     plan = plan_of(spark, "q5_region_revenue")
     n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert n_smj <= 1, plan
