@@ -39,6 +39,58 @@ def train_test_split(
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (downsample the dominant web crawl, upsample rare languages/sources).
+
+    Membership is by key hash against a per-stratum cut, so the mix is
+    reproducible across runs/engines/partitionings and needs NO shuffle:
+    the filter is a pure row-local expression evaluated inside the scan
+    (whole-stage codegen), regardless of corpus size.
+    """
+    cut = None
+    for stratum, frac in sorted(fractions.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 10000)))
+        cut = branch if cut is None else cut.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 10000))
+        )
+    cut = (cut.otherwise(F.lit(int(default_fraction * 10000)))
+           if cut is not None else F.lit(int(default_fraction * 10000)))
+    return df.filter(sample_bucket(F.col(key), salt) < cut)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign each row a ``bin`` id so consecutive rows (in ``order_col``
+    order, optionally per ``partition_col``) chunk into ≈``budget``-token
+    bins: ``bin = floor(cumulative_tokens_before / budget)`` — the
+    streaming-friendly, deterministic form of sequence packing a training
+    pipeline uses to build context windows. One window cumsum, one
+    shuffle on the partition key; bins may overshoot by at most one
+    document (documented, not first-fit bin packing).
+    """
+    from pyspark.sql import Window
+
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+    else:
+        w = Window.orderBy(order_col)
+    cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.withColumn("bin", F.floor(cum_before / F.lit(budget)))
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column profile: (column, n_nulls, n_distinct, min_s, max_s) —
     one aggregation pass, min/max stringified for heterogeneous display."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from appengine_mapreduce_spark.functions.vectors import cosine_similarity
+from appengine_mapreduce_spark.functions.vectors import cosine_similarity, dot
 
 
 def brute_force_topk(
@@ -30,6 +30,51 @@ def brute_force_topk(
     """
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    n_probes: int = 1,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF ANN with multi-probe: rank the inverted lists by the query's
+    dot product with each list representative, then probe the top
+    ``n_probes`` lists with exact cosine.
+
+    The representative is the min-id member of each list — deterministic,
+    so a SQL oracle can replay list selection; a production index swaps in
+    k-means centroids from ``operators/clustering.kmeans`` without
+    touching this plan. Probing p of L lists reads ~p/L of the corpus
+    (the list column is the natural ``bucketBy``/partition key for the
+    stored corpus, making each probe a partition-pruned scan); recall
+    rises monotonically with p — the knob a 100 TB corpus search tunes
+    against its latency budget. Only the p chosen list ids cross to the
+    driver (a model-sized collect, like the k-means centroids).
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    rep_ids = corpus.groupBy(list_col).agg(F.min(id_col).alias("_rep_id")).select(
+        "_rep_id"
+    )
+    reps = rep_ids.join(corpus, F.col("_rep_id") == F.col(id_col)).select(
+        F.col(list_col).alias("_probe_list"),
+        dot(F.col(vec_col), qv).alias("_score"),
+    )
+    probe_lists = [
+        r["_probe_list"]
+        for r in reps.orderBy(F.col("_score").desc(), F.col("_probe_list"))
+        .limit(n_probes)
+        .collect()
+    ]
+    probed = corpus.filter(F.col(list_col).isin(probe_lists))
+    scored = probed.select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("cosine"),
     )

@@ -198,6 +198,51 @@ def pii_scan(
     return df.select(*cols)
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of ``text`` as an array column (empty
+    when fewer than n tokens) — pure expressions, whole-stage codegen."""
+    toks = nonempty_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with the evaluation set — the standard guard against eval
+    leakage into a training corpus. Returns (id, n_shared_ngrams) for
+    contaminated docs only.
+
+    Scale shape: both sides explode to DISTINCT (doc, gram) pairs — one
+    hash aggregation each — then join on the gram. The eval side is a
+    fixed benchmark suite (constant size regardless of corpus SF), so at
+    100 TB its distinct-gram set broadcasts and the train side never
+    shuffles; the strategy is still left to AQE rather than forced.
+    """
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    eval_grams = (
+        eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -254,27 +254,57 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf"),
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from appengine_mapreduce_spark.functions.vectors import cosine_similarity, dot
+    from appengine_mapreduce_spark.operators.similarity import ivf_probe_topk
 
     emb = load(spark, sf_dir, "embeddings")
     qv_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = F.array(*[F.lit(float(x)) for x in qv_row[0]])
+    return ivf_probe_topk(
+        emb, [float(x) for x in qv_row[0]], n_probes=1, k=10
+    )
 
-    rep_ids = emb.groupBy("label").agg(F.min("vec_id").alias("rep_id")).select("rep_id")
-    reps = rep_ids.join(emb, F.col("rep_id") == emb.vec_id).select(
-        F.col("label").alias("rep_label"), F.col("embedding").alias("rep")
-    )
-    best_label = (
-        reps.select("rep_label", dot(F.col("rep"), qv).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("rep_label"))
-        .first()["rep_label"]
-    )
-    probed = emb.filter(F.col("label") == best_label)
-    return (
-        probed.select(
-            "vec_id",
-            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("cosine"),
+
+@register(
+    "ivf_multiprobe_topk",
+    oracle="""
+        WITH reps AS (
+            SELECT label, embedding AS rep FROM embeddings e
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings
+                            WHERE label = e.label)
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        best AS (  -- probe set: the 2 labels with the nearest representatives
+            SELECT label FROM reps, q
+            ORDER BY list_sum(list_transform(list_zip(rep, qv),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+                     label
+            LIMIT 2
         )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
+        SELECT vec_id,
+               round(list_sum(list_transform(list_zip(embedding, qv),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(list_zip(qv, qv),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6)
+                 AS cosine
+        FROM embeddings, q
+        WHERE label IN (SELECT label FROM best)
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+    description="IVF ANN with multi-probe (p=2): rank inverted lists by "
+    "representative dot product, probe the 2 nearest lists with exact "
+    "cosine — the recall-vs-cost knob of a production IVF index "
+    "(operators/similarity.ivf_probe_topk). Reads 2/n_lists of the corpus; "
+    "recall is monotone in p (asserted against brute force at p=1,2,4 in "
+    "tests/test_sampling.py's similarity suite).",
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.similarity import ivf_probe_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ivf_probe_topk(
+        emb, [float(x) for x in qv_row[0]], n_probes=2, k=10
     )

@@ -1,0 +1,142 @@
+"""Training-corpus construction queries, round 3: stratified data mixing,
+token-budget sequence chunking, and benchmark decontamination.
+
+These are the remaining ops a 100 TB pretraining pipeline runs between
+"raw corpus" and "tokenizer input": pick the source/language mix
+(stratified_sample), guard against eval leakage (decontaminate), and
+chunk documents into context-window bins (token_budget_packing). All
+three are pure DataFrame plans — filters evaluate inside the scan,
+n-gram explosion is one hash aggregation per side, packing is one window
+cumsum — with DuckDB oracles replaying the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from appengine_mapreduce_spark.plans.registry import register
+from appengine_mapreduce_spark.plans.tables import load
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_STRAT_HASH = (
+    "('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+# Per-language sampling rates: downsample dominant English, upsample the
+# rest — the data-mixing knob.
+_LANG_RATES = {"en": 0.10, "zh": 0.80, "de": 0.50, "fr": 0.50, "es": 0.50}
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_sampled,
+               min(doc_id) AS first_doc,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE {_STRAT_HASH} % 10000 <
+              CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 8000
+                        WHEN 'de' THEN 5000 WHEN 'fr' THEN 5000
+                        WHEN 'es' THEN 5000 ELSE 0 END
+        GROUP BY lang
+    """,
+    description="Stratified deterministic sampling — the corpus-mixing "
+    "primitive (downsample dominant English 10x, upsample rare languages): "
+    "membership by key hash against a per-stratum cut, reproducible on any "
+    "engine/partitioning, evaluated row-local inside the scan with no "
+    "shuffle (operators/sampling.stratified_sample). Oracle replays the "
+    "identical md5 arithmetic.",
+    tags=("sampling", "training-data", "pipeline"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    picked = stratified_sample(
+        docs, key="doc_id", strata_col="lang", fractions=_LANG_RATES
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+@register(
+    "token_budget_packing",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, lang, len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / 512.0) AS BIGINT) AS bin
+            FROM sized
+        )
+        SELECT lang, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM binned GROUP BY lang, bin
+    """,
+    description="Token-budget sequence chunking: per language, documents "
+    "in deterministic doc_id order chunk into ≈512-token bins via one "
+    "window cumsum (bin = floor(tokens_before / budget)) — the "
+    "streaming-friendly form of context-window packing "
+    "(operators/sampling.pack_by_token_budget). One shuffle on the "
+    "partition key; per-bin rollup verified value-exact.",
+    tags=("pipeline", "training-data", "window"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.functions.text import nonempty_tokens
+    from appengine_mapreduce_spark.operators.sampling import pack_by_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(nonempty_tokens(F.col("text"))).alias("n_tokens")
+    )
+    binned = pack_by_token_budget(
+        docs, tokens_col="n_tokens", budget=512,
+        order_col="doc_id", partition_col="lang",
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len({_TOKS}) - 4),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')))
+                   AS gram
+            FROM documents
+        ),
+        train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id >= 100),
+        eval_set AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 100)
+        SELECT doc_id, count(*) AS n_shared_ngrams
+        FROM train JOIN eval_set USING (gram)
+        GROUP BY doc_id
+    """,
+    description="Benchmark decontamination: training docs (doc_id ≥ 100) "
+    "sharing any word 5-gram with the held-out eval slice (doc_id < 100) "
+    "are flagged with their distinct shared-gram count — the standard "
+    "eval-leakage guard before a training run "
+    "(operators/text_analysis.ngram_contamination). Both sides reduce to "
+    "distinct (doc, gram) pairs; the eval side is benchmark-sized "
+    "(constant in SF), so at scale it broadcasts and the corpus never "
+    "shuffles.",
+    tags=("pipeline", "training-data", "dedup"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 100)
+    eval_set = docs.filter(F.col("doc_id") < 100)
+    return ngram_contamination(train, eval_set, n=5)

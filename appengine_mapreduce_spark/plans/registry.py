@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_misc2,
         queries_misc3,
         queries_pipeline,
+        queries_pipeline2,
         queries_sampling,
         queries_similarity,
         queries_sql,

@@ -151,6 +151,33 @@ def test_asof_join_single_shuffle(spark):
     assert "Window" in plan, plan
 
 
+def test_q11_reuses_perpart_exchange(spark):
+    """Q11's global total derives from the per-part aggregate, so AQE must
+    reuse the ps_partkey shuffle for the threshold branch — the lineitem
+    scan and the partsupp aggregation execute once, not twice. Asserted on
+    the post-execution adaptive plan (reuse is a runtime decision)."""
+    df = QUERIES["q11_important_stock"].fn(spark, SF_CORRECT)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_q9_partsupp_side_needs_no_extra_exchange(spark):
+    """The derived partsupp's groupBy exchange is on (partkey, suppkey) —
+    the same key the fact join uses — so under shuffle join the ps side
+    must go Sort→HashAggregate directly, with no second Exchange. This is
+    the shared-shuffle property that keeps the double lineitem read to one
+    extra aggregation at 100 TB."""
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        df = QUERIES["q9_profit_by_nation"].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    sort_idx = [i for i, l in enumerate(lines) if "Sort [ps_partkey" in l]
+    assert sort_idx, plan
+    nxt = lines[sort_idx[0] + 1]
+    assert "HashAggregate" in nxt and "Exchange" not in nxt, plan
+
+
 def test_q18_preaggregates_below_join(spark):
     """Q18 rewrite: the lineitem sum (and its HAVING) must sit BELOW the
     join, so the join consumes |large orders| rows, not |lineitem|. In

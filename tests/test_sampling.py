@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from appengine_mapreduce_spark.operators.sampling import (
     deterministic_sample,
+    pack_by_token_budget,
     profile_table,
+    stratified_sample,
     train_test_split,
 )
 
@@ -43,3 +45,74 @@ def test_profile_table(spark):
     assert prof["x"].min_s == "1" and prof["x"].max_s == "3"
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert prof["s"].min_s == "a" and prof["s"].max_s == "b"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10000)]
+    df = spark.createDataFrame(rows, "id bigint, stratum string")
+    picked = stratified_sample(
+        df, key="id", strata_col="stratum", fractions={"a": 0.5, "b": 0.05}
+    )
+    by_stratum = {
+        r.stratum: r.n
+        for r in picked.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.45 * 5000 < by_stratum["a"] < 0.55 * 5000
+    assert 0.03 * 5000 < by_stratum["b"] < 0.07 * 5000
+    # deterministic: same call, same membership, any partitioning
+    again = stratified_sample(
+        df.repartition(17), key="id", strata_col="stratum",
+        fractions={"a": 0.5, "b": 0.05},
+    )
+    assert {r.id for r in picked.collect()} == {r.id for r in again.collect()}
+    # unlisted strata get default_fraction (0 = dropped)
+    extra = spark.createDataFrame([(99999, "c")], "id bigint, stratum string")
+    got = stratified_sample(
+        df.union(extra), key="id", strata_col="stratum",
+        fractions={"a": 0.5, "b": 0.05},
+    )
+    assert got.filter(F.col("stratum") == "c").count() == 0
+
+
+def test_pack_by_token_budget_bins(spark):
+    # 10 docs of 300 tokens each, budget 1000. Cumulative-before offsets are
+    # 0,300,...,2700; bin = floor(offset/1000) → docs 0-3 in bin 0 (offsets
+    # 0..900), docs 4-6 in bin 1, docs 7-9 in bin 2.
+    rows = [(i, "g", 300) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, toks bigint")
+    binned = pack_by_token_budget(
+        df, tokens_col="toks", budget=1000, order_col="id", partition_col="grp"
+    ).collect()
+    bins = {}
+    for r in binned:
+        bins.setdefault(r.bin, []).append(r.id)
+    assert {b: sorted(ids) for b, ids in bins.items()} == {
+        0: [0, 1, 2, 3], 1: [4, 5, 6], 2: [7, 8, 9]
+    }
+    # order preserved: bin ids are non-decreasing in id order
+    by_id = sorted(binned, key=lambda r: r.id)
+    bin_seq = [r.bin for r in by_id]
+    assert bin_seq == sorted(bin_seq)
+
+
+def test_ngram_contamination_planted(spark):
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+
+    eval_set = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "noise alpha beta gamma delta epsilon more noise"),  # shares 1 5-gram
+            (11, "completely unrelated words here none shared at all"),
+            (12, "alpha beta gamma delta epsilon zeta exact prefix"),  # shares 2
+            (13, "short text"),  # < n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n_shared_ngrams
+           for r in ngram_contamination(train, eval_set, n=5).collect()}
+    assert got == {10: 1, 12: 2}

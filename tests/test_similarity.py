@@ -1,0 +1,75 @@
+"""Similarity-search operator tests: exact top-k, IVF multi-probe recall
+monotonicity, and sign-LSH probe behavior on the embeddings fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from appengine_mapreduce_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_probe_topk,
+    sign_lsh_topk,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    # A mid-corpus vector: not a list representative (those are min-id per
+    # label), so probe selection is a genuine nearest-representative search.
+    row = emb.filter(F.col("vec_id") == 137).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def test_brute_force_topk_is_exact(emb, query_vec):
+    got = brute_force_topk(emb, query_vec, k=5).collect()
+    assert len(got) == 5
+    # top hit is the query vector itself (cosine 1.0)
+    assert got[0].vec_id == 137 and got[0].cosine == pytest.approx(1.0)
+    # scores descend
+    scores = [r.cosine for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_multiprobe_recall_monotone(emb, query_vec):
+    """The whole point of multi-probe: recall vs exact brute force is
+    non-decreasing in the number of probed lists, and probing every list
+    degenerates to the exact answer."""
+    k = 10
+    truth = {r.vec_id for r in brute_force_topk(emb, query_vec, k=k).collect()}
+    n_lists = emb.select("label").distinct().count()
+
+    recalls = []
+    for p in (1, 2, 4, n_lists):
+        got = {r.vec_id for r in ivf_probe_topk(emb, query_vec, n_probes=p, k=k).collect()}
+        recalls.append(len(got & truth) / k)
+    assert recalls == sorted(recalls), recalls  # monotone non-decreasing
+    assert recalls[-1] == 1.0, recalls  # p = n_lists ⇒ exact
+    assert recalls[0] > 0.0, recalls  # nearest list is never empty of hits
+
+
+def test_ivf_probe_reads_only_probed_lists(emb, query_vec):
+    """Scale property: the probed scan must filter on the chosen list ids
+    (partition-prunable on a bucketed corpus), not scan the corpus."""
+    df = ivf_probe_topk(emb, query_vec, n_probes=2, k=10)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "label" in plan and ("IN" in plan or "isin" in plan.lower()), plan
+
+
+def test_sign_lsh_topk_subset_of_bucket(emb, query_vec):
+    got = sign_lsh_topk(emb, query_vec, k=10, num_bits=4).collect()
+    # every hit shares the query's 4-bit sign bucket
+    q_bucket = sum(1 << i for i in range(4) if query_vec[i] >= 0)
+    ids = [r.vec_id for r in got]
+    rows = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding").collect()
+    for r in rows:
+        b = sum(1 << i for i in range(4) if float(r.embedding[i]) >= 0)
+        assert b == q_bucket, (r.vec_id, b, q_bucket)
