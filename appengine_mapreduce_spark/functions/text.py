@@ -20,6 +20,23 @@ def nonempty_tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     return F.filter(tokens(text, pattern), lambda t: t != F.lit(""))
 
 
+# BPE-style pre-tokenizer pattern (the GPT-2 family shape, restricted to
+# constructs RE2 also supports — no lookahead — so the DuckDB oracle can
+# replay it): a token is an optional leading space + a letter run, digit
+# run, or punctuation run. Whitespace itself is not a token.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_style_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word pre-tokenization as a JVM expression: the
+    letter/digit/punctuation-run segmentation every byte-pair tokenizer
+    applies before merges. Counting these is the standard proxy for
+    "tokens the model will see" when budgeting a corpus (the merge step
+    itself needs a vocabulary, which is model-specific)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
     array column. Keep tokenization in its own projection: passing the

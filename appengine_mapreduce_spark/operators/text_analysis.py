@@ -88,10 +88,12 @@ def quality_score(
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stats(df: DataFrame, text_col: str = "text", tokenizer=None) -> DataFrame:
     """Corpus-level token accounting: total tokens, distinct tokens,
-    mean tokens per document. Single-row result (counters-style)."""
-    toks = nonempty_tokens(F.col(text_col))
+    mean tokens per document. Single-row result (counters-style).
+    ``tokenizer`` swaps the segmentation (default whitespace; pass
+    ``functions.text.bpe_style_tokens`` for the BPE-ish pre-tokenizer)."""
+    toks = (tokenizer or nonempty_tokens)(F.col(text_col))
     per_doc = df.select(F.size(toks).alias("_n"), toks.alias("_toks"))
     exploded = per_doc.select(F.explode("_toks").alias("tok"))
     totals = per_doc.agg(
@@ -196,6 +198,55 @@ def pii_scan(
             redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
         cols.append(redacted.alias("redacted_text"))
     return df.select(*cols)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    SIGMOD'03): hash every character k-gram (rolling window over the raw
+    text), then keep the minimum hash of each ``window`` consecutive
+    k-grams — a position-robust fingerprint set that overlapping documents
+    share even after edits shift offsets.
+
+    All pure array expressions: the k-gram hash array is materialized in
+    its own projection (Catalyst does not CSE inside a transform, so
+    reusing the expression in the window step would recompute every hash
+    ``window`` times), then window minima + distinct. O(len·k) per doc,
+    whole-stage codegen, one row out per document. Engine-portable: the
+    md5-derived hash makes the DuckDB oracle replay fingerprints exactly.
+    Output: (id, n_fingerprints, fp_checksum = sum of distinct minima).
+    """
+    df = ensure_parallelism(df.select(id_col, text_col))
+    text = F.col(text_col)
+    n_grams = F.length(text) - F.lit(k - 1)
+    starts = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        starts, lambda i: stable_hash32(text.substr(i, F.lit(k)), salt="win")
+    )
+    hashed = df.select(F.col(id_col), hashes.alias("_h"))
+
+    n_windows = F.size("_h") - F.lit(window - 1)
+    wstarts = F.when(n_windows > 0, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    minima = F.array_distinct(
+        F.transform(wstarts, lambda j: F.array_min(F.slice(F.col("_h"), j, window)))
+    )
+    fp = hashed.select(F.col(id_col), minima.alias("_fp"))
+    return fp.select(
+        F.col(id_col),
+        F.size("_fp").alias("n_fingerprints"),
+        F.aggregate(
+            "_fp", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("fp_checksum"),
+    )
 
 
 def word_ngrams(text: Column, n: int) -> Column:

@@ -72,8 +72,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q21 suppliers-who-kept-orders-waiting: the classic "
     "semi-join (another supplier shares the order) + anti-join (but no OTHER "
     "supplier was late) on the same fact table, late-ship proxy as in Q4. "
-    "Both correlations compile to one semi and one anti hash join — no "
-    "per-row subquery execution.",
+    "Both correlations reduce to per-order distinct-supplier COUNTS "
+    "(EXISTS other supplier ⇔ n_suppliers ≥ 2; NOT EXISTS other late "
+    "supplier ⇔ n_late_suppliers = 1, since the row's own supplier is "
+    "late): two partially-aggregated shuffles on the order key replace "
+    "semi/anti joins that would re-shuffle the raw fact table — smaller "
+    "exchanges at any scale, same rows out.",
     bench=True,
     tags=("analytics", "semi-join", "anti-join"),
 )
@@ -87,20 +91,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    # EXISTS/NOT EXISTS as per-order distinct-supplier counts: both
+    # aggregates partially combine map-side and share the orderkey shuffle
+    # key with the final joins — no re-shuffle of raw lineitem rows.
+    order_suppliers = li.groupBy(F.col("l_orderkey").alias("o2_key")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp")
     )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    late_suppliers = late.groupBy(F.col("l_orderkey").alias("o3_key")).agg(
+        F.count_distinct("l_suppkey").alias("_n_late")
     )
-    l1 = late.join(
-        others,
-        (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
-        "left_semi",
-    ).join(
-        late_others,
-        (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
-        "left_anti",
+    l1 = (
+        late.join(order_suppliers, F.col("l_orderkey") == F.col("o2_key"))
+        .join(late_suppliers, F.col("l_orderkey") == F.col("o3_key"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
     )
     return (
         l1.join(supp, l1.l_suppkey == supp.s_suppkey)

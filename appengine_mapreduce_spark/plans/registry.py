@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_tpch5,
         queries_text,
         queries_text2,
+        queries_text3,
         queries_timeseries,
     )
 

@@ -95,6 +95,28 @@ def conversion_join(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: Iterable[str] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous twin of the batch
+    ``dedup_exact`` operator: keep the first occurrence of each key,
+    dropping replays/duplicates that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark window (state for a key expires once the watermark passes
+    it) — a plain ``dropDuplicates`` on a stream would grow state forever,
+    the same unbounded-keys hazard the batch dedup avoids by hashing.
+    At-least-once sources (Kafka replays, file redelivery) become
+    effectively-once through this operator.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 _SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

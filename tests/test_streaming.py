@@ -271,3 +271,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window emitted exactly the 3 on-time events; the late row
     # (10:01, arriving in batch 2) was dropped, not added
     assert counts[(base, "a")] == 3, counts
+
+
+def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
+    """At-least-once delivery (duplicate event_ids across micro-batches)
+    becomes effectively-once: dropDuplicatesWithinWatermark keeps one row
+    per key within the watermark horizon."""
+    import datetime as dt
+
+    from appengine_mapreduce_spark.streaming.jobs import streaming_dedup
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = str(tmp_path / "dedup_stream")
+    # two files = two micro-batches; event 2 is replayed in both, event 1
+    # duplicated within one batch
+    spark.createDataFrame(
+        [(1, base, "a"), (1, base, "a"), (2, base + dt.timedelta(minutes=1), "b")],
+        "event_id bigint, ts timestamp, payload string",
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=1), "b"),
+         (3, base + dt.timedelta(minutes=2), "c")],
+        "event_id bigint, ts timestamp, payload string",
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, payload string"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    out = streaming_dedup(stream, key_cols=("event_id",), watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.event_id, r.payload)
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
