@@ -294,3 +294,63 @@ def random_strings_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+@register(
+    "phrases_demo",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        p AS (
+            SELECT source,
+                   unnest(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+                          ELSE list_transform(generate_series(1, len(w) - 3),
+                               i -> array_to_string(list_slice(w, i, i + 3), ' '))
+                          END) AS phrase
+            FROM t
+        ),
+        c AS (SELECT phrase, source, count(*) AS n FROM p GROUP BY 1, 2),
+        j AS (SELECT phrase, source, n,
+                     CAST(sum(n) OVER (PARTITION BY phrase) AS BIGINT) AS total
+              FROM c)
+        SELECT phrase, source, CAST(n AS BIGINT) AS n, total
+        FROM j WHERE total >= 3 AND n * 2 > total
+    """,
+    description="Phrases demo parity (reference: python/demo/main.py:230-258 "
+    "phrases_map/phrases_reduce): 4-word phrases characteristic of one file "
+    "— emitted when a phrase's corpus count passes a threshold AND more "
+    "than half its occurrences come from a single source. The reference's "
+    "two-pass reduce becomes one explode + (phrase, source) count + a "
+    "phrase-partition window total (two shuffles, both map-side combined). "
+    "Deviations from the demo, documented: threshold 3 (not 10 — sized to "
+    "the fixture), source column stands in for filename, and ALL sliding "
+    "windows count (the demo's range(0, n-4) skips the final window).",
+    tags=("mr-parity", "demo", "window"),
+)
+def phrases_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from appengine_mapreduce_spark.functions.text import nonempty_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = nonempty_tokens(F.lower(F.col("text")))
+    docs = docs.select("source", toks.alias("_w"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 3),
+        lambda i: F.concat_ws(" ", F.slice("_w", i, 4)),
+    )
+    phrases = F.when(F.size("_w") < 4, F.array(F.concat_ws(" ", "_w"))).otherwise(
+        windows
+    )
+    exploded = docs.select("source", F.explode(phrases).alias("phrase"))
+    counts = exploded.groupBy("phrase", "source").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("phrase"))
+    return (
+        counts.withColumn("total", total)
+        .filter((F.col("total") >= 3) & (F.col("n") * 2 > F.col("total")))
+        .select("phrase", "source", "n", "total")
+    )

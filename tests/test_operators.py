@@ -227,3 +227,31 @@ def test_pii_scan_counts_and_redacts(spark):
     assert "[EMAIL]" in red and "[URL]" in red and "[IPV4]" in red and "[INTL_PHONE]" in red
     assert "a@b.com" not in red and "1.2.3.4" not in red
     assert got[2].redacted_text == "clean text with no pii at all"
+
+
+def test_text_operators_null_and_empty_robust(spark):
+    """Real corpora contain null/empty/whitespace-only documents — every
+    text/dedup operator must pass them through without raising (dropping
+    token-less docs from per-token outputs is the documented behavior)."""
+    from appengine_mapreduce_spark.operators import dedup
+    from appengine_mapreduce_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "hello world foo bar baz qux quux", "en", "web", 30),
+         (2, None, "en", "web", 0),
+         (3, "", "de", "web", 0),
+         (4, "   ", "fr", "web", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert len(ta.language_id(docs).collect()) == 4
+    assert len(ta.quality_score(docs).collect()) == 4
+    assert len(ta.pii_scan(docs).collect()) == 4
+    assert len(ta.fingerprint(docs).collect()) == 4
+    assert len(ta.winnow_fingerprints(docs).collect()) == 4
+    assert ta.token_stats(docs).collect()[0].total_tokens == 7
+    # token-less docs contribute no repetition rows, no shingles, no grams
+    assert {r.doc_id for r in ta.repetition_signals(docs).collect()} == {1}
+    assert len(dedup.minhash_signatures(docs, num_hashes=4, shingle_words=2).collect()) == 1
+    assert len(dedup.simhash(docs, bits=16).collect()) == 1
+    assert len(dedup.exact_dedup(docs).collect()) == 4  # null/""/"   " all distinct
+    assert ta.ngram_contamination(docs, docs.limit(1), n=3).collect()[0].doc_id == 1
