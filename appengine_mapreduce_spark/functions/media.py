@@ -1,0 +1,182 @@
+"""Dependency-free audio/video container metadata codecs.
+
+Same design as ``functions/png.py`` / ``functions/jpeg.py``: parse the
+PUBLIC container formats with stdlib ``struct`` only, deep enough to
+answer the questions a training-data pipeline asks before routing a blob
+(sample rate, channel count, duration, track layout) — not to decode
+samples. Codec-level decode (PCM is trivial; compressed audio/video is
+not) stays behind ``operators/multimodal.DECODERS_AVAILABLE``.
+
+- WAV: RIFF chunk walk (RIFF/WAVE signature, ``fmt `` layout, ``data``
+  size → duration) per the public RIFF/WAVE spec.
+- MP4/ISO BMFF: box walk to ``moov/mvhd`` (version 0 and 1 layouts) for
+  timescale + duration, counting ``trak`` boxes, per ISO/IEC 14496-12.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+class MediaFormatError(ValueError):
+    pass
+
+
+# --- WAV (RIFF) -------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WavMeta:
+    n_channels: int
+    sample_rate: int
+    bits_per_sample: int
+    n_frames: int          # sample frames in the data chunk
+    duration_ms: int
+
+
+def decode_wav_meta(blob: bytes) -> WavMeta:
+    """Walk the RIFF chunks of a WAV blob; no sample decoding."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise MediaFormatError("bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise MediaFormatError("truncated fmt chunk")
+            (_audio_format, n_channels, sample_rate, _byte_rate,
+             block_align, bits) = struct.unpack("<HHIIHH", body[:16])
+            fmt = (n_channels, sample_rate, bits, block_align)
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise MediaFormatError("missing fmt/data chunk")
+    n_channels, sample_rate, bits, block_align = fmt
+    if block_align == 0 or sample_rate == 0:
+        raise MediaFormatError("zero block_align/sample_rate")
+    n_frames = data_size // block_align
+    return WavMeta(
+        n_channels=n_channels,
+        sample_rate=sample_rate,
+        bits_per_sample=bits,
+        n_frames=n_frames,
+        duration_ms=n_frames * 1000 // sample_rate,
+    )
+
+
+def encode_wav(
+    n_channels: int = 1,
+    sample_rate: int = 16000,
+    bits_per_sample: int = 16,
+    n_frames: int = 0,
+    fill: int = 0,
+) -> bytes:
+    """Emit a valid PCM WAV blob (silence/constant fill) for fixtures."""
+    block_align = n_channels * bits_per_sample // 8
+    data = bytes([fill & 0xFF]) * (n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits_per_sample,
+    )
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --- MP4 / ISO BMFF ---------------------------------------------------------
+
+@dataclass(frozen=True)
+class Mp4Meta:
+    timescale: int
+    duration: int
+    duration_ms: int
+    n_tracks: int
+    major_brand: str
+
+
+def _iter_boxes(blob: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", blob[pos + 8 : pos + 16])
+            header = 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+            header = 8
+        else:
+            header = 8
+        if size < header or pos + size > end:
+            raise MediaFormatError(f"bad box size {size} at {pos}")
+        yield tag, pos + header, pos + size
+        pos += size
+
+
+def decode_mp4_meta(blob: bytes) -> Mp4Meta:
+    """Box-walk to moov/mvhd (v0/v1) and count trak boxes."""
+    major_brand = None
+    mvhd = None
+    n_tracks = 0
+    for tag, body_start, box_end in _iter_boxes(blob, 0, len(blob)):
+        if tag == b"ftyp":
+            major_brand = blob[body_start : body_start + 4].decode("ascii", "replace")
+        elif tag == b"moov":
+            for t2, b2, e2 in _iter_boxes(blob, body_start, box_end):
+                if t2 == b"mvhd":
+                    version = blob[b2]
+                    if version == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", blob[b2 + 20 : b2 + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", blob[b2 + 12 : b2 + 20]
+                        )
+                    mvhd = (timescale, duration)
+                elif t2 == b"trak":
+                    n_tracks += 1
+    if mvhd is None:
+        raise MediaFormatError("missing moov/mvhd box")
+    timescale, duration = mvhd
+    if timescale == 0:
+        raise MediaFormatError("zero timescale")
+    return Mp4Meta(
+        timescale=timescale,
+        duration=duration,
+        duration_ms=duration * 1000 // timescale,
+        n_tracks=n_tracks,
+        major_brand=major_brand or "",
+    )
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def encode_minimal_mp4(
+    timescale: int = 1000,
+    duration: int = 0,
+    n_tracks: int = 1,
+    version: int = 0,
+    major_brand: bytes = b"isom",
+) -> bytes:
+    """Emit a structurally valid ftyp+moov(mvhd+trak*) stream for fixtures."""
+    if version == 1:
+        mvhd_body = bytes((1, 0, 0, 0)) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd_body = bytes((0, 0, 0, 0)) + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration
+        ) + b"\x00" * 80
+    moov = _box(b"mvhd", mvhd_body)
+    for _ in range(n_tracks):
+        moov += _box(b"trak", b"")
+    return _box(b"ftyp", major_brand + b"\x00\x00\x02\x00isom") + _box(b"moov", moov)

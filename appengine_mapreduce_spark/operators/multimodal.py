@@ -32,14 +32,20 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY audio/video (and full JPEG pixel decode): PNG decode and
-# JPEG header decode are real, stdlib-only implementations.
-# PNG decode is REAL (stdlib zlib/struct implementation of the public PNG
-# spec — functions/png.py): full chunk parse + inflate + unfilter.
+# now covers ONLY compressed-sample decode (JPEG pixels, lossy audio,
+# video frames). The metadata layer of every media family is REAL,
+# stdlib-only:
+# - PNG full decode (functions/png.py): chunk parse + inflate + unfilter.
+# - JPEG header decode (functions/jpeg.py): T.81 segment scan —
+#   dimensions/precision/components/mode.
+# - WAV metadata (functions/media.py): RIFF chunk walk —
+#   channels/sample_rate/bits/frames/duration.
+# - MP4 metadata (functions/media.py): ISO BMFF box walk to moov/mvhd —
+#   timescale/duration/track count/brand.
 PNG_DECODER_AVAILABLE = True
-# JPEG header decode is REAL (stdlib segment scan of the public T.81
-# format — functions/jpeg.py): dimensions/precision/components/mode.
 JPEG_HEADER_DECODER_AVAILABLE = True
+WAV_META_DECODER_AVAILABLE = True
+MP4_META_DECODER_AVAILABLE = True
 
 MEDIA_META_SCHEMA = (
     "media_type string, width int, height int, sample_rate int, "
@@ -222,6 +228,86 @@ def decode_jpeg_headers(
                         "progressive": pd.Series(dtype="bool"),
                     }
                 )
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL WAV metadata decode over a binary column (functions/media.py
+    RIFF chunk walk), Arrow-batched. Output: channels, sample rate, bit
+    depth, frame count, duration — the routing fields for an audio corpus
+    (resample? mono-ize? drop sub-second clips?) read without touching
+    samples."""
+    from appengine_mapreduce_spark.functions.media import decode_wav_meta
+
+    out_schema = (
+        f"{id_col} bigint, n_channels int, sample_rate int, "
+        "bits_per_sample int, n_frames bigint, duration_ms bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_wav_meta(bytes(blob))
+                rows.append((int(i), m.n_channels, m.sample_rate,
+                             m.bits_per_sample, m.n_frames, m.duration_ms))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_channels", "sample_rate", "bits_per_sample",
+                    "n_frames", "duration_ms"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_channels": pd.Series(dtype="int32"),
+                    "sample_rate": pd.Series(dtype="int32"),
+                    "bits_per_sample": pd.Series(dtype="int32"),
+                    "n_frames": pd.Series(dtype="int64"),
+                    "duration_ms": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_video_meta(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL MP4/ISO-BMFF metadata decode over a binary column
+    (functions/media.py box walk to moov/mvhd), Arrow-batched. Output:
+    brand, timescale, duration, track count — what frame-sampling and
+    length-filter passes read before any codec work."""
+    from appengine_mapreduce_spark.functions.media import decode_mp4_meta
+
+    out_schema = (
+        f"{id_col} bigint, major_brand string, timescale bigint, "
+        "duration_ms bigint, n_tracks int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_mp4_meta(bytes(blob))
+                rows.append((int(i), m.major_brand, m.timescale,
+                             m.duration_ms, m.n_tracks))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "major_brand", "timescale", "duration_ms",
+                    "n_tracks"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "major_brand": pd.Series(dtype="object"),
+                    "timescale": pd.Series(dtype="int64"),
+                    "duration_ms": pd.Series(dtype="int64"),
+                    "n_tracks": pd.Series(dtype="int32"),
+                })
             )
 
     return df.mapInPandas(decode, schema=out_schema)

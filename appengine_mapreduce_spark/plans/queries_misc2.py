@@ -174,6 +174,109 @@ def jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+                   AS n_channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS INT)
+                   AS sample_rate,
+               CAST(16 AS INT) AS bits_per_sample,
+               CAST(n_chars * 10 AS BIGINT) AS n_frames,
+               CAST((n_chars * 10 * 1000)
+                    // (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END)
+                    AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id < 200
+    """,
+    description="REAL audio metadata decode through the driver gate: "
+    "synthesize a valid PCM WAV per document (channels/rate/frames from "
+    "table columns), then walk the RIFF chunks (functions/media.py, "
+    "stdlib-only) and emit the decoded fields, which the oracle recomputes "
+    "from the generating formula. Audio metadata is no longer a stub — "
+    "DECODERS_AVAILABLE now gates only compressed-sample decode.",
+    tags=("multimodal", "udf", "audio"),
+)
+def wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_wav
+    from appengine_mapreduce_spark.operators.multimodal import decode_audio_meta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_wav(
+                    n_channels=2 if did % 4 == 0 else 1,
+                    sample_rate=16000 if did % 2 == 0 else 44100,
+                    bits_per_sample=16,
+                    n_frames=nc * 10,
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_audio_meta(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "mp4_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               'isom' AS major_brand,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END AS BIGINT)
+                   AS timescale,
+               CAST((n_chars * 100 * 1000)
+                    // (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END)
+                    AS BIGINT) AS duration_ms,
+               CAST(1 + doc_id % 3 AS INT) AS n_tracks
+        FROM documents WHERE doc_id < 200
+    """,
+    description="REAL video-container metadata decode through the driver "
+    "gate: synthesize a valid ISO BMFF ftyp+moov(mvhd+trak*) stream per "
+    "document (alternating mvhd v0/v1 layouts and timescales), box-walk it "
+    "(functions/media.py, stdlib-only) and emit brand/timescale/duration/"
+    "track-count, which the oracle recomputes from the generating formula.",
+    tags=("multimodal", "udf", "video"),
+)
+def mp4_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_minimal_mp4
+    from appengine_mapreduce_spark.operators.multimodal import decode_video_meta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_minimal_mp4(
+                    timescale=1000 if did % 2 == 0 else 90000,
+                    duration=nc * 100,
+                    n_tracks=1 + did % 3,
+                    version=did % 2,  # exercise both mvhd layouts
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_video_meta(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
     "mapreduce_api_chained",
     oracle="""
         SELECT tok AS word, count(*) AS n

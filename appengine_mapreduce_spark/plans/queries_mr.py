@@ -329,6 +329,7 @@ def random_strings_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deviations from the demo, documented: threshold 3 (not 10 — sized to "
     "the fixture), source column stands in for filename, and ALL sliding "
     "windows count (the demo's range(0, n-4) skips the final window).",
+    bench=True,
     tags=("mr-parity", "demo", "window"),
 )
 def phrases_demo(spark: SparkSession, sf_dir: str) -> DataFrame:

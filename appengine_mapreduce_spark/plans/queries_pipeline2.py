@@ -131,6 +131,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct (doc, gram) pairs; the eval side is benchmark-sized "
     "(constant in SF), so at scale it broadcasts and the corpus never "
     "shuffles.",
+    bench=True,
     tags=("pipeline", "training-data", "dedup"),
 )
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

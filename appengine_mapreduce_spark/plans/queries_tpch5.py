@@ -131,8 +131,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle; nation broadcast (constant-size); part/supplier left to AQE's "
     "size guard; orders co-keyed on orderkey. "
     "Per-row profit is computed in double (bit-identical in any engine), "
-    "scaled to integer 1e-4 units, and summed as BIGINT so the rollup is "
-    "exact and summation-order-independent.",
+    "scaled to integer 1e-4 units, and summed as DECIMAL(38,0) — exact, "
+    "order-independent, and with headroom beyond int64 (1e-4-scaled "
+    "profits over ~1e12 rows top out near 1e21, vs int64's 9.2e18) — "
+    "matching DuckDB's HUGEINT sum.",
     bench=True,
     tags=("analytics", "tpch", "multiway-join"),
 )
@@ -164,7 +166,11 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").alias("o_year"),
-    ).agg((F.sum(profit_i).cast("double") / 10000).alias("profit_sum"))
+    ).agg(
+        (F.sum(profit_i.cast("decimal(28,0)")).cast("double") / 10000).alias(
+            "profit_sum"
+        )
+    )
 
 
 @register(

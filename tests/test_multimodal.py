@@ -218,3 +218,107 @@ def test_decode_png_images_distributed(spark):
         w, h = 1 + i % 7, 1 + (i * 3) % 5
         want_sum = sum((i + p) % 256 for p in range(w * h))
         assert got[i] == (w, h, want_sum, w * h), i
+
+
+# --- Real WAV / MP4 metadata codecs (functions/media.py) -------------------
+
+def test_wav_meta_roundtrip():
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_meta, encode_wav,
+    )
+
+    for ch, rate, bits, frames in [
+        (1, 16000, 16, 16000), (2, 44100, 16, 44100 * 3), (1, 8000, 8, 0),
+    ]:
+        m = decode_wav_meta(encode_wav(ch, rate, bits, frames))
+        assert (m.n_channels, m.sample_rate, m.bits_per_sample, m.n_frames) == (
+            ch, rate, bits, frames)
+        assert m.duration_ms == frames * 1000 // rate
+
+
+def test_wav_meta_odd_chunk_alignment():
+    """RIFF chunks are word-aligned: an odd-sized unknown chunk before
+    fmt/data must not derail the walk."""
+    import struct
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_meta, encode_wav,
+    )
+
+    base = encode_wav(1, 16000, 16, 100)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    patched = base[:12] + odd + base[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    m = decode_wav_meta(patched)
+    assert (m.sample_rate, m.n_frames) == (16000, 100)
+
+
+def test_wav_meta_malformed():
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError, decode_wav_meta,
+    )
+
+    with pytest.raises(MediaFormatError):
+        decode_wav_meta(b"RIFFxxxxNOPE")
+    with pytest.raises(MediaFormatError):
+        decode_wav_meta(b"RIFF\x10\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_mp4_meta_both_mvhd_versions_and_64bit_box():
+    import struct
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_mp4_meta, encode_minimal_mp4,
+    )
+
+    for ver in (0, 1):
+        m = decode_mp4_meta(encode_minimal_mp4(
+            timescale=90000, duration=90000 * 7, n_tracks=2, version=ver))
+        assert (m.timescale, m.duration_ms, m.n_tracks, m.major_brand) == (
+            90000, 7000, 2, "isom")
+    # 64-bit largesize framing on the ftyp box
+    blob = encode_minimal_mp4(timescale=1000, duration=2500)
+    (ftyp_size,) = struct.unpack(">I", blob[:4])
+    body = blob[8:ftyp_size]
+    big = (struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 16 + len(body))
+           + body + blob[ftyp_size:])
+    m = decode_mp4_meta(big)
+    assert m.duration_ms == 2500
+
+
+def test_mp4_meta_malformed():
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError, decode_mp4_meta, encode_minimal_mp4,
+    )
+
+    with pytest.raises(MediaFormatError):
+        decode_mp4_meta(b"\x00\x00\x00\x08ftyp")  # no moov
+    blob = bytearray(encode_minimal_mp4())
+    blob[0:4] = (10 ** 6).to_bytes(4, "big")  # box size overruns buffer
+    with pytest.raises(MediaFormatError):
+        decode_mp4_meta(bytes(blob))
+
+
+def test_decode_audio_video_meta_distributed(spark):
+    from appengine_mapreduce_spark.functions.media import (
+        encode_minimal_mp4, encode_wav,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_audio_meta, decode_video_meta,
+    )
+
+    wavs = [(i, encode_wav(1 + i % 2, 8000 * (1 + i % 3), 16, i * 50))
+            for i in range(30)]
+    df = spark.createDataFrame(wavs, "id bigint, content binary")
+    got = {r.id: (r.n_channels, r.sample_rate, r.n_frames)
+           for r in decode_audio_meta(df).collect()}
+    for i in range(30):
+        assert got[i] == (1 + i % 2, 8000 * (1 + i % 3), i * 50)
+
+    mp4s = [(i, encode_minimal_mp4(1000, i * 333, 1 + i % 2, version=i % 2))
+            for i in range(30)]
+    df2 = spark.createDataFrame(mp4s, "id bigint, content binary")
+    got2 = {r.id: (r.duration_ms, r.n_tracks)
+            for r in decode_video_meta(df2).collect()}
+    for i in range(30):
+        assert got2[i] == (i * 333, 1 + i % 2)
