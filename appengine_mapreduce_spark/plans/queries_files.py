@@ -90,6 +90,11 @@ def _build_fixtures(sf_dir: str) -> str:
     with gzip.open(os.path.join(tmp, "all_lines.txt.gz"), "wt", encoding="ascii") as fh:
         fh.writelines(line + "\n" for _, line in lines)
 
+    # custom-separator twin: same lines joined by RS (0x1e) — a byte the
+    # printable-ASCII line filter guarantees never appears in content
+    with open(os.path.join(tmp, "all_lines.rs"), "w", encoding="ascii") as fh:
+        fh.write("\x1e".join(line for _, line in lines))
+
     parts: list[list[str]] = [[] for _ in range(_N_FILES)]
     for doc_id, line in lines:
         parts[doc_id % _N_FILES].append(line)
@@ -135,6 +140,29 @@ def line_input_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "all_lines.txt"), with_offsets=True, min_partitions=4
     )
     return df.select(F.col("offset").cast("long").alias("offset"), "line")
+
+
+@register(
+    "line_input_custom_sep",
+    oracle=f"""
+        WITH {_LINES_CTE}
+        SELECT line FROM lines
+    """,
+    description="Custom record separator (RS 0x1e) line input — the Java "
+    "GoogleCloudStorageLineInput's configurable-separator contract "
+    "(GoogleCloudStorageLineInput.java:21, LineInputStream.java:35) via "
+    "the text source's lineSep option; content identical to the "
+    "newline-framed fixture, so the oracle is the generating table "
+    "itself.",
+    tags=("sources", "line", "separator"),
+)
+def line_input_custom_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.sources.text import line_input
+
+    root = _build_fixtures(sf_dir)
+    return line_input(
+        spark, os.path.join(root, "all_lines.rs"), line_sep="\x1e"
+    ).select("line")
 
 
 @register(

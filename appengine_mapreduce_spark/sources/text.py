@@ -24,15 +24,26 @@ def line_input(
     path: str,
     with_offsets: bool = False,
     min_partitions: int | None = None,
+    line_sep: str | None = None,
 ) -> DataFrame:
     """Read text file(s) (glob ok) as lines.
 
     with_offsets=False → DataFrame[line: string]        (fast path)
     with_offsets=True  → DataFrame[offset: bigint, line: string]
                          (reference parity: input_readers.py:1327-1344)
+    line_sep           → custom record separator (≙ Java
+                         GoogleCloudStorageLineInput's configurable
+                         separator, GoogleCloudStorageLineInput.java:21);
+                         fast path only — Hadoop TextInputFormat's offset
+                         protocol is newline-defined.
     """
+    if line_sep is not None and with_offsets:
+        raise ValueError("line_sep is supported on the fast path only")
     if not with_offsets:
-        return spark.read.text(path).withColumnRenamed("value", "line")
+        reader = spark.read
+        if line_sep is not None:
+            reader = reader.option("lineSep", line_sep)
+        return reader.text(path).withColumnRenamed("value", "line")
     conf = {}
     if min_partitions:
         # hint Hadoop toward that many byte-range splits

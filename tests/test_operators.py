@@ -255,3 +255,57 @@ def test_text_operators_null_and_empty_robust(spark):
     assert len(dedup.simhash(docs, bits=16).collect()) == 1
     assert len(dedup.exact_dedup(docs).collect()) == 4  # null/""/"   " all distinct
     assert ta.ngram_contamination(docs, docs.limit(1), n=3).collect()[0].doc_id == 1
+
+
+def test_winnowing_containment_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. §2): any shared substring
+    of length ≥ k + w - 1 forces at least one shared fingerprint, however
+    the surrounding text shifts the window offsets. Docs with no textual
+    overlap share nothing."""
+    import random
+
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rng.choice(alphabet) for _ in range(40))  # >= k+w-1 = 11
+    mk = lambda n: "".join(rng.choice("0123456789") for _ in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, mk(17) + shared + mk(23)),
+            (2, mk(5) + shared + mk(61)),   # same substring, shifted offsets
+            (3, mk(80)),                     # disjoint alphabet, no overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    # recompute the fingerprint SETS (not just checksums) via the operator's
+    # own hash arithmetic to compare membership
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.functions.hashing import stable_hash32
+
+    k, w = 8, 4
+    text = F.col("text")
+    starts = F.sequence(F.lit(1), F.length(text) - F.lit(k - 1))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(starts, lambda i: stable_hash32(text.substr(i, F.lit(k)),
+                                                    salt="win")).alias("_h"),
+    )
+    minima = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_h") - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+        )
+    )
+    sets = {r.doc_id: set(r.fps) for r in
+            hashed.select("doc_id", minima.alias("fps")).collect()}
+    assert sets[1] & sets[2], "docs sharing a 40-char substring must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    # and the operator's summary agrees with the recomputation
+    got = {r.doc_id: (r.n_fingerprints, r.fp_checksum)
+           for r in winnow_fingerprints(docs, k=k, window=w).collect()}
+    for d, fps in sets.items():
+        assert got[d] == (len(fps), sum(fps)), d
