@@ -249,10 +249,13 @@ def winnow_fingerprints(
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams of ``text`` as an array column (empty
-    when fewer than n tokens) — pure expressions, whole-stage codegen."""
-    toks = nonempty_tokens(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-MATERIALIZED token array
+    column (empty when fewer than n tokens). Tokenize in a separate
+    projection first: expressions referenced inside a ``transform`` lambda
+    re-evaluate per element (no CSE), so an inlined ``split(...)`` here
+    would re-tokenize the document at every window position — the same
+    quadratic trap ``functions/text.shingles_from_tokens`` documents."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -260,6 +263,13 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Convenience single-expression n-grams of raw text — fine for tests
+    and small inputs; hot paths must project ``nonempty_tokens`` first and
+    call ``ngrams_from_tokens`` (see that function's CSE note)."""
+    return ngrams_from_tokens(nonempty_tokens(text), n)
 
 
 def ngram_contamination(
@@ -280,13 +290,16 @@ def ngram_contamination(
     100 TB its distinct-gram set broadcasts and the train side never
     shuffles; the strategy is still left to AQE rather than forced.
     """
-    train_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
-    eval_grams = (
-        eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-        .distinct()
+    train_toks = train.select(
+        F.col(id_col), nonempty_tokens(F.col(text_col)).alias("_toks")
     )
+    train_grams = train_toks.select(
+        F.col(id_col), F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+    ).distinct()
+    eval_toks = eval_set.select(nonempty_tokens(F.col(text_col)).alias("_toks"))
+    eval_grams = eval_toks.select(
+        F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+    ).distinct()
     return (
         train_grams.join(eval_grams, "gram")
         .groupBy(id_col)

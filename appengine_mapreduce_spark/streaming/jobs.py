@@ -62,14 +62,18 @@ def conversion_join(
     key: str = "user_id",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream event-time inner join: match each conversion to the
+    """Stream-stream event-time join: match each conversion to the
     lead event(s) of the same user that happened within ``within`` before
     it.
 
     Both sides carry watermarks and the join condition bounds event time
     on both sides, so the engine can expire join state — without the time
-    bound a stream-stream join would buffer both streams forever. Output:
+    bound a stream-stream join would buffer both streams forever.
+    ``how="left_outer"`` emits unconverted leads with NULL conversion
+    columns, but only once the watermark proves no match can still arrive
+    — the delayed-NULL semantics unique to streaming outer joins. Output:
     (user_id, lead_ts, conv_ts, delay_s, conv_value).
     """
     l = leads.select(
@@ -84,7 +88,7 @@ def conversion_join(
             f"l_key = c_key AND conv_ts >= lead_ts "
             f"AND conv_ts <= lead_ts + interval {within}"
         ),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("l_key").alias("user_id"),

@@ -311,3 +311,59 @@ def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_stream").collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_stream_left_outer_join_null_on_expiry(spark, tmp_path):
+    """Streaming LEFT OUTER join: an unconverted lead must emit with NULL
+    conversion columns — but only after the watermark passes the point
+    where a match could still arrive. Two micro-batches: the second's
+    timestamps push the watermark far past batch one's join window,
+    forcing the NULL row out."""
+    import datetime as dt
+
+    from appengine_mapreduce_spark.streaming.jobs import conversion_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    leads_dir = str(tmp_path / "leads")
+    conv_dir = str(tmp_path / "convs")
+    # batch 1: user 1 converts, user 2 never does
+    spark.createDataFrame(
+        [(1, base), (2, base)], "user_id bigint, ts timestamp"
+    ).coalesce(1).write.parquet(leads_dir)
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 9.5)],
+        "user_id bigint, ts timestamp, value double",
+    ).coalesce(1).write.parquet(conv_dir)
+    # batch 2: far-future rows on BOTH sides advance the watermark
+    far = base + dt.timedelta(days=2)
+    spark.createDataFrame(
+        [(99, far)], "user_id bigint, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(leads_dir)
+    spark.createDataFrame(
+        [(99, far, 1.0)], "user_id bigint, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(conv_dir)
+
+    leads = spark.readStream.schema("user_id bigint, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(leads_dir)
+    convs = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(conv_dir)
+
+    out = conversion_join(
+        leads, convs, within="1 hour", watermark="1 hour", how="left_outer"
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("outer_join_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM outer_join_stream").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user[1][0].conv_value == 9.5        # matched within window
+    assert by_user[2][0].conv_ts is None          # expired → NULL emission
+    assert by_user[2][0].conv_value is None
