@@ -141,3 +141,64 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") >= 100)
     eval_set = docs.filter(F.col("doc_id") < 100)
     return ngram_contamination(train, eval_set, n=5)
+
+
+# Composite corpus scrub: compose the three oracle-verified per-doc signal
+# queries into one keep/reject decision. The oracle REUSES the component
+# oracles as CTEs (import triggers their registration), so the composite
+# stays consistent with them by construction.
+from appengine_mapreduce_spark.plans import queries_text as _queries_text  # noqa: E402,F401
+from appengine_mapreduce_spark.plans.registry import _REGISTRY as _R  # noqa: E402
+
+_SCRUB_ORACLE = f"""
+    WITH lang AS ({_R["lang_id_pred"].oracle}),
+    qual AS ({_R["quality_scores"].oracle}),
+    rep AS ({_R["repetition_signals"].oracle})
+    SELECT lang.doc_id, pred_lang,
+           (pred_lang <> 'und' AND quality >= 0.45
+            AND dup_tok_fraction <= 0.55) AS keep,
+           CASE WHEN pred_lang = 'und' THEN 'unknown_lang'
+                WHEN quality < 0.45 THEN 'low_quality'
+                WHEN dup_tok_fraction > 0.55 THEN 'repetitive'
+                ELSE 'ok' END AS reject_reason
+    FROM lang JOIN qual ON lang.doc_id = qual.doc_id
+              JOIN rep ON lang.doc_id = rep.doc_id
+"""
+
+
+@register(
+    "corpus_filter_pipeline",
+    oracle=_SCRUB_ORACLE,
+    description="End-to-end corpus scrub decision: language-ID + quality "
+    "score + Gopher-style repetition signals composed into one keep/reject "
+    "verdict per document with a precedence-ordered reject_reason — the "
+    "shape of a production pre-training filter pass. Three co-keyed "
+    "doc_id joins over the component operators (each independently "
+    "oracle-verified); the composite oracle embeds the component oracles "
+    "as CTEs, so the integration cannot drift from the parts.",
+    tags=("pipeline", "training-data", "text", "integration"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        language_id, quality_score, repetition_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    lang = language_id(docs)
+    qual = quality_score(docs).select("doc_id", "quality")
+    rep = repetition_signals(docs).select("doc_id", "dup_tok_fraction")
+    j = lang.join(qual, "doc_id").join(rep, "doc_id")
+    keep = (
+        (F.col("pred_lang") != "und")
+        & (F.col("quality") >= 0.45)
+        & (F.col("dup_tok_fraction") <= 0.55)
+    )
+    reason = (
+        F.when(F.col("pred_lang") == "und", "unknown_lang")
+        .when(F.col("quality") < 0.45, "low_quality")
+        .when(F.col("dup_tok_fraction") > 0.55, "repetitive")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id", "pred_lang", keep.alias("keep"), reason.alias("reject_reason")
+    )
