@@ -93,6 +93,52 @@ def sign_bucket(vec: Column, num_bits: int = 8) -> Column:
     return expr
 
 
+def sign_lsh_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch ANN: top-k cosine neighbors for EVERY query vector at once —
+    the serving/corpus-join shape (k-NN graph construction, batched
+    retrieval), not the single-query probe.
+
+    Both sides bucket by sign-LSH; the bucket equi-join replaces the
+    corpus × queries cross product with per-bucket blocks (the 100 TB
+    difference between |C|·|Q| and Σ_b |C_b|·|Q_b|), then a per-query
+    ranking window keeps k rows. The query side is typically
+    benchmark-sized, so AQE broadcasts it and the corpus never shuffles;
+    recall follows the single-probe sign-LSH semantics (raise with fewer
+    bits or by unioning bit-flip probes).
+    """
+    from pyspark.sql import Window
+
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    scored = cb.join(qb, "_b").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sign_lsh_topk(
     corpus: DataFrame,
     query_vec: list[float],

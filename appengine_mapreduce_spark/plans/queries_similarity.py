@@ -140,3 +140,50 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
+
+
+_BBITS = 6
+_BATCH_BUCKET = "(" + " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_BBITS)
+) + ")"
+
+
+@register(
+    "batch_ann_topk",
+    oracle=f"""
+        WITH qs AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {_BATCH_BUCKET.format(v="embedding")} AS qb
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round({_cos_sql("embedding", "qv")}, 6) AS cosine
+            FROM embeddings JOIN qs
+              ON {_BATCH_BUCKET.format(v="embedding")} = qb
+        )
+        SELECT query_id, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    description="Batch ANN — top-3 neighbors for EVERY query vector in one "
+    "plan (k-NN graph / batched retrieval shape): sign-LSH bucket equi-join "
+    "replaces the corpus × queries cross product with per-bucket blocks, "
+    "then one per-query ranking window "
+    "(operators/similarity.sign_lsh_batch_topk). The query side is "
+    "benchmark-sized so at scale it broadcasts and the corpus never "
+    "shuffles for the join.",
+    tags=("similarity", "ann", "lsh", "batch"),
+)
+def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.similarity import sign_lsh_batch_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sign_lsh_batch_topk(emb, queries, k=3, num_bits=_BBITS)

@@ -116,3 +116,36 @@ def test_ngram_contamination_planted(spark):
     got = {r.doc_id: r.n_shared_ngrams
            for r in ngram_contamination(train, eval_set, n=5).collect()}
     assert got == {10: 1, 12: 2}
+
+
+def test_pack_by_token_budget_invariants_property(spark):
+    """Random token sizes: bins are contiguous in order, non-decreasing,
+    and no bin's tokens-before-its-last-doc reach the budget (each bin
+    overshoots by at most its final document)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(sizes=st.lists(st.integers(1, 700), min_size=1, max_size=40),
+           budget=st.integers(100, 1500))
+    def check(sizes, budget):
+        rows = [(i, "g", s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "id bigint, grp string, toks bigint")
+        from appengine_mapreduce_spark.operators.sampling import (
+            pack_by_token_budget,
+        )
+
+        got = sorted(pack_by_token_budget(
+            df, tokens_col="toks", budget=budget,
+            order_col="id", partition_col="grp").collect(),
+            key=lambda r: r.id)
+        bins = [r.bin for r in got]
+        assert bins == sorted(bins)          # contiguous, non-decreasing
+        assert bins[0] == 0
+        # per-bin: sum of tokens before the bin's last doc < budget * (bin+1)
+        running = 0
+        for r in got:
+            assert r.bin == running // budget
+            running += r.toks
+
+    check()

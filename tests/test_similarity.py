@@ -73,3 +73,32 @@ def test_sign_lsh_topk_subset_of_bucket(emb, query_vec):
     for r in rows:
         b = sum(1 << i for i in range(4) if float(r.embedding[i]) >= 0)
         assert b == q_bucket, (r.vec_id, b, q_bucket)
+
+
+def test_batch_ann_topk_contract(emb):
+    """Every query's neighbor list: self ranks first (cosine 1.0), all
+    hits share the query's sign bucket, ≤ k rows per query."""
+    from appengine_mapreduce_spark.operators.similarity import (
+        sign_lsh_batch_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = sign_lsh_batch_topk(emb, queries, k=3, num_bits=6).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    def bucket(v):
+        return sum(1 << i for i in range(6) if v[i] >= 0)
+
+    for qid, hits in by_q.items():
+        assert len(hits) <= 3
+        best = max(hits, key=lambda r: (r.cosine, -r.vec_id))
+        assert best.vec_id == qid and best.cosine == pytest.approx(1.0)
+        for h in hits:
+            assert bucket(vecs[h.vec_id]) == bucket(vecs[qid])
