@@ -41,6 +41,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    digest_col: str = "text_hash",
+) -> DataFrame:
+    """Dedup a NEW batch against the historical corpus: drop rows whose
+    content digest already exists in ``seen_digests`` (a 16-byte-per-doc
+    fingerprint store persisted between pipeline runs), then dedup within
+    the batch itself.
+
+    The production dedup shape — a daily crawl lands against a 100 TB
+    history; the anti-join touches only digests (the history's documents
+    are never read), and the within-batch pass shuffles only the new
+    rows. Keep ``seen_digests`` bucketed by digest and the anti-join is
+    exchange-free on the history side.
+    """
+    hashed = new_batch.withColumn(digest_col, F.md5(F.col(text_col)))
+    unseen = hashed.join(seen_digests, digest_col, "left_anti")
+    return unseen.dropDuplicates([digest_col])
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
     from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
     from appengine_mapreduce_spark.functions.text import (

@@ -99,3 +99,57 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH seen AS (
+            SELECT DISTINCT md5(text) AS text_hash
+            FROM documents WHERE doc_id < 300
+        ),
+        nb AS (
+            SELECT md5(text) AS text_hash, doc_id
+            FROM documents WHERE doc_id >= 300
+        ),
+        grp AS (
+            SELECT text_hash, count(*) AS n, min(doc_id) AS first_doc
+            FROM nb GROUP BY text_hash
+        ),
+        unseen AS (
+            SELECT * FROM grp
+            WHERE text_hash NOT IN (SELECT text_hash FROM seen)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_unique_new,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_unseen_rows,
+               min(first_doc) AS first_new_doc
+        FROM unseen
+    """,
+    description="Incremental dedup — the production shape: a new batch "
+    "(doc_id ≥ 300) lands against the historical corpus's digest store "
+    "(doc_id < 300), drops already-seen content via a digest-only "
+    "anti-join (history documents never read), then dedups within the "
+    "batch (operators/dedup.incremental_dedup). Emits batch accounting: "
+    "unique-new digests, surviving row count, earliest new doc. At 100 TB "
+    "the fingerprint store is 16 bytes/doc and bucketable by digest, "
+    "making the anti-join exchange-free on the history side.",
+    tags=("dedup", "incremental", "training-data"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    new_batch = docs.filter(F.col("doc_id") >= 300)
+    hashed = new_batch.withColumn("text_hash", F.md5("text"))
+    per_digest = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
+    )
+    unseen = per_digest.join(seen, "text_hash", "left_anti")
+    return unseen.agg(
+        F.count(F.lit(1)).alias("n_unique_new"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_unseen_rows"),
+        F.min("first_doc").alias("first_new_doc"),
+    )

@@ -309,3 +309,25 @@ def test_winnowing_containment_guarantee(spark):
            for r in winnow_fingerprints(docs, k=k, window=w).collect()}
     for d, fps in sets.items():
         assert got[d] == (len(fps), sum(fps)), d
+
+
+def test_incremental_dedup_operator(spark):
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [("already seen",), ("also seen",)], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+    new_batch = spark.createDataFrame(
+        [
+            (1, "already seen"),     # dropped: in history
+            (2, "brand new"),        # kept
+            (3, "brand new"),        # in-batch dupe of 2 → one survives
+            (4, "another fresh"),    # kept
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(new_batch, history).collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["another fresh", "brand new"]
