@@ -57,6 +57,11 @@ def incremental_dedup(
     are never read), and the within-batch pass shuffles only the new
     rows. Keep ``seen_digests`` bucketed by digest and the anti-join is
     exchange-free on the history side.
+
+    Within-batch dedup keeps an arbitrary representative row per digest
+    (identical ``text_col`` by construction; OTHER columns may differ
+    between duplicates). Pipelines needing a deterministic keeper should
+    aggregate ``min(id)`` per digest instead (see ``exact_dedup``).
     """
     hashed = new_batch.withColumn(digest_col, F.md5(F.col(text_col)))
     unseen = hashed.join(seen_digests, digest_col, "left_anti")

@@ -80,6 +80,11 @@ def pack_by_token_budget(
     pipeline uses to build context windows. One window cumsum, one
     shuffle on the partition key; bins may overshoot by at most one
     document (documented, not first-fit bin packing).
+
+    Scale note: omitting ``partition_col`` makes the window GLOBAL — a
+    single-partition sort, fine for dimension-sized inputs only. A 100 TB
+    corpus must pass a partition column (language, source, shard) so the
+    cumsum distributes.
     """
     from pyspark.sql import Window
 
