@@ -107,3 +107,40 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted"),
     )
+
+
+@register(
+    "salted_join_priority_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    description="Skew-resistant salted join through the driver gate: the "
+    "probe side spreads each key over 16 salt buckets and the build side "
+    "replicates into all of them (operators/joins.salted_join) — the "
+    "explicit remedy for pathological hot keys AQE's skew split can't "
+    "absorb. Salting must be result-invariant: the oracle is the PLAIN "
+    "join, so any row lost or duplicated by the salt plumbing fails the "
+    "value hash.",
+    tags=("join", "skew", "salted"),
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, key="l_orderkey", build_key="o_orderkey")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
