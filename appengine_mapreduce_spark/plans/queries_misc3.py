@@ -144,3 +144,81 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "grouped_values_capped",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_slice(list_sort(list(event_type)), 1, 5),
+                               ',') AS sample_values,
+               count(*) AS n_total
+        FROM events GROUP BY user_id
+    """,
+    description="IdentityReducer(maxGroupedValues) parity through the "
+    "driver gate (reference: reducers/IdentityReducer.java, value caps "
+    "shuffler.py:596-598): collate values per key as a SORTED list capped "
+    "at 5 (operators/shuffle.group_values) — sorting makes the cap "
+    "deterministic, so the truncated list value-hashes identically in "
+    "both engines; joined to a string for portable comparison.",
+    tags=("mr-parity", "reducer", "grouping"),
+)
+def grouped_values_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.shuffle import group_values
+
+    ev = load(spark, sf_dir, "events")
+    grouped = group_values(
+        ev, "user_id", "event_type", sort=True, max_grouped_values=5
+    )
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return grouped.join(n, "user_id").select(
+        "user_id",
+        F.array_join("values", ",").alias("sample_values"),
+        "n_total",
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    description="Bucketed co-located join through the driver gate "
+    "(reference: outputs/ShardingOutputWriter.java — per-key-bucket files "
+    "for the NEXT job's co-located consumption): orders and customer are "
+    "written bucketed on the join key (sinks/bucketed.BucketedTableOutput, "
+    "8 buckets each), then joined — same-bucket-spec joins run without an "
+    "exchange (plan-asserted in tests/test_sources_sinks.py); the oracle "
+    "is the plain join, so the bucketing layout is value-hash-verified.",
+    tags=("join", "bucketed", "sinks"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from appengine_mapreduce_spark.sinks.bucketed import BucketedTableOutput
+
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    orders_t, cust_t = f"bt_orders_{tag}", f"bt_customer_{tag}"
+    BucketedTableOutput(orders_t, key="o_custkey", num_buckets=8).write(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    )
+    BucketedTableOutput(cust_t, key="c_custkey", num_buckets=8).write(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    o = spark.table(orders_t)
+    c = spark.table(cust_t)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

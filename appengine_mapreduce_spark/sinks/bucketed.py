@@ -33,6 +33,17 @@ class BucketedTableOutput:
     mode: str = "overwrite"
 
     def write(self, df: DataFrame, job_name: str = "") -> str:
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        # A fresh session's in-memory catalog cannot see tables a previous
+        # session created, but their warehouse directories persist on disk
+        # and block saveAsTable (LOCATION_ALREADY_EXISTS). Remove orphans.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{self.table.lower()}", ignore_errors=True)
         writer = (
             df.write.mode(self.mode)
             .format(self.format)
