@@ -290,7 +290,7 @@ def ngram_contamination(
     100 TB its distinct-gram set broadcasts and the train side never
     shuffles; the strategy is still left to AQE rather than forced.
     """
-    train_toks = train.select(
+    train_toks = ensure_parallelism(train).select(
         F.col(id_col), nonempty_tokens(F.col(text_col)).alias("_toks")
     )
     train_grams = train_toks.select(
