@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the plan has fewer partitions than the cluster has
     cores. Reading partition count plans the scan but runs no job."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's/trigger's concern;
+        # df.rdd is undefined on a streaming plan
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

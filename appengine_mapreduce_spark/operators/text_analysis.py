@@ -88,6 +88,46 @@ def quality_score(
     )
 
 
+def scrub_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``pred_lang`` + ``quality`` added as columns in ONE projection —
+    tokenizes once for both signals (language_id and quality_score each
+    re-tokenize when run separately) and keeps every input column.
+    Stateless row-local expressions, so this runs UNCHANGED on a
+    Structured Streaming input (streaming/jobs.streaming_corpus_scrub);
+    the batch twins remain the oracle-verified surface.
+    """
+    df = ensure_parallelism(df)
+    out = df.withColumn("_toks", nonempty_tokens(F.col(text_col)))
+    langs = sorted(LANG_MARKERS)
+    for lg in langs:
+        out = out.withColumn(f"_h_{lg}", _marker_hits(F.col("_toks"), LANG_MARKERS[lg]))
+    best = F.greatest(*[F.col(f"_h_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((F.col(f"_h_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+
+    toks = F.col("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alnum_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_chars > 0, alnum_chars / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + stop_ratio * 0.3
+        + alnum_ratio * 0.3
+    )
+    return (
+        out.withColumn("pred_lang", pred)
+        .withColumn("quality", score)
+        .drop("_toks", *[f"_h_{lg}" for lg in langs])
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", tokenizer=None) -> DataFrame:
     """Corpus-level token accounting: total tokens, distinct tokens,
     mean tokens per document. Single-row result (counters-style).

@@ -99,6 +99,22 @@ def conversion_join(
     )
 
 
+def streaming_corpus_scrub(docs: DataFrame, min_quality: float = 0.35) -> DataFrame:
+    """Continuous corpus scrub — the streaming twin of the batch
+    ``corpus_filter_pipeline``'s stateless rules: language-ID and quality
+    scoring are row-local expressions computed in ONE projection
+    (operators/text_analysis.scrub_signals — no joins, no state, no
+    watermark), so an ingestion pipeline can run this between the crawler
+    and the corpus store and low-quality content never lands. Emits kept
+    documents with ``pred_lang`` and ``quality`` attached."""
+    from appengine_mapreduce_spark.operators.text_analysis import scrub_signals
+
+    scored = scrub_signals(docs)
+    return scored.filter(
+        (F.col("pred_lang") != "und") & (F.col("quality") >= min_quality)
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: Iterable[str] = ("event_id",),

@@ -331,3 +331,26 @@ def test_incremental_dedup_operator(spark):
     out = incremental_dedup(new_batch, history).collect()
     texts = sorted(r.text for r in out)
     assert texts == ["another fresh", "brand new"]
+
+
+def test_scrub_signals_matches_component_operators(spark):
+    """scrub_signals (one shared projection) must agree exactly with the
+    separately-run, oracle-verified language_id and quality_score."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        language_id, quality_score, scrub_signals,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    combined = {r.doc_id: (r.pred_lang, r.quality)
+                for r in scrub_signals(docs).collect()}
+    lang = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    qual = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert len(combined) == len(lang) == len(qual)
+    for d, (pl, q) in combined.items():
+        assert pl == lang[d], d
+        assert q == qual[d], d  # identical expressions ⇒ bit-identical

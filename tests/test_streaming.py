@@ -367,3 +367,38 @@ def test_stream_stream_left_outer_join_null_on_expiry(spark, tmp_path):
     assert by_user[1][0].conv_value == 9.5        # matched within window
     assert by_user[2][0].conv_ts is None          # expired → NULL emission
     assert by_user[2][0].conv_value is None
+
+
+def test_streaming_corpus_scrub_matches_batch(spark, tmp_path):
+    """The streaming scrub must keep exactly the documents the same
+    stateless rules keep in batch (scrub_signals is one shared
+    projection, so this is an identity check on the streaming plumbing)."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.text_analysis import scrub_signals
+    from appengine_mapreduce_spark.streaming.jobs import streaming_corpus_scrub
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "docs_scrub_stream")
+    docs.write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    out = streaming_corpus_scrub(stream, min_quality=0.35)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("scrub_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM scrub_stream").collect()}
+    expected = {
+        r.doc_id
+        for r in scrub_signals(docs)
+        .filter((F.col("pred_lang") != "und") & (F.col("quality") >= 0.35))
+        .collect()
+    }
+    assert got == expected and len(expected) > 0
