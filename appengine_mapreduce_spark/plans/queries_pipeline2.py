@@ -180,14 +180,16 @@ _SCRUB_ORACLE = f"""
 )
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.operators.text_analysis import (
-        language_id, quality_score, repetition_signals,
+        repetition_signals, scrub_signals,
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    lang = language_id(docs)
-    qual = quality_score(docs).select("doc_id", "quality")
+    # lang + quality come from ONE shared projection (scrub_signals — bit-
+    # identical to the component operators, tested); only the repetition
+    # signals need a shuffle, joined on the doc key.
+    scored = scrub_signals(docs).select("doc_id", "pred_lang", "quality")
     rep = repetition_signals(docs).select("doc_id", "dup_tok_fraction")
-    j = lang.join(qual, "doc_id").join(rep, "doc_id")
+    j = scored.join(rep, "doc_id")
     keep = (
         (F.col("pred_lang") != "und")
         & (F.col("quality") >= 0.45)

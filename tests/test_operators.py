@@ -354,3 +354,18 @@ def test_scrub_signals_matches_component_operators(spark):
     for d, (pl, q) in combined.items():
         assert pl == lang[d], d
         assert q == qual[d], d  # identical expressions ⇒ bit-identical
+
+
+def test_ensure_parallelism_widens_and_streaming_passthrough(spark, tmp_path):
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+
+    narrow = spark.range(0, 1000).coalesce(2)
+    wide = ensure_parallelism(narrow)
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    already = spark.range(0, 1000, 1, 64)
+    assert ensure_parallelism(already) is already  # no-op, no shuffle added
+    # streaming plans pass through untouched (df.rdd is undefined there)
+    d = str(tmp_path / "s")
+    spark.range(5).write.parquet(d)
+    stream = spark.readStream.schema("id bigint").parquet(d)
+    assert ensure_parallelism(stream) is stream
