@@ -139,6 +139,94 @@ def sign_lsh_batch_topk(
     )
 
 
+def sq8_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (min, max) quantization model as a SINGLE-ROW DataFrame
+    (``mn_arr``, ``mx_arr`` — array<double> each).
+
+    One posexplode + a dim-keyed aggregation (cardinality = dim, bounded —
+    never skewed), then a collect_list fold into two arrays. The model is
+    2×dim doubles: broadcast it, never the corpus.
+    """
+    ex = corpus.select(F.posexplode(vec_col).alias("_d", "_v"))
+    stats = ex.groupBy("_d").agg(
+        F.min(F.col("_v").cast("double")).alias("_mn"),
+        F.max(F.col("_v").cast("double")).alias("_mx"),
+    )
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_mn"))), lambda s: s["_mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_mx"))), lambda s: s["_mx"]
+        ).alias("mx_arr"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantize each vector to 8-bit codes: code_d = floor(255 ·
+    (v_d − min_d) / (max_d − min_d)), clamped to [0, 255].
+
+    This is FAISS-style SQ8 compression: 1 byte per dimension instead of 4
+    — at 100 TB of embeddings the stored index shrinks 4× and the scan
+    reads 4× fewer bytes. floor (not round) keeps the code an exact
+    engine-portable function of IEEE doubles. Constant dimensions
+    (max == min) code to 0. Everything is JVM codegen expressions — no
+    Python per row.
+    """
+    mn, mx = F.col("mn_arr"), F.col("mx_arr")
+
+    def code(x: Column, i: Column) -> Column:
+        lo, hi = F.get(mn, i), F.get(mx, i)
+        rng = hi - lo
+        c = F.least(
+            F.lit(255.0),
+            F.floor(F.lit(255.0) * (x.cast("double") - lo) / rng).cast("double"),
+        )
+        return F.when(rng == 0, F.lit(0.0)).otherwise(c).cast("int")
+
+    return corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), code).alias("codes"),
+        "mn_arr",
+        "mx_arr",
+    )
+
+
+def sq8_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over SQ8 codes: the corpus side is
+    reconstructed from its 1-byte codes (recon_d = min_d + code_d ·
+    range_d / 255), the query stays full precision, cosine is exact over
+    the reconstruction. Expression-only; the stats arrays ride along from
+    :func:`sq8_encode` (a broadcast single row, not per-row state)."""
+    mn, mx = F.col("mn_arr"), F.col("mx_arr")
+
+    def recon(c: Column, i: Column) -> Column:
+        lo, hi = F.get(mn, i), F.get(mx, i)
+        rng = hi - lo
+        return lo + c.cast("double") * rng / F.lit(255.0)
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = encoded.select(
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.transform(F.col("codes"), recon), qv), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def sign_lsh_topk(
     corpus: DataFrame,
     query_vec: list[float],

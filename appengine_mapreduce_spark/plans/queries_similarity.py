@@ -142,6 +142,65 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_RECON = """
+        ex AS (
+            SELECT unnest(embedding) AS v,
+                   unnest(generate_series(0, len(embedding) - 1)) AS d
+            FROM embeddings
+        ),
+        st AS (
+            SELECT d, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+            FROM ex GROUP BY d
+        ),
+        arrs AS (
+            SELECT list(mn ORDER BY d) AS mn_arr, list(mx ORDER BY d) AS mx_arr
+            FROM st
+        ),
+        recon AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, len(embedding)), i ->
+                       CASE WHEN mx_arr[i] - mn_arr[i] = 0 THEN mn_arr[i]
+                            ELSE mn_arr[i]
+                                 + LEAST(255.0,
+                                         FLOOR(255.0 * (CAST(embedding[i] AS DOUBLE) - mn_arr[i])
+                                               / (mx_arr[i] - mn_arr[i])))
+                                   * (mx_arr[i] - mn_arr[i]) / 255.0
+                       END) AS rv,
+                   qv
+            FROM embeddings, arrs, q
+        )
+"""
+
+
+@register(
+    "sq8_ann_topk",
+    oracle=f"""
+        WITH {_QVEC_CTE},
+        {_SQ_RECON}
+        SELECT vec_id, round({_cos_sql("rv", "qv")}, 6) AS cosine
+        FROM recon
+        ORDER BY cosine DESC, vec_id
+        LIMIT {_K}
+    """,
+    description="SQ8 scalar-quantized ANN (FAISS-style): per-dimension "
+    "min/max model (2×dim doubles, one bounded-cardinality aggregation), "
+    "corpus encoded to 1-byte-per-dimension codes — a 4× smaller stored "
+    "index and 4× fewer bytes scanned at 100 TB — then asymmetric top-k: "
+    "codes reconstructed expression-side, query kept full-precision. "
+    "floor-based code assignment keeps quantization an exact portable "
+    "function of IEEE doubles, so the oracle replays encode+decode "
+    "bit-for-bit. operators/similarity.py:sq8_stats/sq8_encode/"
+    "sq8_adc_topk.",
+    tags=("similarity", "ann", "quantization", "scalar-cross"),
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    stats = similarity.sq8_stats(emb)
+    encoded = similarity.sq8_encode(emb, stats)
+    return similarity.sq8_adc_topk(encoded, qv, k=_K)
+
+
 _BBITS = 6
 _BATCH_BUCKET = "(" + " + ".join(
     f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"

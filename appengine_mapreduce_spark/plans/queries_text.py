@@ -97,7 +97,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Corpus token accounting (counters-style single row): total "
     "tokens, vocabulary size, mean tokens/doc.",
-    tags=("text", "counters"),
+    tags=("text", "counters", "scalar-cross"),
 )
 def token_stats_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_stats(load(spark, sf_dir, "documents"))

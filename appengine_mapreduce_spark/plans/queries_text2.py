@@ -39,7 +39,7 @@ _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
     "and tf join on tok with the strategy left to AQE. ln() on identical "
     "doubles is bit-stable across engines; round(6) absorbs any last-ulp "
     "libm variation.",
-    tags=("text", "tfidf", "window"),
+    tags=("text", "tfidf", "window", "scalar-cross"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

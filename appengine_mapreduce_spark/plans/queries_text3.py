@@ -41,7 +41,7 @@ _BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
     "(functions/text.bpe_style_tokens; regexp_extract_all stays in "
     "whole-stage codegen). Same one-pass totals + distinct shape as "
     "token_stats_corpus.",
-    tags=("text", "tokenizer", "counters"),
+    tags=("text", "tokenizer", "counters", "scalar-cross"),
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.functions.text import bpe_style_tokens

@@ -45,7 +45,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Week-over-week retention: distinct week-1 users retained "
     "in week 2 — a semi-join between two time-sliced distinct sets.",
-    tags=("analytics", "timeseries", "retention"),
+    tags=("analytics", "timeseries", "retention", "scalar-cross"),
 )
 def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

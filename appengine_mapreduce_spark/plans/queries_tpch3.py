@@ -115,7 +115,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q15 top supplier: CTE revenue view + scalar max "
     "subquery (decimal-exact so the max comparison is portable).",
-    tags=("analytics", "subquery"),
+    tags=("analytics", "subquery", "scalar-cross"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
@@ -130,8 +130,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = revenue.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    # Scalar max + broadcast cross join, NOT a global rank window: a
+    # Window.orderBy with no partition key funnels the whole supplier
+    # aggregate through one partition — needless at any scale when only
+    # the max is wanted. The 1-row max broadcasts; the aggregate never
+    # re-sorts.
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
     supp = load(spark, sf_dir, "supplier")
     return top.join(supp, top.supplier_no == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
@@ -189,7 +198,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders — anti-join (NOT EXISTS) + scalar aggregate subquery. avg over "
     "2-decimal doubles is summation-order-sensitive only below the "
     "comparison's discrimination (balances differ at cent scale).",
-    tags=("analytics", "join", "anti", "subquery"),
+    tags=("analytics", "join", "anti", "subquery", "scalar-cross"),
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")

@@ -201,7 +201,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "far beyond int64 (a 100 TB corpus sums to ~1e19 in 1e-4 units, vs "
     "1e38 capacity), matching DuckDB's HUGEINT sum; the global-fraction "
     "HAVING compares in the decimal domain too.",
-    tags=("analytics", "tpch", "scalar-subquery"),
+    tags=("analytics", "tpch", "scalar-subquery", "scalar-cross"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)

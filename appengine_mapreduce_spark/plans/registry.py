@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_dedup2,
         queries_dynamic,
         queries_files,
+        queries_layout,
         queries_merge,
         queries_misc,
         queries_misc2,

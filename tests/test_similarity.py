@@ -102,3 +102,36 @@ def test_batch_ann_topk_contract(emb):
         assert best.vec_id == qid and best.cosine == pytest.approx(1.0)
         for h in hits:
             assert bucket(vecs[h.vec_id]) == bucket(vecs[qid])
+
+
+def test_sq8_recall_and_code_range(emb, query_vec):
+    """SQ8 quantized top-k: codes stay in [0, 255], reconstruction error is
+    bounded by half a quantization step per dimension, and recall@10 vs
+    exact brute force is high (64-dim vectors lose little to 8-bit scalar
+    quantization)."""
+    from appengine_mapreduce_spark.operators.similarity import (
+        sq8_adc_topk,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    stats = sq8_stats(emb)
+    srow = stats.collect()[0]
+    encoded = sq8_encode(emb, stats)
+    enc_rows = encoded.limit(50).collect()
+    for r in enc_rows:
+        assert all(0 <= c <= 255 for c in r.codes), r.codes
+        # reconstruction is within one quantization step of the original
+        orig = {
+            v.vec_id: [float(x) for x in v.embedding]
+            for v in emb.filter(F.col("vec_id") == r.vec_id).collect()
+        }[r.vec_id]
+        for d, c in enumerate(r.codes):
+            rng = srow.mx_arr[d] - srow.mn_arr[d]
+            recon = srow.mn_arr[d] + c * rng / 255.0
+            assert abs(recon - orig[d]) <= rng / 255.0 + 1e-9
+
+    truth = {r.vec_id for r in brute_force_topk(emb, query_vec, k=10).collect()}
+    got = {r.vec_id for r in sq8_adc_topk(encoded, query_vec, k=10).collect()}
+    recall = len(got & truth) / 10
+    assert recall >= 0.7, (recall, got, truth)
