@@ -1,0 +1,77 @@
+"""Small-file compaction — the maintenance pass every long-running lake
+pipeline needs.
+
+Streaming sinks, per-shard writers and fine-grained partitionBy layouts all
+produce directories of many small files; at 100 TB scale, scan cost is
+dominated by file-open overhead and scheduler pressure long before bytes.
+``compact_files`` rewrites a directory to approximately ``target_bytes``
+files with a plain distributed read→repartition→write (no driver data
+path), then swaps the result in atomically (write-to-temp + rename — the
+same commit discipline as the reference's tmp-file rewrite in
+GoogleCloudStorageConsistentOutputWriter, output_writers.py:863-1054).
+
+Sort order within files is NOT preserved (compaction is for unordered
+record sets; use the sorted/z-order layouts in plans/queries_layout.py
+when order carries pruning value).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class CompactionStats:
+    files_before: int
+    files_after: int
+    bytes_total: int
+
+
+def _data_files(path: str, suffix: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(suffix) and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    data_format: str = "parquet",
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> CompactionStats:
+    """Rewrite ``path`` so each output file is ~``target_bytes``.
+
+    The file count is derived from the CURRENT on-disk bytes (cheap
+    listing), so a directory already compact is a near-no-op rewrite.
+    ``repartition(n)`` is a round-robin exchange — it balances output
+    sizes regardless of input skew, which is exactly right for compaction
+    (key locality is the sorted/partitioned layouts' job, not this one).
+    """
+    suffix = "." + data_format
+    before = _data_files(path, suffix)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(min_files, (total + target_bytes - 1) // target_bytes)
+
+    df = getattr(spark.read, data_format)(path)
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    getattr(df.repartition(int(n_out)).write.mode("overwrite"), data_format)(tmp)
+
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path.rstrip("/"), old)
+    os.replace(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+
+    after = _data_files(path, suffix)
+    return CompactionStats(
+        files_before=len(before), files_after=len(after), bytes_total=total
+    )

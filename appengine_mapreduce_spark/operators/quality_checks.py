@@ -1,0 +1,43 @@
+"""Declarative data-quality validation — one aggregation pass per table.
+
+``validate`` takes (rule_name → boolean Column) expectations and returns a
+small DataFrame of (rule, violations, n_rows): every rule is evaluated as
+a conditional sum inside ONE partial+final aggregation, so a 100-rule
+suite over 100 TB costs a single scan with map-side combine — never a
+pass per rule. The wide 1-row aggregate is unpivoted to rows with
+``stack`` (no shuffle; the aggregate is already a single row).
+
+This is the pipeline admission gate (null keys, referential ranges, value
+domains) a training-data build runs before accepting a new drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate every expectation in one pass.
+
+    Output: (rule string, violations bigint, n_rows bigint), one row per
+    rule, where ``violations`` counts rows for which the rule column is
+    NOT true (NULL counts as a violation — an unevaluable expectation is
+    a failing one).
+    """
+    aggs = [
+        F.sum(
+            F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)
+        ).alias(f"_viol_{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    names = list(rules)
+    stack_args = ", ".join(
+        f"'{name}', _viol_{i}" for i, name in enumerate(names)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (rule, violations)"
+        ),
+        F.col("_n").alias("n_rows"),
+    )

@@ -256,3 +256,52 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
     )
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+    description="Gap-based sessions via Spark's NATIVE session_window "
+    "operator (the declarative idiom; sessionize_users is the lag+cumsum "
+    "twin): one groupBy(user, session_window(ts, 30 min)) — Catalyst's "
+    "UpdatingSessionsExec merges windows in one shuffle, and the same "
+    "expression runs unchanged on a stream. Boundary semantics: an event "
+    "exactly gap after its predecessor starts a NEW session (merge is "
+    "strict ts < previous end), mirrored by >= in the oracle's lag test.",
+    tags=("analytics", "window", "sessionization"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -151,3 +151,93 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp.write.orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "zorder_layout_scan",
+    oracle="""
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        WHERE l_partkey BETWEEN 20 AND 120
+          AND l_suppkey BETWEEN 2 AND 6
+    """,
+    description="Z-order (Morton) layout: lineitem range-partitioned and "
+    "sorted by the bit-interleave of (l_partkey, l_suppkey) "
+    "(functions/zorder.z_value — unrolled shift/mask, pure codegen), so "
+    "each file covers a small RECTANGLE of the 2-D key space (per-file "
+    "spans asserted in tests/test_plan_quality.py). A predicate on both "
+    "dimensions then prunes through ordinary per-column parquet min/max "
+    "stats — the lakehouse OPTIMIZE ZORDER trick, with both filters "
+    "pushed to the scan.",
+    tags=("sinks", "sources", "layout", "pushdown", "zorder"),
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.functions.zorder import z_value_scaled
+
+    out = os.path.join(_layout_root(sf_dir), "lineitem_zorder")
+    marker = os.path.join(out, "_LAYOUT_OK")
+    if not os.path.exists(marker):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        # Layout-job parameter: per-dimension domain (a 1-row aggregate at
+        # write time). Both keys normalize to 8 bits before interleave so
+        # the z-sort balances the dimensions regardless of key width.
+        bounds = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        zed = li.withColumn(
+            "_z",
+            z_value_scaled(
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                (bounds[0], bounds[1]),
+                (bounds[2], bounds[3]),
+            ),
+        )
+        (
+            zed.repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    li = spark.read.parquet(out)
+    return li.filter(
+        (F.col("l_partkey") >= 20)
+        & (F.col("l_partkey") <= 120)
+        & (F.col("l_suppkey") >= 2)
+        & (F.col("l_suppkey") <= 6)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    description="Small-file compaction roundtrip: documents scattered "
+    "across 64 tiny files (a streaming-sink shape), compacted to "
+    "byte-targeted files via read -> round-robin repartition -> atomic "
+    "tmp-swap rewrite (operators/compaction.compact_files), read back "
+    "content-identical. At 100 TB the compaction pass is what keeps scan "
+    "cost proportional to bytes instead of file count; file-count "
+    "reduction is asserted in tests/test_sources_sinks.py.",
+    tags=("sinks", "sources", "layout", "compaction"),
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.compaction import compact_files
+
+    out = os.path.join(_layout_root(sf_dir), "docs_compacted")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(out)
+    compact_files(spark, out, target_bytes=8 * 1024 * 1024)
+    return spark.read.parquet(out)

@@ -48,9 +48,12 @@ _CURATED_FIRST: tuple[str, ...] = (
     # entity-scan sources (pushdown / pruning / namespaces / time-range)
     "entity_scan_filtered", "keys_only_scan", "namespace_enum",
     "log_time_range", "consecutive_longs",
-    # file sources: line offsets, gzip, glob, zip, LevelDB records
-    "line_input_offsets", "line_input_gzip", "glob_file_lines",
-    "zip_toc_members", "zip_line_records", "records_roundtrip",
+    # file sources: line offsets, glob, zip, LevelDB records (gzip + zip-TOC
+    # twins stay outside the window — same code paths as the entries here)
+    "line_input_offsets", "glob_file_lines",
+    "zip_line_records", "records_roundtrip",
+    # storage layout + quantized ANN (round-3 families)
+    "partitioned_layout_pruned", "sq8_ann_topk",
     # sink roundtrips
     "csv_roundtrip", "json_lines_roundtrip",
     # MERGE / SCD2 mutation sinks
@@ -119,6 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_misc,
         queries_misc2,
         queries_misc3,
+        queries_ops,
         queries_pipeline,
         queries_pipeline2,
         queries_sampling,

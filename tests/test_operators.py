@@ -369,3 +369,51 @@ def test_ensure_parallelism_widens_and_streaming_passthrough(spark, tmp_path):
     spark.range(5).write.parquet(d)
     stream = spark.readStream.schema("id bigint").parquet(d)
     assert ensure_parallelism(stream) is stream
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from appengine_mapreduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", None), (4, "d", 41.0), (5, "e", 50.0)],
+        "k int, name string, v double",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 unchanged incl. null==null
+    # (eqNullSafe), 4 updated, 5 inserted
+    assert got == {1: "delete", 4: "update", 5: "insert"}, got
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    from appengine_mapreduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v double")
+    new = spark.createDataFrame([(1, 7.0)], "k int, v double")
+    rows = snapshot_diff(old, new, key_cols=["k"]).collect()
+    assert len(rows) == 1 and rows[0].change_type == "update"
+    assert rows[0].v == 7.0  # new value wins for updates
+
+
+def test_validate_counts_null_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.quality_checks import validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k int, v double"
+    )
+    out = {
+        r.rule: (r.violations, r.n_rows)
+        for r in validate(
+            df, {"v_positive": F.col("v") > 0, "k_small": F.col("k") < 10}
+        ).collect()
+    }
+    # v > 0 is NULL for the None row -> counts as violation
+    assert out == {"v_positive": (2, 3), "k_small": (0, 3)}, out

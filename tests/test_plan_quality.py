@@ -284,3 +284,72 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
         ).count()
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in plan, plan
+
+
+def test_zorder_interleave_unit():
+    """z_value bit math: known interleaves, order-preservation on a grid."""
+    from appengine_mapreduce_spark.functions.zorder import z_value
+    from appengine_mapreduce_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3), (5, 9)], "x int, y int"
+    )
+    rows = df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()
+    got = {(r.x, r.y): r.z for r in rows}
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_zorder_layout_files_cover_small_rectangles(spark):
+    """Each z-sorted file must span a small RECTANGLE of (partkey, suppkey)
+    space: median per-file span well under the global span in BOTH
+    dimensions — the property that makes 2-D predicates prune. A sort on
+    partkey alone would leave every file spanning the full suppkey range."""
+    import os
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from appengine_mapreduce_spark.plans.queries_layout import _layout_root
+
+    QUERIES["zorder_layout_scan"].fn(spark, SF_CORRECT).collect()
+    root = os.path.join(_layout_root(SF_CORRECT), "lineitem_zorder")
+    spans = {"l_partkey": [], "l_suppkey": []}
+    globals_ = {"l_partkey": [None, None], "l_suppkey": [None, None]}
+    for f in sorted(os.listdir(root)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(root, f))
+        for colname in spans:
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                col = next(
+                    group.column(i)
+                    for i in range(group.num_columns)
+                    if group.column(i).path_in_schema == colname
+                )
+                st = col.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                continue
+            spans[colname].append(hi - lo)
+            g = globals_[colname]
+            g[0] = lo if g[0] is None else min(g[0], lo)
+            g[1] = hi if g[1] is None else max(g[1], hi)
+    for colname in spans:
+        assert len(spans[colname]) >= 4, spans
+        global_span = globals_[colname][1] - globals_[colname][0]
+        med = statistics.median(spans[colname])
+        assert med <= global_span * 0.6, (colname, med, global_span)

@@ -244,3 +244,24 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_facts")
         spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.compaction import (
+        _data_files,
+        compact_files,
+    )
+
+    path = str(tmp_path / "many_small")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(50).write.parquet(path)
+    assert len(_data_files(path, ".parquet")) == 50
+
+    stats = compact_files(spark, path, target_bytes=64 * 1024 * 1024)
+    assert stats.files_before == 50
+    assert stats.files_after < 10, stats
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10_000))
