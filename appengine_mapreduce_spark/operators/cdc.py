@@ -26,12 +26,16 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Rows that differ between snapshots, labeled ``change_type`` ∈
     {'insert', 'delete', 'update'}; unchanged rows are dropped.
 
     Output columns: key columns + ``change_type`` + the NEW snapshot's
     compare columns for insert/update (the OLD values for delete).
+    ``include_old=True`` additionally emits ``old_<col>`` columns (NULL
+    for inserts) — the retraction values downstream incremental
+    aggregation needs (see :func:`incremental_sum_refresh`).
     """
     compare_cols = compare_cols or [
         c for c in new.columns if c not in key_cols
@@ -76,8 +80,93 @@ def snapshot_diff(
         F.coalesce(F.col(f"_nv_{c}"), F.col(f"_ov_{c}")).alias(c)
         for c in compare_cols
     ]
+    extra = (
+        [F.col(f"_ov_{c}").alias(f"old_{c}") for c in compare_cols]
+        if include_old
+        else []
+    )
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*out_keys, F.col("change_type"), *out_vals)
+        .select(*out_keys, F.col("change_type"), *out_vals, *extra)
+    )
+
+
+def incremental_sum_refresh(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    group_col: str,
+    value_col: str,
+    sum_col: str = "total",
+    count_col: str = "n",
+) -> DataFrame:
+    """Maintain a (group → sum, count) aggregate from a CDC delta instead
+    of recomputing it from the full table.
+
+    ``old_agg`` is the previously materialized aggregate; ``delta`` is
+    :func:`snapshot_diff` output with ``include_old=True``. Additions are
+    the new values of inserts/updates, retractions the old values of
+    updates/deletes; the refresh is one group-keyed aggregation of the
+    (small) delta plus one full-outer join against the aggregate — at
+    100 TB the cost tracks the CHANGE volume, not the table. Groups whose
+    count reaches zero are dropped. Sums must be decimal-typed for exact
+    retraction (float retraction drifts).
+    """
+    # Signed contribution entries: inserts/updates ADD the new value under
+    # the NEW group, updates/deletes RETRACT the old value under the OLD
+    # group. An update whose group column changed therefore migrates
+    # cleanly (+1 new group, −1 old group); same-group updates cancel
+    # their count terms. Requires include_old=True delta (old_<col>
+    # retraction values); for delete rows the coalesced columns already
+    # hold old values.
+    ch = F.col("change_type")
+    old_group = (
+        F.when(ch == "update", F.col(f"old_{group_col}"))
+        .otherwise(F.col(group_col))
+    )
+    old_value = (
+        F.when(ch == "update", F.col(f"old_{value_col}"))
+        .otherwise(F.col(value_col))
+    )
+    add_entry = F.when(
+        ch != "delete",
+        F.struct(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("dv"),
+            F.lit(1).alias("dn"),
+        ),
+    )
+    rem_entry = F.when(
+        ch != "insert",
+        F.struct(
+            old_group.alias("g"),
+            (-old_value).alias("dv"),
+            F.lit(-1).alias("dn"),
+        ),
+    )
+    entries = F.filter(
+        F.array(add_entry, rem_entry), lambda e: e.isNotNull()
+    )
+    adj = (
+        delta.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.g").alias(group_col))
+        .agg(
+            F.sum("e.dv").alias("_d_sum"),
+            F.sum("e.dn").alias("_d_n"),
+        )
+    )
+    joined = old_agg.join(adj, group_col, "full_outer")
+    return (
+        joined.select(
+            F.col(group_col),
+            (
+                F.coalesce(F.col(sum_col), F.lit(0))
+                + F.coalesce(F.col("_d_sum"), F.lit(0))
+            ).alias(sum_col),
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                + F.coalesce(F.col("_d_n"), F.lit(0))
+            ).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
     )

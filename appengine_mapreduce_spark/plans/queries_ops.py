@@ -106,3 +106,58 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_non_negative": F.col("o_custkey") >= 0,
         },
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    oracle="""
+        WITH new AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                             ELSE c_acctbal END AS DECIMAL(18,2)) AS bal
+            FROM customer WHERE c_custkey % 13 <> 5
+        )
+        SELECT c_nationkey, CAST(sum(bal) AS DOUBLE) AS total, count(*) AS n
+        FROM new GROUP BY c_nationkey
+    """,
+    description="Incremental materialized-aggregate maintenance "
+    "(operators/cdc.incremental_sum_refresh): the per-nation (sum, count) "
+    "aggregate is refreshed from the OLD aggregate plus the CDC delta's "
+    "signed contributions (+new value on the new group, -old value on the "
+    "old group — group migration included), never from a full rescan. The "
+    "oracle aggregates the NEW snapshot directly, so a match PROVES "
+    "incremental == full recompute. Sums are decimal for exact retraction; "
+    "at 100 TB the refresh cost tracks change volume, not table size.",
+    tags=("pipeline", "cdc", "aggregation", "incremental"),
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.cdc import (
+        incremental_sum_refresh,
+        snapshot_diff,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    old = cust.filter(F.col("c_custkey") % 10 != 3)
+    new = cust.filter(F.col("c_custkey") % 13 != 5).withColumn(
+        "bal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("bal") + 100)
+        .otherwise(F.col("bal"))
+        .cast("decimal(18,2)"),
+    )
+    old_agg = old.groupBy("c_nationkey").agg(
+        F.sum("bal").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    delta = snapshot_diff(
+        old, new, key_cols=["c_custkey"], include_old=True
+    )
+    refreshed = incremental_sum_refresh(
+        old_agg, delta, group_col="c_nationkey", value_col="bal",
+        sum_col="total", count_col="n",
+    )
+    return refreshed.select(
+        "c_nationkey", F.col("total").cast("double").alias("total"), "n"
+    )

@@ -191,6 +191,7 @@ _SQ_RECON = """
     "function of IEEE doubles, so the oracle replays encode+decode "
     "bit-for-bit. operators/similarity.py:sq8_stats/sq8_encode/"
     "sq8_adc_topk.",
+    bench=True,
     tags=("similarity", "ann", "quantization", "scalar-cross"),
 )
 def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -417,3 +417,46 @@ def test_validate_counts_null_as_violation(spark):
     }
     # v > 0 is NULL for the None row -> counts as violation
     assert out == {"v_positive": (2, 3), "k_small": (0, 3)}, out
+
+
+def test_incremental_refresh_handles_group_migration(spark):
+    """An update that MOVES a row between groups must retract from the old
+    group and add to the new one; counts migrate too."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.cdc import (
+        incremental_sum_refresh,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 30)],
+        "k int, g string, v int",
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    # row 2 migrates g1 -> g2 and changes value; row 3 deleted; row 4 new
+    new = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g2", 25), (4, "g3", 40)],
+        "k int, g string, v int",
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+
+    old_agg = old.groupBy("g").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    delta = snapshot_diff(old, new, key_cols=["k"], include_old=True)
+    got = {
+        r.g: (float(r.total), r.n)
+        for r in incremental_sum_refresh(
+            old_agg, delta, "g", "v", "total", "n"
+        ).collect()
+    }
+    direct = {
+        r.g: (float(r.total), r.n)
+        for r in new.groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == direct == {
+        "g1": (10.0, 1),
+        "g2": (25.0, 1),
+        "g3": (40.0, 1),
+    }, (got, direct)
