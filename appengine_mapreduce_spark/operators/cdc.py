@@ -99,6 +99,7 @@ def incremental_sum_refresh(
     value_col: str,
     sum_col: str = "total",
     count_col: str = "n",
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Maintain a (group → sum, count) aggregate from a CDC delta instead
     of recomputing it from the full table.
@@ -156,17 +157,21 @@ def incremental_sum_refresh(
         )
     )
     joined = old_agg.join(adj, group_col, "full_outer")
-    return (
-        joined.select(
-            F.col(group_col),
-            (
-                F.coalesce(F.col(sum_col), F.lit(0))
-                + F.coalesce(F.col("_d_sum"), F.lit(0))
-            ).alias(sum_col),
-            (
-                F.coalesce(F.col(count_col), F.lit(0))
-                + F.coalesce(F.col("_d_n"), F.lit(0))
-            ).alias(count_col),
-        )
-        .filter(F.col(count_col) > 0)
+    out = joined.select(
+        F.col(group_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("_d_sum"), F.lit(0))
+        ).alias(sum_col),
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).alias(count_col),
     )
+    if drop_empty:
+        # Batch semantics: emptied groups vanish. A STORED aggregate that
+        # more deltas will land on must keep zero-count rows instead
+        # (drop_empty=False) — deltas can arrive in any additive order,
+        # and dropping a transiently-zero group would lose retractions.
+        out = out.filter(F.col(count_col) > 0)
+    return out

@@ -265,3 +265,65 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10_000))
+
+
+def test_backfill_builds_only_missing_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.backfill import (
+        backfill_partitions,
+        missing_partitions,
+    )
+
+    dest = str(tmp_path / "daily")
+    dates = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    calls = []
+
+    def build(spark_, d):
+        calls.append(d)
+        return spark_.range(0, 10).select(
+            F.col("id"), F.lit(d).alias("src_tag")
+        )
+
+    # first pass builds two partitions
+    built = backfill_partitions(spark, dest, "day", dates[:2], build)
+    assert built == dates[:2]
+    # second pass over the full range fills only the holes
+    calls.clear()
+    built = backfill_partitions(spark, dest, "day", dates, build)
+    assert built == dates[2:] and calls == dates[2:]
+    assert missing_partitions(dest, "day", dates) == []
+
+    back = spark.read.parquet(dest)
+    assert back.count() == 40
+    # partition values are type-inferred (DATE here); compare as strings
+    assert sorted(
+        str(r.day) for r in back.select("day").distinct().collect()
+    ) == dates
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake reality: files written before a column existed must read
+    together with evolved files — mergeSchema unions the schemas and
+    back-fills NULL, and an explicit read schema projects both
+    generations."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 5).select(F.col("id").alias("k")).write.parquet(
+        path + "/gen=1"
+    )
+    spark.range(5, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("score")
+    ).write.parquet(path + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "score", "gen"}
+    rows = {r.k: r.score for r in merged.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == k * 10 for k in range(5, 10))
+
+    pinned = spark.read.schema("k bigint, score bigint").parquet(
+        path + "/gen=1", path + "/gen=2"
+    )
+    assert pinned.count() == 10
