@@ -116,3 +116,63 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack_expr}) AS "
         "(column, n_nulls, n_distinct, min_s, max_s)"
     )
+
+
+def mix_to_target(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_permyriad: dict[str, int],
+    out_permyriad: int = 10000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample so the strata of the OUTPUT approximate target fractions —
+    data mixing against a target distribution rather than fixed per-stratum
+    rates (:func:`stratified_sample`'s knob inverted: you state the mix you
+    want, the rates are derived from the measured counts).
+
+    ``target_permyriad`` maps stratum → desired share of the output in
+    1/10000 units; ``out_permyriad`` is the desired output size as a share
+    of the input. Per-stratum acceptance cuts are computed from a
+    stratum-count aggregate (model-sized: one row per stratum, broadcast
+    back), entirely in INTEGER arithmetic (a DIV b), so membership is an
+    exact engine-portable function of the key hash. A stratum too small
+    for its target share caps at rate 1.0 (the mix degrades gracefully
+    instead of oversampling).
+
+    At 100 TB: one count aggregate + one broadcast join + a row-local
+    hash filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    total = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    tgt = None
+    for stratum, tp in sorted(target_permyriad.items()):
+        branch_val = F.lit(int(tp))
+        if tgt is None:
+            tgt = F.when(F.col(strata_col) == stratum, branch_val)
+        else:
+            tgt = tgt.when(F.col(strata_col) == stratum, branch_val)
+    tgt = tgt.otherwise(F.lit(0)) if tgt is not None else F.lit(0)
+
+    # integer cut: min(10000, target_share * n_out DIV n_s)
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_tgt", tgt)
+        .withColumn(
+            "_cut",
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr(
+                    f"CAST(_tgt AS BIGINT) * (_n_total * {int(out_permyriad)} DIV 10000) DIV _n_s"
+                ),
+            ),
+        )
+        .select(strata_col, "_cut")
+    )
+    joined = df.join(F.broadcast(rates), strata_col, "left")
+    return (
+        joined.filter(
+            sample_bucket(F.col(key), salt) < F.coalesce(F.col("_cut"), F.lit(0))
+        )
+        .drop("_cut")
+    )

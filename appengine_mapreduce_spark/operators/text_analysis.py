@@ -368,3 +368,47 @@ def fingerprint(
     )
     fp = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(fp)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def token_rarity_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-rarity profile — the integer-exact surrogate for
+    unigram-LM perplexity scoring: every token's corpus frequency is
+    bucketed by DIGIT COUNT (a zipf bucket: 1 digit = rare … 6 digits =
+    ubiquitous) and the document aggregates (zipf_sum, hapax count,
+    n_tokens). Low zipf_sum/n_tokens ⇒ rare-token-heavy (jargon, noise,
+    other-language); high hapax density flags OCR garbage. Digit-count
+    buckets keep every value integral, so the score is an exact
+    engine-portable function of the corpus — production swaps in
+    ln(cnt/total) with the SAME plan shape.
+
+    Plan: one explode → per-(doc, token) counts (this also collapses the
+    token-frequency skew BEFORE the vocab join: the join sees distinct
+    pairs, not occurrences of 'the') → vocab aggregation derived from the
+    same pair counts → frequency join → per-doc aggregation.
+    """
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.explode(nonempty_tokens(F.col(text_col))).alias("tok"),
+    )
+    pairs = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = pairs.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    joined = pairs.join(vocab, "tok")
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.sum(
+                F.length(F.col("cnt").cast("string")) * F.col("c")
+            ).alias("zipf_sum"),
+            F.sum(F.when(F.col("cnt") == 1, F.col("c")).otherwise(0)).alias(
+                "hapax"
+            ),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "zipf_sum", "hapax", "n_tokens"
+        )
+    )

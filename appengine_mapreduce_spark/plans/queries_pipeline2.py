@@ -204,3 +204,93 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", "pred_lang", keep.alias("keep"), reason.alias("reject_reason")
     )
+
+
+_MIX_HASH = (
+    "('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+# target output mix (permyriad) and output size (30% of corpus)
+_MIX_TARGETS = {"en": 4000, "zh": 3000, "de": 1000, "fr": 1000, "es": 1000}
+_MIX_OUT = 3000
+
+
+@register(
+    "mix_corpus_to_target",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_s FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT count(*) AS n_total FROM documents),
+        rates AS (
+            SELECT lang,
+                   LEAST(10000,
+                         CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 3000
+                                        WHEN 'de' THEN 1000 WHEN 'fr' THEN 1000
+                                        WHEN 'es' THEN 1000 ELSE 0 END AS BIGINT)
+                         * (n_total * {_MIX_OUT} // 10000) // n_s) AS cut
+            FROM counts, tot
+        )
+        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        FROM documents JOIN rates USING (lang)
+        WHERE {_MIX_HASH} % 10000 < cut
+        GROUP BY lang
+    """,
+    description="Corpus mixing to a TARGET distribution "
+    "(operators/sampling.mix_to_target): state the output mix you want "
+    "(40/30/10/10/10 across languages at 30%% corpus size); per-stratum "
+    "acceptance cuts derive from measured stratum counts in pure integer "
+    "arithmetic (a DIV b — engine-exact), strata too small for their "
+    "share cap at rate 1.0. One count aggregate + one broadcast rate "
+    "join + a row-local hash filter; the corpus never shuffles.",
+    tags=("sampling", "training-data", "pipeline"),
+)
+def mix_corpus_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import mix_to_target
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = mix_to_target(
+        docs, key="doc_id", strata_col="lang",
+        target_permyriad=_MIX_TARGETS, out_permyriad=_MIX_OUT,
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "token_rarity_scores",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        ),
+        vocab AS (
+            SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY tok
+        )
+        SELECT doc_id,
+               CAST(sum(strlen(CAST(cnt AS VARCHAR)) * c) AS BIGINT) AS zipf_sum,
+               CAST(sum(CASE WHEN cnt = 1 THEN c ELSE 0 END) AS BIGINT) AS hapax,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM pairs JOIN vocab USING (tok)
+        GROUP BY doc_id
+    """,
+    description="Per-document token-rarity profile "
+    "(operators/text_analysis.token_rarity_profile) — the integer-exact "
+    "surrogate for unigram-LM perplexity filtering: corpus frequency of "
+    "each token bucketed by digit count (zipf bucket), aggregated per doc "
+    "with hapax density. The per-(doc, token) count step collapses "
+    "token-frequency skew BEFORE the vocabulary join (the join sees "
+    "distinct pairs, never every occurrence of 'the'); production swaps "
+    "digit buckets for ln(cnt/total) on the same plan.",
+    tags=("text", "training-data", "quality"),
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        token_rarity_profile,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return token_rarity_profile(docs)

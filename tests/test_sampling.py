@@ -149,3 +149,43 @@ def test_pack_by_token_budget_invariants_property(spark):
             running += r.toks
 
     check()
+
+
+def test_mix_to_target_hits_target_distribution(spark):
+    """With ample strata the achieved output mix tracks the target within
+    hash noise; a stratum too small for its share caps at keeping all of
+    its rows."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.sampling import mix_to_target
+
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 100 < 90, "big")
+            .when(F.col("id") % 100 < 99, "mid")
+            .otherwise("tiny")
+            .alias("s"),
+        )
+    )
+    # want 50/30/20 at 10% output size; 'tiny' (1% of input) cannot supply
+    # 20% of a 2000-row output -> caps at rate 1.0 (all 200 rows kept)
+    mixed = mix_to_target(
+        df, key="k", strata_col="s",
+        target_permyriad={"big": 5000, "mid": 3000, "tiny": 2000},
+        out_permyriad=1000,
+    )
+    got = {r.s: r.n for r in mixed.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # targets: big 1000, mid 600 of 2000; hash cut noise ~ few %
+    assert abs(got["big"] - 1000) < 150, got
+    assert abs(got["mid"] - 600) < 120, got
+    assert got["tiny"] == 200, got  # capped: kept everything it has
+
+    # determinism: same call, same membership
+    again = {r.s: r.n for r in mix_to_target(
+        df, key="k", strata_col="s",
+        target_permyriad={"big": 5000, "mid": 3000, "tiny": 2000},
+        out_permyriad=1000,
+    ).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
