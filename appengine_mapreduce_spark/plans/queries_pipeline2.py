@@ -242,7 +242,7 @@ _MIX_OUT = 3000
     "arithmetic (a DIV b — engine-exact), strata too small for their "
     "share cap at rate 1.0. One count aggregate + one broadcast rate "
     "join + a row-local hash filter; the corpus never shuffles.",
-    tags=("sampling", "training-data", "pipeline"),
+    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
 )
 def mix_corpus_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.operators.sampling import mix_to_target

@@ -58,9 +58,12 @@ _CURATED_FIRST: tuple[str, ...] = (
     "csv_roundtrip", "json_lines_roundtrip",
     # MERGE / SCD2 mutation sinks
     "merge_upsert_customers", "scd2_upsert",
-    # core analytics + windows + sessionization
+    # core analytics + windows + sessionization (hourly_event_stats'
+    # aggregation shape is covered by q1 + sessionize within the window)
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "q6_revenue_delta", "sessionize_users", "hourly_event_stats",
+    "q6_revenue_delta", "sessionize_users",
+    # CDC / incremental maintenance + corpus mixing (round-3 families)
+    "incremental_agg_refresh", "mix_corpus_to_target",
     # as-of join (custom operator)
     "asof_join_latest_order",
     # TPC-H batches 3/4/5 representatives
@@ -79,9 +82,9 @@ _CURATED_FIRST: tuple[str, ...] = (
     "daily_active_users", "weekly_retention",
     # multimodal decode (PNG full decode, JPEG header decode)
     "png_decode_meta", "jpeg_decode_meta",
-    # dynamic schema, sampling, SQL interface
-    "dynamic_props_agg", "deterministic_sample_10pct",
-    "sql_interface_revenue",
+    # dynamic schema + SQL interface (deterministic sampling's family is
+    # represented by mix_corpus_to_target above)
+    "dynamic_props_agg", "sql_interface_revenue",
 )
 
 

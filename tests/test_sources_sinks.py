@@ -327,3 +327,35 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         path + "/gen=1", path + "/gen=2"
     )
     assert pinned.count() == 10
+
+
+def test_permissive_json_read_quarantines_corrupt_records(spark, tmp_path):
+    """Ingest resilience: malformed JSON lines land in _corrupt_record
+    instead of failing the job (PERMISSIVE mode), so one bad producer
+    can't sink a 100 TB backfill; DROPMALFORMED yields only clean rows."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "{not json at all}\n"
+        '{"k": 2, "v": "b"}\n'
+        '{"k": "wrong-type-ok-for-string-read", "v": 3}\n'
+    )
+    schema = "k bigint, v string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.k for r in good} == {1, 2}
+    assert len(bad) == 2, rows  # the non-JSON line and the type mismatch
+
+    dropped = (
+        spark.read.schema("k bigint, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.k for r in dropped.collect()} >= {1, 2}
