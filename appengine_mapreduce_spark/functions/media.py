@@ -180,3 +180,50 @@ def encode_minimal_mp4(
     for _ in range(n_tracks):
         moov += _box(b"trak", b"")
     return _box(b"ftyp", major_brand + b"\x00\x00\x02\x00isom") + _box(b"moov", moov)
+
+
+def encode_wav_pcm16(
+    samples: "list[int]", n_channels: int = 1, sample_rate: int = 16000
+) -> bytes:
+    """Emit a valid PCM16 WAV blob from explicit int16 samples (interleaved
+    if multi-channel) — the fixture twin of :func:`decode_wav_samples`."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
+    """REAL PCM sample decode (stdlib-only): RIFF walk + int16/uint8 frame
+    unpack. PCM is uncompressed, so 'audio decode' needs no codec library
+    at all for WAV — only compressed formats (MP3/AAC/Opus) stay behind
+    DECODERS_AVAILABLE."""
+    import array
+
+    meta = decode_wav_meta(blob)
+    # locate the data chunk again (decode_wav_meta validated structure)
+    pos = 12
+    payload = b""
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if tag == b"data":
+            payload = blob[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if meta.bits_per_sample == 16:
+        arr = array.array("h")
+        arr.frombytes(payload[: len(payload) - (len(payload) % 2)])
+        return meta, arr.tolist()
+    if meta.bits_per_sample == 8:
+        # WAV 8-bit is unsigned, centered at 128
+        return meta, [b - 128 for b in payload]
+    raise MediaFormatError(f"unsupported bits_per_sample {meta.bits_per_sample}")

@@ -32,9 +32,10 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY compressed-sample decode (JPEG pixels, lossy audio,
-# video frames). The metadata layer of every media family is REAL,
-# stdlib-only:
+# now covers ONLY compressed-sample decode (JPEG pixels, lossy audio like
+# MP3/AAC, video frames). PCM audio SAMPLES decode for real
+# (audio_pcm_features below — WAV needs no codec), and the metadata layer
+# of every media family is REAL, stdlib-only:
 # - PNG full decode (functions/png.py): chunk parse + inflate + unfilter.
 # - JPEG header decode (functions/jpeg.py): T.81 segment scan —
 #   dimensions/precision/components/mode.
@@ -375,3 +376,51 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+def audio_pcm_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio SAMPLE decode + feature extraction over a binary column:
+    PCM frames unpacked stdlib-only (functions/media.decode_wav_samples —
+    WAV needs no codec), then integer-exact signal features: total energy
+    (sum of squares), peak amplitude, zero-crossing count. These are the
+    clip-level stats an audio corpus filter runs (silence/clipping/noise
+    screens); integer arithmetic keeps them engine-portable for the
+    oracle. Compressed formats (MP3/AAC) remain behind DECODERS_AVAILABLE
+    — PCM does not."""
+    from appengine_mapreduce_spark.functions.media import decode_wav_samples
+
+    out_schema = (
+        f"{id_col} bigint, n_samples bigint, sum_sq bigint, "
+        "peak int, zero_crossings bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                _meta, samples = decode_wav_samples(bytes(blob))
+                sum_sq = sum(s * s for s in samples)
+                peak = max((abs(s) for s in samples), default=0)
+                zc = sum(
+                    1
+                    for a, b in zip(samples, samples[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                rows.append((int(i), len(samples), sum_sq, peak, zc))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_samples", "sum_sq", "peak", "zero_crossings"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "sum_sq": pd.Series(dtype="int64"),
+                    "peak": pd.Series(dtype="int32"),
+                    "zero_crossings": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)

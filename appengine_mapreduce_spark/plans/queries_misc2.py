@@ -351,3 +351,73 @@ def mapreduce_api_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stage2
+
+
+@register(
+    "wav_pcm_features",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, 50 + doc_id % 50 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        samp AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, n - 1)) AS i,
+                   unnest(list_transform(
+                       generate_series(0, n - 1),
+                       i -> ((doc_id * 37 + i * 13) % 4001) - 2000)) AS s
+            FROM base
+        ),
+        lagged AS (
+            SELECT doc_id, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samp
+        )
+        SELECT doc_id,
+               count(*) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND ((s >= 0) <> (prev >= 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id
+    """,
+    description="REAL audio SAMPLE decode through the driver gate: "
+    "synthesize a PCM16 WAV per document from a deterministic integer "
+    "waveform, decode the frames back stdlib-only "
+    "(functions/media.decode_wav_samples — PCM needs no codec library) "
+    "and extract integer-exact clip features (energy, peak, "
+    "zero-crossings); the oracle recomputes the same features from the "
+    "generating formula. Audio sample decode is no longer a stub; only "
+    "COMPRESSED codecs (MP3/AAC, JPEG pixels, video frames) remain "
+    "behind DECODERS_AVAILABLE.",
+    tags=("multimodal", "udf", "audio"),
+)
+def wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_wav_pcm16
+    from appengine_mapreduce_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 50
+                samples = [
+                    ((did * 37 + i * 13) % 4001) - 2000 for i in range(n)
+                ]
+                rows.append((did, encode_wav_pcm16(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return audio_pcm_features(blobs, id_col="doc_id", content_col="content")

@@ -322,3 +322,26 @@ def test_decode_audio_video_meta_distributed(spark):
             for r in decode_video_meta(df2).collect()}
     for i in range(30):
         assert got2[i] == (i * 333, 1 + i % 2)
+
+
+def test_wav_pcm16_roundtrip_and_8bit_decode():
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    blob = encode_wav_pcm16(samples, n_channels=1, sample_rate=8000)
+    meta, back = decode_wav_samples(blob)
+    assert back == samples
+    assert meta.sample_rate == 8000 and meta.bits_per_sample == 16
+    assert meta.n_frames == len(samples)
+
+    # 8-bit unsigned path: constant fill 130 decodes to +2 (centered at 128)
+    blob8 = encode_wav(
+        n_channels=1, sample_rate=8000, bits_per_sample=8,
+        n_frames=4, fill=130,
+    )
+    _m, s8 = decode_wav_samples(blob8)
+    assert s8 == [2, 2, 2, 2]
