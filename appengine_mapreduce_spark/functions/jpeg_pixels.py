@@ -1,0 +1,403 @@
+"""Dependency-free baseline JPEG PIXEL codec (grayscale subset).
+
+Implements the public ITU-T T.81 / ISO 10918-1 baseline sequential process
+for single-component (grayscale) 8-bit images: entropy decode (canonical
+Huffman, byte-stuffed bitstream), dequantization, inverse zigzag, 2-D
+8×8 IDCT, level shift — and the matching encoder used for fixtures
+(forward DCT + quantize + Huffman with the Annex K example tables).
+
+Scope is deliberately the baseline GRAYSCALE profile — the common case for
+document scans and the profile every conformant decoder must support;
+color (multi-component, chroma subsampling) and progressive scans raise a
+clear error and stay behind ``operators/multimodal.DECODERS_AVAILABLE``.
+The IDCT here is the direct O(64) - per - output float transform: correct and
+portable; production swaps a vectorized codec without touching the
+Spark-side plumbing (the mapInPandas batch shape is identical).
+
+All table constants below are published in T.81 itself (zigzag order
+§A.3.6, example Huffman tables Annex K.3) — public spec, not library code.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from appengine_mapreduce_spark.functions.jpeg import (
+    JPEG_SOI,
+    JpegFormatError,
+    _segment,
+)
+
+# zigzag scan order (T.81 §A.3.6): index i of the scan -> (row, col)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example luminance quantization table, in zigzag order —
+# EXCEPT entry 0 (DC) which we set to 8: with Q[DC]=8 the quantized DC of
+# a flat block is exactly (level-shifted mean), so solid-color fixtures
+# survive encode→decode bit-exactly (the gate query's oracle relies on
+# this; see plans/queries_misc2.wav_pcm_features for the same fixture
+# philosophy).
+STD_QT_ZZ = [
+    8, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+
+# Annex K.3.1: typical Huffman table for luminance DC (counts per code
+# length 1..16, then symbols).
+DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_SYMBOLS = list(range(12))
+
+# Annex K.3.2: typical Huffman table for luminance AC.
+AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]):
+    """T.81 §C.2: assign consecutive codes per length."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing (T.81 §F.1.2.3)
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JpegFormatError("entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise JpegFormatError("truncated after 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise JpegFormatError(f"unexpected marker FF{nxt:02X} in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _fdct_quant(block: list[int], qt_zz: list[int]) -> list[int]:
+    """Level-shifted 8x8 spatial block -> quantized zigzag coefficients."""
+    coef = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cxu = _COS[x][u]
+                row = block[x * 8 : x * 8 + 8]
+                for y in range(8):
+                    s += row[y] * cxu * _COS[y][v]
+            coef[u][v] = 0.25 * _C[u] * _C[v] * s
+    out = []
+    for i, zz in enumerate(ZIGZAG):
+        u, v = divmod(zz, 8)
+        q = qt_zz[i]
+        c = coef[u][v] / q
+        out.append(int(round(c)))
+    return out
+
+
+def _dequant_idct(zz_coefs: list[int], qt_zz: list[int]) -> list[int]:
+    """Quantized zigzag coefficients -> spatial 8x8 block (pre level
+    shift)."""
+    F = [[0.0] * 8 for _ in range(8)]
+    for i, zz in enumerate(ZIGZAG):
+        if zz_coefs[i]:
+            u, v = divmod(zz, 8)
+            F[u][v] = zz_coefs[i] * qt_zz[i]
+    out = []
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _C[u] * _COS[x][u]
+                Fu = F[u]
+                for v in range(8):
+                    if Fu[v]:
+                        s += cu * _C[v] * Fu[v] * _COS[y][v]
+            out.append(int(round(0.25 * s)))
+    return out
+
+
+def encode_baseline_gray(
+    pixels: list[int], width: int, height: int, qt_zz: list[int] | None = None
+) -> bytes:
+    """Encode an 8-bit grayscale image (row-major ``pixels``) as a REAL
+    baseline sequential JPEG: fDCT + quantization + Annex K Huffman
+    entropy coding. Edge-replication pads to 8×8 blocks."""
+    qt = list(qt_zz or STD_QT_ZZ)
+    dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = []
+            for y in range(8):
+                sy = min(by + y, height - 1)
+                for x in range(8):
+                    sx = min(bx + x, width - 1)
+                    block.append(pixels[sy * width + sx] - 128)
+            zz = _fdct_quant(block, qt)
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            t = _category(diff)
+            length, code = dc_codes[t]
+            w.put(code, length)
+            if t:
+                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i]:
+                    last_nz = i
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run -= 16
+                size = _category(zz[i])
+                length, code = ac_codes[(run << 4) | size]
+                w.put(code, length)
+                v = zz[i]
+                w.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_codes[0x00]  # EOB
+                w.put(code, length)
+    scan = w.flush()
+
+    dqt = bytes((0x00,)) + bytes(qt)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0x00))
+    dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
+    dht_ac = bytes((0x10, *AC_COUNTS)) + bytes(AC_SYMBOLS)
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    return (
+        JPEG_SOI
+        + _segment(0xDB, dqt)
+        + _segment(0xC0, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + _segment(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _parse_dht(data: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(data):
+        tc_th = data[pos]
+        counts = list(data[pos + 1 : pos + 17])
+        n = sum(counts)
+        symbols = list(data[pos + 17 : pos + 17 + n])
+        # decoder lookup: (length, code) -> symbol
+        lut = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                lut[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        tables[tc_th] = lut
+        pos += 17 + n
+
+
+def decode_baseline_gray(blob: bytes) -> tuple[int, int, list[int]]:
+    """Decode a baseline sequential GRAYSCALE JPEG to (width, height,
+    row-major 8-bit pixels). Multi-component or progressive streams raise
+    JpegFormatError (that subset stays behind DECODERS_AVAILABLE)."""
+    if blob[:2] != JPEG_SOI:
+        raise JpegFormatError("bad JPEG SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    width = height = None
+    scan_start = None
+    dc_tbl = ac_tbl = None
+    comp_qt = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtables[pq_tq & 0x0F] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC0 or marker == 0xC1:
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8 or n_comp != 1:
+                raise JpegFormatError(
+                    "only 8-bit grayscale baseline supported"
+                )
+            comp_qt = data[8]
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise JpegFormatError("progressive JPEG unsupported")
+        elif marker == 0xC4:
+            _parse_dht(data, htables)
+        elif marker == 0xDA:
+            dc_tbl = htables.get(data[2] >> 4)
+            ac_tbl = htables.get(0x10 | (data[2] & 0x0F))
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if width is None or scan_start is None:
+        raise JpegFormatError("missing SOF/SOS")
+    if dc_tbl is None or ac_tbl is None:
+        raise JpegFormatError("missing Huffman tables")
+    qt = qtables.get(comp_qt)
+    if qt is None:
+        raise JpegFormatError("missing quant table")
+
+    end = blob.rfind(b"\xff\xd9")
+    reader = _BitReader(blob[scan_start : end if end > 0 else len(blob)])
+
+    def read_symbol(lut) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("invalid Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    pixels = [0] * (width * height)
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            zz = [0] * 64
+            t = read_symbol(dc_tbl)
+            diff = extend(reader.bits(t), t) if t else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63:
+                    raise JpegFormatError("AC run overflow")
+                zz[i] = extend(reader.bits(size), size)
+                i += 1
+            block = _dequant_idct(zz, qt)
+            for y in range(8):
+                sy = by + y
+                if sy >= height:
+                    break
+                for x in range(8):
+                    sx = bx + x
+                    if sx >= width:
+                        continue
+                    v = block[y * 8 + x] + 128
+                    pixels[sy * width + sx] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, pixels

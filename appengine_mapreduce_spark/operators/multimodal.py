@@ -32,10 +32,12 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY compressed-sample decode (JPEG pixels, lossy audio like
-# MP3/AAC, video frames). PCM audio SAMPLES decode for real
-# (audio_pcm_features below — WAV needs no codec), and the metadata layer
-# of every media family is REAL, stdlib-only:
+# now covers ONLY color/progressive JPEG pixels, lossy audio (MP3/AAC),
+# and video frames. Baseline-GRAYSCALE JPEG pixels decode for real
+# (decode_jpeg_pixel_stats below — functions/jpeg_pixels.py implements
+# the full T.81 baseline entropy decode + dequant + IDCT), PCM audio
+# SAMPLES decode for real (audio_pcm_features — WAV needs no codec), and
+# the metadata layer of every media family is REAL, stdlib-only:
 # - PNG full decode (functions/png.py): chunk parse + inflate + unfilter.
 # - JPEG header decode (functions/jpeg.py): T.81 segment scan —
 #   dimensions/precision/components/mode.
@@ -420,6 +422,49 @@ def audio_pcm_features(
                     "sum_sq": pd.Series(dtype="int64"),
                     "peak": pd.Series(dtype="int32"),
                     "zero_crossings": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL JPEG PIXEL decode over a binary column: full baseline-grayscale
+    entropy decode + dequant + IDCT (functions/jpeg_pixels.py, stdlib-only
+    per the public T.81 spec), reduced to per-image pixel statistics
+    (sum/min/max — integer-exact, the shape an image-corpus filter uses
+    for exposure/blank-page screens). Color and progressive profiles stay
+    behind DECODERS_AVAILABLE; baseline grayscale — the document-scan
+    profile — does not."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_gray,
+    )
+
+    out_schema = (
+        f"{id_col} bigint, width int, height int, px_sum bigint, "
+        "px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = decode_baseline_gray(bytes(blob))
+                rows.append((int(i), w, h, sum(px), min(px), max(px)))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "width", "height", "px_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "px_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
                 })
             )
 

@@ -421,3 +421,58 @@ def wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return audio_pcm_features(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "jpeg_pixel_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+               CAST(8 * (1 + n_chars % 3) AS INT) AS height,
+               CAST(8 * (1 + doc_id % 4) * 8 * (1 + n_chars % 3)
+                    * ((doc_id * 7) % 256) AS BIGINT) AS px_sum,
+               CAST((doc_id * 7) % 256 AS INT) AS px_min,
+               CAST((doc_id * 7) % 256 AS INT) AS px_max
+        FROM documents WHERE doc_id < 100
+    """,
+    description="REAL JPEG PIXEL decode through the driver gate: encode a "
+    "solid-color baseline-grayscale JPEG per document (real fDCT + "
+    "quantization + Annex K Huffman entropy coding, "
+    "functions/jpeg_pixels.py), then fully entropy-decode + dequantize + "
+    "IDCT it back and emit integer pixel statistics. With Q[DC]=8 a flat "
+    "block's DC survives quantization exactly, so the oracle predicts the "
+    "decoded pixels bit-exactly from the generating formula; non-flat "
+    "content is covered by encode-decode tolerance tests "
+    "(tests/test_multimodal.py). JPEG pixels are no longer a stub for the "
+    "baseline-grayscale (document-scan) profile.",
+    tags=("multimodal", "udf", "image"),
+)
+def jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_gray,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w = 8 * (1 + did % 4)
+                h = 8 * (1 + nc % 3)
+                color = (did * 7) % 256
+                rows.append((did, encode_baseline_gray([color] * (w * h), w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_jpeg_pixel_stats(blobs, id_col="doc_id", content_col="content")

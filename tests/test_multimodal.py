@@ -345,3 +345,43 @@ def test_wav_pcm16_roundtrip_and_8bit_decode():
     )
     _m, s8 = decode_wav_samples(blob8)
     assert s8 == [2, 2, 2, 2]
+
+
+def test_jpeg_baseline_codec_roundtrip():
+    """Full baseline-grayscale JPEG: solid colors survive encode->decode
+    BIT-EXACTLY (Q[DC]=8 preserves the flat DC), gradients within
+    quantization tolerance, and unsupported profiles fail loudly."""
+    import pytest as _pytest
+
+    from appengine_mapreduce_spark.functions.jpeg import (
+        JpegFormatError,
+        decode_jpeg_meta,
+        encode_minimal_jpeg,
+    )
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_gray,
+        encode_baseline_gray,
+    )
+
+    for color in (0, 7, 128, 255):
+        for (w, h) in ((8, 8), (24, 16), (10, 12)):  # incl. non-multiple-of-8
+            blob = encode_baseline_gray([color] * (w * h), w, h)
+            meta = decode_jpeg_meta(blob)  # header decoder agrees
+            assert (meta.width, meta.height, meta.n_components) == (w, h, 1)
+            dw, dh, px = decode_baseline_gray(blob)
+            assert (dw, dh) == (w, h) and set(px) == {color}
+
+    w, h = 24, 16
+    smooth = [min(255, x * 3 + y * 2) for y in range(h) for x in range(w)]
+    _, _, px = decode_baseline_gray(encode_baseline_gray(smooth, w, h))
+    assert max(abs(a - b) for a, b in zip(smooth, px)) <= 12
+
+    sharp = [(x * 7 + y * 5) % 256 for y in range(h) for x in range(w)]
+    _, _, px = decode_baseline_gray(encode_baseline_gray(sharp, w, h))
+    assert max(abs(a - b) for a, b in zip(sharp, px)) <= 40
+
+    # progressive and multi-component stay behind DECODERS_AVAILABLE
+    with _pytest.raises(JpegFormatError):
+        decode_baseline_gray(encode_minimal_jpeg(8, 8, progressive=True))
+    with _pytest.raises(JpegFormatError):
+        decode_baseline_gray(encode_minimal_jpeg(8, 8, n_components=3))
