@@ -1,18 +1,21 @@
-"""Dependency-free baseline JPEG PIXEL codec (grayscale subset).
+"""Dependency-free baseline JPEG PIXEL codec.
 
 Implements the public ITU-T T.81 / ISO 10918-1 baseline sequential process
-for single-component (grayscale) 8-bit images: entropy decode (canonical
-Huffman, byte-stuffed bitstream), dequantization, inverse zigzag, 2-D
-8×8 IDCT, level shift — and the matching encoder used for fixtures
-(forward DCT + quantize + Huffman with the Annex K example tables).
+for 8-bit images: entropy decode (canonical Huffman, byte-stuffed
+bitstream), dequantization, inverse zigzag, 2-D 8×8 IDCT, level shift —
+and the matching encoders used for fixtures (forward DCT + quantize +
+Huffman with the Annex K example tables). Two profiles:
 
-Scope is deliberately the baseline GRAYSCALE profile — the common case for
-document scans and the profile every conformant decoder must support;
-color (multi-component, chroma subsampling) and progressive scans raise a
-clear error and stay behind ``operators/multimodal.DECODERS_AVAILABLE``.
-The IDCT here is the direct O(64) - per - output float transform: correct and
-portable; production swaps a vectorized codec without touching the
-Spark-side plumbing (the mapInPandas batch shape is identical).
+- GRAYSCALE (single component) — the document-scan profile:
+  ``encode_baseline_gray`` / ``decode_baseline_gray``.
+- COLOR 4:4:4 (three components, interleaved Y Cb Cr MCUs, JFIF color
+  transform): ``encode_baseline_color`` / ``decode_baseline_color``.
+
+Chroma-SUBSAMPLED (4:2:0/4:2:2) and progressive scans raise a clear error
+and stay behind ``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here
+is the direct float transform: correct and portable; production swaps a
+vectorized codec without touching the Spark-side plumbing (the
+mapInPandas batch shape is identical).
 
 All table constants below are published in T.81 itself (zigzag order
 §A.3.6, example Huffman tables Annex K.3) — public spec, not library code.
@@ -401,3 +404,237 @@ def decode_baseline_gray(blob: bytes) -> tuple[int, int, list[int]]:
                     v = block[y * 8 + x] + 128
                     pixels[sy * width + sx] = 0 if v < 0 else (255 if v > 255 else v)
     return width, height, pixels
+
+
+# --- baseline color (4:4:4 YCbCr) -------------------------------------------
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF color transform (floats, rounded, clamped)."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+
+    def clamp(v: float) -> int:
+        i = int(round(v))
+        return 0 if i < 0 else (255 if i > 255 else i)
+
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+
+    def clamp(v: float) -> int:
+        i = int(round(v))
+        return 0 if i < 0 else (255 if i > 255 else i)
+
+    return clamp(r), clamp(g), clamp(b)
+
+
+def encode_baseline_color(
+    rgb: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    qt_zz: list[int] | None = None,
+) -> bytes:
+    """Encode an RGB image as baseline 4:4:4 YCbCr JPEG (one 8×8 block per
+    component per MCU, interleaved Y Cb Cr; the luminance example tables
+    serve all three components — legal and simplest)."""
+    qt = list(qt_zz or STD_QT_ZZ)
+    dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
+    planes = [[], [], []]
+    for (r, g, b) in rgb:
+        y, cb, cr = _rgb_to_ycbcr(r, g, b)
+        planes[0].append(y)
+        planes[1].append(cb)
+        planes[2].append(cr)
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+
+    def encode_block(plane: list[int], bx: int, by: int, comp: int) -> None:
+        block = []
+        for yy in range(8):
+            sy = min(by + yy, height - 1)
+            for xx in range(8):
+                sx = min(bx + xx, width - 1)
+                block.append(plane[sy * width + sx] - 128)
+        zz = _fdct_quant(block, qt)
+        diff = zz[0] - prev_dc[comp]
+        prev_dc[comp] = zz[0]
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.put(code, length)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                w.put(code, length)
+                run -= 16
+            size = _category(zz[i])
+            length, code = ac_codes[(run << 4) | size]
+            w.put(code, length)
+            v = zz[i]
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            length, code = ac_codes[0x00]
+            w.put(code, length)
+
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for comp in range(3):
+                encode_block(planes[comp], bx, by, comp)
+    scan = w.flush()
+
+    dqt = bytes((0x00,)) + bytes(qt)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid in (1, 2, 3):
+        sof += bytes((cid, 0x11, 0x00))  # 4:4:4, shared quant table
+    dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
+    dht_ac = bytes((0x10, *AC_COUNTS)) + bytes(AC_SYMBOLS)
+    sos = bytes((3,)) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + bytes((0, 63, 0))
+    return (
+        JPEG_SOI
+        + _segment(0xDB, dqt)
+        + _segment(0xC0, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + _segment(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a baseline 4:4:4 YCbCr JPEG to (width, height, RGB tuples).
+    Subsampled (non-1x1 factors) and progressive streams raise
+    JpegFormatError — those stay behind DECODERS_AVAILABLE."""
+    if blob[:2] != JPEG_SOI:
+        raise JpegFormatError("bad JPEG SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    width = height = None
+    comps = []  # (comp_id, qt_id)
+    scan_sel: dict[int, tuple[int, int]] = {}
+    scan_order: list[int] = []
+    scan_start = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtables[pq_tq & 0x0F] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker in (0xC0, 0xC1):
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8 or n_comp != 3:
+                raise JpegFormatError("decode_baseline_color needs 3 components")
+            for c in range(3):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise JpegFormatError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise JpegFormatError("progressive JPEG unsupported")
+        elif marker == 0xC4:
+            _parse_dht(data, htables)
+        elif marker == 0xDA:
+            ns = data[0]
+            for c in range(ns):
+                cid, tsel = data[1 + 2 * c : 3 + 2 * c]
+                scan_sel[cid] = (tsel >> 4, tsel & 0x0F)
+                scan_order.append(cid)
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if width is None or scan_start is None or len(comps) != 3:
+        raise JpegFormatError("missing SOF/SOS")
+
+    end = blob.rfind(b"\xff\xd9")
+    reader = _BitReader(blob[scan_start : end if end > 0 else len(blob)])
+
+    def read_symbol(lut) -> int:
+        code = 0
+        for length_ in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = lut.get((length_, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("invalid Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    planes = [[0] * (width * height) for _ in range(3)]
+    prev_dc = {cid: 0 for cid, _ in comps}
+    qt_of = {cid: qtables[tq] for cid, tq in comps}
+    comp_index = {cid: i for i, (cid, _) in enumerate(comps)}
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for cid in scan_order:
+                dc_tbl = htables.get(scan_sel[cid][0])
+                ac_tbl = htables.get(0x10 | scan_sel[cid][1])
+                if dc_tbl is None or ac_tbl is None:
+                    raise JpegFormatError("missing Huffman tables")
+                zz = [0] * 64
+                t = read_symbol(dc_tbl)
+                diff = extend(reader.bits(t), t) if t else 0
+                prev_dc[cid] += diff
+                zz[0] = prev_dc[cid]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(ac_tbl)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63:
+                        raise JpegFormatError("AC run overflow")
+                    zz[i] = extend(reader.bits(size), size)
+                    i += 1
+                block = _dequant_idct(zz, qt_of[cid])
+                plane = planes[comp_index[cid]]
+                for yy in range(8):
+                    sy = by + yy
+                    if sy >= height:
+                        break
+                    for xx in range(8):
+                        sx = bx + xx
+                        if sx >= width:
+                            continue
+                        v = block[yy * 8 + xx] + 128
+                        plane[sy * width + sx] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+    rgb = [
+        _ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
+        for i in range(width * height)
+    ]
+    return width, height, rgb

