@@ -8,12 +8,15 @@ Huffman with the Annex K example tables). Two profiles:
 
 - GRAYSCALE (single component) — the document-scan profile:
   ``encode_baseline_gray`` / ``decode_baseline_gray``.
-- COLOR 4:4:4 (three components, interleaved Y Cb Cr MCUs, JFIF color
-  transform): ``encode_baseline_color`` / ``decode_baseline_color``.
+- COLOR (three components, interleaved Y Cb Cr MCUs, JFIF color
+  transform) at 4:4:4, 4:2:2 and 4:2:0 sampling —
+  ``decode_baseline_color`` handles any 1-or-2 factor per axis;
+  ``encode_baseline_color`` (4:4:4) and ``encode_baseline_420`` build
+  fixtures for both ends of the range.
 
-Chroma-SUBSAMPLED (4:2:0/4:2:2) and progressive scans raise a clear error
-and stay behind ``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here
-is the direct float transform: correct and portable; production swaps a
+Progressive scans and sampling factors above 2 raise a clear error and
+stay behind ``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here is
+the direct float transform: correct and portable; production swaps a
 vectorized codec without touching the Spark-side plumbing (the
 mapInPandas batch shape is identical).
 
@@ -520,9 +523,13 @@ def encode_baseline_color(
 
 
 def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Decode a baseline 4:4:4 YCbCr JPEG to (width, height, RGB tuples).
-    Subsampled (non-1x1 factors) and progressive streams raise
-    JpegFormatError — those stay behind DECODERS_AVAILABLE."""
+    """Decode a baseline YCbCr JPEG to (width, height, RGB tuples).
+
+    Handles sampling factors 1 or 2 per axis — i.e. 4:4:4, 4:2:2 and
+    4:2:0 (the overwhelmingly common web layout: Y at 2×2, chroma at
+    1×1 per 16×16 MCU, upsampled here by replication). Larger factors
+    and progressive streams raise JpegFormatError — those stay behind
+    DECODERS_AVAILABLE."""
     if blob[:2] != JPEG_SOI:
         raise JpegFormatError("bad JPEG SOI")
     pos = 2
@@ -553,9 +560,12 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
                 raise JpegFormatError("decode_baseline_color needs 3 components")
             for c in range(3):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise JpegFormatError("subsampled JPEG unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
+                    raise JpegFormatError(
+                        f"sampling factor {h_i}x{v_i} unsupported"
+                    )
+                comps.append((cid, tq, h_i, v_i))
         elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise JpegFormatError("progressive JPEG unsupported")
         elif marker == 0xC4:
@@ -587,54 +597,185 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
     def extend(v: int, t: int) -> int:
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    bw = 8 * ((width + 7) // 8)
-    bh = 8 * ((height + 7) // 8)
-    planes = [[0] * (width * height) for _ in range(3)]
-    prev_dc = {cid: 0 for cid, _ in comps}
-    qt_of = {cid: qtables[tq] for cid, tq in comps}
-    comp_index = {cid: i for i, (cid, _) in enumerate(comps)}
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded plane (full MCU grid at that component's
+    # resolution); sampled with clamp when converting to RGB
+    plane_w = {cid: mcus_x * 8 * h for cid, _, h, _ in comps}
+    plane_h = {cid: mcus_y * 8 * v for cid, _, _, v in comps}
+    planes = {cid: [0] * (plane_w[cid] * plane_h[cid]) for cid, *_ in comps}
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    qt_of = {cid: qtables[tq] for cid, tq, _, _ in comps}
+    factors = {cid: (h, v) for cid, _, h, v in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for cid in scan_order:
+                h_i, v_i = factors[cid]
                 dc_tbl = htables.get(scan_sel[cid][0])
                 ac_tbl = htables.get(0x10 | scan_sel[cid][1])
                 if dc_tbl is None or ac_tbl is None:
                     raise JpegFormatError("missing Huffman tables")
-                zz = [0] * 64
-                t = read_symbol(dc_tbl)
-                diff = extend(reader.bits(t), t) if t else 0
-                prev_dc[cid] += diff
-                zz[0] = prev_dc[cid]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(ac_tbl)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63:
-                        raise JpegFormatError("AC run overflow")
-                    zz[i] = extend(reader.bits(size), size)
-                    i += 1
-                block = _dequant_idct(zz, qt_of[cid])
-                plane = planes[comp_index[cid]]
-                for yy in range(8):
-                    sy = by + yy
-                    if sy >= height:
-                        break
-                    for xx in range(8):
-                        sx = bx + xx
-                        if sx >= width:
-                            continue
-                        v = block[yy * 8 + xx] + 128
-                        plane[sy * width + sx] = (
-                            0 if v < 0 else (255 if v > 255 else v)
-                        )
-    rgb = [
-        _ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
-        for i in range(width * height)
-    ]
+                for v_blk in range(v_i):
+                    for h_blk in range(h_i):
+                        zz = [0] * 64
+                        t = read_symbol(dc_tbl)
+                        diff = extend(reader.bits(t), t) if t else 0
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        i = 1
+                        while i < 64:
+                            sym = read_symbol(ac_tbl)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                i += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            i += run
+                            if i > 63:
+                                raise JpegFormatError("AC run overflow")
+                            zz[i] = extend(reader.bits(size), size)
+                            i += 1
+                        block = _dequant_idct(zz, qt_of[cid])
+                        plane = planes[cid]
+                        pw = plane_w[cid]
+                        ox = (mx * h_i + h_blk) * 8
+                        oy = (my * v_i + v_blk) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            for xx in range(8):
+                                v = block[yy * 8 + xx] + 128
+                                plane[row + xx] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
+    ordered = [cid for cid, *_ in comps]
+    rgb = []
+    for y in range(height):
+        for x in range(width):
+            vals = []
+            for cid in ordered:
+                h_i, v_i = factors[cid]
+                px = x * h_i // hmax
+                py = y * v_i // vmax
+                vals.append(planes[cid][py * plane_w[cid] + px])
+            rgb.append(_ycbcr_to_rgb(*vals))
     return width, height, rgb
+
+
+def encode_baseline_420(
+    rgb: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    qt_zz: list[int] | None = None,
+) -> bytes:
+    """Encode RGB as baseline 4:2:0 YCbCr JPEG — Y at full resolution
+    (2×2 blocks per MCU), chroma downsampled 2× per axis by 2×2 mean
+    (1 block per MCU each). This is the common web/camera layout; the
+    matching decoder path is decode_baseline_color's sampling-factor MCU
+    loop."""
+    qt = list(qt_zz or STD_QT_ZZ)
+    dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
+
+    yp, cbp, crp = [], [], []
+    for (r, g, b) in rgb:
+        y, cb, cr = _rgb_to_ycbcr(r, g, b)
+        yp.append(y)
+        cbp.append(cb)
+        crp.append(cr)
+    cw = (width + 1) // 2
+    ch = (height + 1) // 2
+    cb_half = [0] * (cw * ch)
+    cr_half = [0] * (cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            acc_b = acc_r = n = 0
+            for dy in range(2):
+                sy = 2 * cy + dy
+                if sy >= height:
+                    continue
+                for dx in range(2):
+                    sx = 2 * cx + dx
+                    if sx >= width:
+                        continue
+                    acc_b += cbp[sy * width + sx]
+                    acc_r += crp[sy * width + sx]
+                    n += 1
+            cb_half[cy * cw + cx] = int(round(acc_b / n))
+            cr_half[cy * cw + cx] = int(round(acc_r / n))
+
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+
+    def encode_block(plane, pw, ph, bx, by, comp):
+        block = []
+        for yy in range(8):
+            sy = min(by + yy, ph - 1)
+            for xx in range(8):
+                sx = min(bx + xx, pw - 1)
+                block.append(plane[sy * pw + sx] - 128)
+        zz = _fdct_quant(block, qt)
+        diff = zz[0] - prev_dc[comp]
+        prev_dc[comp] = zz[0]
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.put(code, length)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                w.put(code, length)
+                run -= 16
+            size = _category(zz[i])
+            length, code = ac_codes[(run << 4) | size]
+            w.put(code, length)
+            v = zz[i]
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            length, code = ac_codes[0x00]
+            w.put(code, length)
+
+    mcus_x = (width + 15) // 16
+    mcus_y = (height + 15) // 16
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for v_blk in range(2):
+                for h_blk in range(2):
+                    encode_block(
+                        yp, width, height,
+                        (mx * 2 + h_blk) * 8, (my * 2 + v_blk) * 8, 0,
+                    )
+            encode_block(cb_half, cw, ch, mx * 8, my * 8, 1)
+            encode_block(cr_half, cw, ch, mx * 8, my * 8, 2)
+    scan = w.flush()
+
+    dqt = bytes((0x00,)) + bytes(qt)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes((1, 0x22, 0x00))  # Y 2x2
+    sof += bytes((2, 0x11, 0x00))  # Cb 1x1
+    sof += bytes((3, 0x11, 0x00))  # Cr 1x1
+    dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
+    dht_ac = bytes((0x10, *AC_COUNTS)) + bytes(AC_SYMBOLS)
+    sos = bytes((3,)) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + bytes((0, 63, 0))
+    return (
+        JPEG_SOI
+        + _segment(0xDB, dqt)
+        + _segment(0xC0, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + _segment(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )

@@ -32,12 +32,13 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY color/progressive JPEG pixels, lossy audio (MP3/AAC),
-# and video frames. Baseline-GRAYSCALE JPEG pixels decode for real
-# (decode_jpeg_pixel_stats below — functions/jpeg_pixels.py implements
-# the full T.81 baseline entropy decode + dequant + IDCT), PCM audio
-# SAMPLES decode for real (audio_pcm_features — WAV needs no codec), and
-# the metadata layer of every media family is REAL, stdlib-only:
+# now covers ONLY progressive JPEG, lossy audio (MP3/AAC), and video
+# frames. Baseline JPEG pixels decode for real — grayscale AND color at
+# 4:4:4/4:2:2/4:2:0 sampling (decode_jpeg_pixel_stats below;
+# functions/jpeg_pixels.py implements the full T.81 baseline entropy
+# decode + dequant + IDCT + JFIF color transform), PCM audio SAMPLES
+# decode for real (audio_pcm_features — WAV needs no codec), and the
+# metadata layer of every media family is REAL, stdlib-only:
 # - PNG full decode (functions/png.py): chunk parse + inflate + unfilter.
 # - JPEG header decode (functions/jpeg.py): T.81 segment scan —
 #   dimensions/precision/components/mode.

@@ -425,3 +425,34 @@ def test_jpeg_color_444_codec_roundtrip():
 
     with _pytest.raises(JpegFormatError):
         decode_baseline_color(encode_baseline_gray([0] * 64, 8, 8))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the common web/camera layout: 2x2 Y blocks + downsampled
+    chroma per MCU. Solid colors within ±2, gradients within chroma-
+    smoothing tolerance, odd (non-MCU-aligned) dims handled."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_color,
+        encode_baseline_420,
+    )
+
+    for rgb in [(255, 0, 0), (12, 200, 99)]:
+        for (w, h) in ((16, 16), (20, 12)):
+            dw, dh, px = decode_baseline_color(
+                encode_baseline_420([rgb] * (w * h), w, h)
+            )
+            assert (dw, dh) == (w, h)
+            assert max(
+                max(abs(a - b) for a, b in zip(p, rgb)) for p in px
+            ) <= 2
+
+    w, h = 32, 32
+    grad = [
+        (min(255, x * 8), min(255, y * 8), 100)
+        for y in range(h)
+        for x in range(w)
+    ]
+    _, _, px = decode_baseline_color(encode_baseline_420(grad, w, h))
+    assert max(
+        max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(px, grad)
+    ) <= 30
