@@ -456,3 +456,53 @@ def test_jpeg_420_subsampled_roundtrip():
     assert max(
         max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(px, grad)
     ) <= 30
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        color=st.integers(0, 255),
+        w=st.integers(1, 32),
+        h=st.integers(1, 32),
+    )
+    def test_jpeg_gray_solid_exact_property(color, w, h):
+        """PROPERTY: any solid grayscale image at any dimension (including
+        sub-block sizes) survives the full JPEG encode->decode pipeline
+        bit-exactly — edge-replication padding keeps every block flat and
+        Q[DC]=8 preserves the flat DC."""
+        from appengine_mapreduce_spark.functions.jpeg_pixels import (
+            decode_baseline_gray,
+            encode_baseline_gray,
+        )
+
+        dw, dh, px = decode_baseline_gray(
+            encode_baseline_gray([color] * (w * h), w, h)
+        )
+        assert (dw, dh) == (w, h) and set(px) == {color}
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=0, max_size=200
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_pcm16_roundtrip_property(samples, rate):
+        from appengine_mapreduce_spark.functions.media import (
+            decode_wav_samples,
+            encode_wav_pcm16,
+        )
+
+        meta, back = decode_wav_samples(
+            encode_wav_pcm16(samples, sample_rate=rate)
+        )
+        assert back == samples
+        assert meta.sample_rate == rate

@@ -353,3 +353,33 @@ def test_zorder_layout_files_cover_small_rectangles(spark):
         global_span = globals_[colname][1] - globals_[colname][0]
         med = statistics.median(spans[colname])
         assert med <= global_span * 0.6, (colname, med, global_span)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        x1=st.integers(0, 0xFFFF), x2=st.integers(0, 0xFFFF),
+        y=st.integers(0, 0xFFFF),
+    )
+    def test_zorder_order_preserving_per_dimension(x1, x2, y):
+        """PROPERTY: with the other key fixed, the Morton value is a
+        strictly increasing function of each key — which is what makes a
+        z-sorted layout range-scannable per dimension."""
+
+        def morton(x, yy):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((yy >> i) & 1) << (2 * i + 1)
+            return z
+
+        if x1 < x2:
+            assert morton(x1, y) < morton(x2, y)
+        elif x1 > x2:
+            assert morton(x1, y) > morton(x2, y)
+        else:
+            assert morton(x1, y) == morton(x2, y)
+except ImportError:  # pragma: no cover
+    pass
