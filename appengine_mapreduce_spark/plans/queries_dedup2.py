@@ -153,3 +153,82 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_unseen_rows"),
         F.min("first_doc").alias("first_new_doc"),
     )
+
+
+_SEM_BITS = 6
+_SEM_BUCKET = "(" + " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_SEM_BITS)
+) + ")"
+_SEM_THRESH = 0.30
+
+
+@register(
+    "semantic_dedup_keepers",
+    oracle=f"""
+        WITH RECURSIVE b AS (
+            SELECT vec_id, embedding, {_SEM_BUCKET} AS bucket,
+                   sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+            FROM embeddings
+        ),
+        edges AS (
+            SELECT x.vec_id AS u, y.vec_id AS v
+            FROM b x JOIN b y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE {_DOT.format(a="x.embedding", b="y.embedding")}
+                  / (x.nrm * y.nrm) >= {_SEM_THRESH}
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            WHERE s.v <> r.u
+        )
+        SELECT u AS vec_id,
+               CAST(least(u, min(v)) AS BIGINT) AS keeper,
+               u <> least(u, min(v)) AS is_dup
+        FROM reach GROUP BY u
+    """,
+    description="END-TO-END semantic dedup: sign-LSH-bucketed cosine "
+    f"candidate pairs (≥ {_SEM_THRESH} within {_SEM_BITS}-bit buckets) → "
+    "large-star/small-star connected components → per-cluster keeper "
+    "(min id) with every member labeled keep/drop — the full "
+    "embedding-channel dedup pipeline in one plan (pair generation is "
+    "bucket-bounded, clustering is O(log² n) rounds, keeper choice is the "
+    "component id itself so no extra shuffle). Oracle replays pairs + a "
+    "recursive-CTE transitive closure.",
+    tags=("dedup", "similarity", "embedding", "graph", "pipeline"),
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.functions.vectors import dot, l2_norm
+    from appengine_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+    from appengine_mapreduce_spark.operators.similarity import sign_bucket
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), _SEM_BITS).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    x, y = emb.alias("x"), emb.alias("y")
+    cos = dot(F.col("x.embedding"), F.col("y.embedding")) / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
+    edges = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= _SEM_THRESH)
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+    )
+    cc = connected_components_star(edges)
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("keeper"),
+        (F.col("node") != F.col("component")).alias("is_dup"),
+    )
