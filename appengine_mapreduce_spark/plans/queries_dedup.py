@@ -217,3 +217,65 @@ _SIMHASH_EXPR = " + ".join(
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup.simhash(load(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
     return fp.select(F.col("_id").alias("doc_id"), F.col("simhash"))
+
+
+@register(
+    "text_dedup_keepers",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        kept AS (
+            SELECT doc_id, shingle FROM shingles
+            WHERE shingle NOT IN (
+                SELECT shingle FROM shingles
+                GROUP BY shingle HAVING count(*) > {_MAX_DOC_FREQ})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v
+            FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                       JOIN sizes sb ON inter.id_b = sb.doc_id
+            WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            WHERE s.v <> r.u
+        )
+        SELECT u AS doc_id,
+               CAST(least(u, min(v)) AS BIGINT) AS keeper,
+               u <> least(u, min(v)) AS is_dup
+        FROM reach GROUP BY u
+    """,
+    description="END-TO-END text dedup: exact n-gram-Jaccard pairs "
+    "(stop-shingle-capped) → large-star/small-star connected components → "
+    "per-cluster keeper labeling — the text-channel twin of "
+    "semantic_dedup_keepers, one plan from raw documents to keep/drop "
+    "decisions. Oracle replays pair generation + a recursive-CTE "
+    "transitive closure.",
+    tags=("dedup", "jaccard", "graph", "pipeline"),
+)
+def text_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        shingle_words=_SHINGLE_WORDS,
+        threshold=0.2,
+        max_doc_freq=_MAX_DOC_FREQ,
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper"),
+        (F.col("node") != F.col("component")).alias("is_dup"),
+    )
