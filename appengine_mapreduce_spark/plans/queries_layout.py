@@ -241,3 +241,46 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(64).write.mode("overwrite").parquet(out)
     compact_files(spark, out, target_bytes=8 * 1024 * 1024)
     return spark.read.parquet(out)
+
+
+@register(
+    "footer_stats_orders",
+    oracle="""
+        SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(min(o_custkey) AS VARCHAR) AS min_s,
+               CAST(max(o_custkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', count(*),
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    description="Table statistics WITHOUT a table scan "
+    "(operators/footer_stats.parquet_footer_stats): the file list fans out "
+    "across executors, each task reads only parquet FOOTERS (KB per file) "
+    "and emits per-row-group (rows, nulls, min, max); a column-keyed "
+    "aggregation — numeric min/max typed before stringification — yields "
+    "exact table stats. The oracle computes the same stats from the DATA, "
+    "so the match proves footers ≡ full scan. At 100 TB this is a "
+    "megabytes-read stats refresh; string min/max trusted only for short "
+    "values (parquet writers may truncate long ones).",
+    tags=("sources", "layout", "profiling", "udf"),
+)
+def footer_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.footer_stats import (
+        parquet_footer_stats,
+    )
+
+    return parquet_footer_stats(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        int_columns=["o_orderkey", "o_custkey"],
+    )

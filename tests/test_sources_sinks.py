@@ -359,3 +359,35 @@ def test_permissive_json_read_quarantines_corrupt_records(spark, tmp_path):
         .json(str(p))
     )
     assert {r.k for r in dropped.collect()} >= {1, 2}
+
+
+def test_footer_stats_over_many_files_matches_scan(spark, tmp_path):
+    """The distributed footer path: stats over a 20-file table equal a
+    real scan's aggregates — including typed (non-lexicographic) integer
+    min/max and null counts."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.footer_stats import (
+        parquet_footer_stats,
+    )
+
+    path = str(tmp_path / "many")
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("v"), F.col("id")))
+        .alias("s"),
+    )
+    df.repartition(20).write.parquet(path)
+
+    stats = {
+        r.column: r
+        for r in parquet_footer_stats(
+            spark, path, columns=["k", "s"], int_columns=["k"]
+        ).collect()
+    }
+    assert stats["k"].n_rows == 5_000 and stats["k"].n_nulls == 0
+    # typed min/max: lexicographic would give min "0", max "999"
+    assert stats["k"].min_s == "0" and stats["k"].max_s == "4999"
+    assert stats["s"].n_nulls == 500
+    assert stats["s"].min_s == "v1"  # "v1" < "v10" < ... lexicographically
