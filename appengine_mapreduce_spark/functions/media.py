@@ -227,3 +227,94 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
         # WAV 8-bit is unsigned, centered at 128
         return meta, [b - 128 for b in payload]
     raise MediaFormatError(f"unsupported bits_per_sample {meta.bits_per_sample}")
+
+
+# --- MP4 sample tables (stbl: stts/stsz) ------------------------------------
+
+@dataclass(frozen=True)
+class Mp4TrackSamples:
+    n_samples: int
+    total_bytes: int
+    max_sample_bytes: int
+    duration_units: int  # sum of stts deltas, in the track's timescale
+
+
+def encode_mp4_with_samples(
+    sample_sizes: "list[int]",
+    sample_delta: int = 512,
+    timescale: int = 90000,
+) -> bytes:
+    """Emit ftyp+moov(mvhd+trak(mdia(mdhd+minf(stbl(stts+stsz))))) with a
+    real sample table: one stts run (n_samples × sample_delta) and
+    per-sample sizes in stsz — the frame-level metadata layout every
+    ISO-BMFF video carries."""
+    n = len(sample_sizes)
+    stts = bytes(4) + struct.pack(">I", 1) + struct.pack(
+        ">II", n, sample_delta
+    ) if n else bytes(4) + struct.pack(">I", 0)
+    stsz = bytes(4) + struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", s) for s in sample_sizes
+    )
+    stbl = _box(b"stts", stts) + _box(b"stsz", stsz)
+    mdhd = bytes((0, 0, 0, 0)) + b"\x00" * 8 + struct.pack(
+        ">II", timescale, n * sample_delta
+    ) + b"\x00" * 4
+    mdia = _box(b"mdhd", mdhd) + _box(b"minf", _box(b"stbl", stbl))
+    trak = _box(b"mdia", mdia)
+    mvhd_body = bytes((0, 0, 0, 0)) + b"\x00" * 8 + struct.pack(
+        ">II", timescale, n * sample_delta
+    ) + b"\x00" * 80
+    moov = _box(b"mvhd", mvhd_body) + _box(b"trak", trak)
+    return _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00isom") + _box(b"moov", moov)
+
+
+def decode_mp4_track_samples(blob: bytes) -> Mp4TrackSamples:
+    """Walk moov→trak→mdia→minf→stbl and decode stts (durations) + stsz
+    (sizes) — REAL frame-level container metadata, stdlib-only: frame
+    count, byte sizes, and track duration without touching any codec
+    (frame PIXELS stay behind DECODERS_AVAILABLE)."""
+    n_samples = total = mx = dur = 0
+    found = False
+
+    def walk_stbl(start: int, end: int) -> None:
+        nonlocal n_samples, total, mx, dur, found
+        for tag, b, e in _iter_boxes(blob, start, end):
+            if tag == b"stts":
+                (n_ent,) = struct.unpack(">I", blob[b + 4 : b + 8])
+                for i in range(n_ent):
+                    cnt, delta = struct.unpack(
+                        ">II", blob[b + 8 + 8 * i : b + 16 + 8 * i]
+                    )
+                    dur += cnt * delta
+                found = True
+            elif tag == b"stsz":
+                uniform, n = struct.unpack(">II", blob[b + 4 : b + 12])
+                n_samples = n
+                if uniform:
+                    total = uniform * n
+                    mx = uniform if n else 0
+                else:
+                    sizes = [
+                        struct.unpack(">I", blob[b + 12 + 4 * i : b + 16 + 4 * i])[0]
+                        for i in range(n)
+                    ]
+                    total = sum(sizes)
+                    mx = max(sizes) if sizes else 0
+                found = True
+
+    def walk(start: int, end: int, path: tuple) -> None:
+        for tag, b, e in _iter_boxes(blob, start, end):
+            if tag in (b"moov", b"trak", b"mdia", b"minf"):
+                walk(b, e, path + (tag,))
+            elif tag == b"stbl":
+                walk_stbl(b, e)
+
+    walk(0, len(blob), ())
+    if not found:
+        raise MediaFormatError("no sample table (stbl) in stream")
+    return Mp4TrackSamples(
+        n_samples=n_samples,
+        total_bytes=total,
+        max_sample_bytes=mx,
+        duration_units=dur,
+    )

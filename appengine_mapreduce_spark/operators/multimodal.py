@@ -470,3 +470,49 @@ def decode_jpeg_pixel_stats(
             )
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def mp4_frame_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL frame-level video-container metadata over a binary column:
+    walk moov→trak→mdia→minf→stbl and decode the stts/stsz sample tables
+    (functions/media.decode_mp4_track_samples, stdlib-only) — frame
+    count, per-frame byte sizes, track duration. This is the routing
+    information a video corpus filters on (drop sub-second clips, cap
+    bitrate, budget decode cost) WITHOUT any codec; frame pixels stay
+    behind DECODERS_AVAILABLE."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_mp4_track_samples,
+    )
+
+    out_schema = (
+        f"{id_col} bigint, n_samples bigint, total_bytes bigint, "
+        "max_sample_bytes bigint, duration_units bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                ts = decode_mp4_track_samples(bytes(blob))
+                rows.append(
+                    (int(i), ts.n_samples, ts.total_bytes,
+                     ts.max_sample_bytes, ts.duration_units)
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_samples", "total_bytes",
+                    "max_sample_bytes", "duration_units"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "total_bytes": pd.Series(dtype="int64"),
+                    "max_sample_bytes": pd.Series(dtype="int64"),
+                    "duration_units": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)

@@ -476,3 +476,67 @@ def jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return decode_jpeg_pixel_stats(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "mp4_frame_stats",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, 10 + doc_id % 20 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        sizes AS (
+            SELECT doc_id, n,
+                   unnest(list_transform(
+                       generate_series(0, n - 1),
+                       i -> 200 + (doc_id * 31 + i * 17) % 1000)) AS sz
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(sum(sz) AS BIGINT) AS total_bytes,
+               CAST(max(sz) AS BIGINT) AS max_sample_bytes,
+               CAST(n * 3000 AS BIGINT) AS duration_units
+        FROM sizes GROUP BY doc_id, n
+    """,
+    description="REAL frame-level video metadata through the driver gate: "
+    "synthesize an ISO-BMFF stream per document with a genuine stbl "
+    "sample table (one stts run + per-frame stsz sizes from a "
+    "deterministic formula), box-walk moov→trak→mdia→minf→stbl back "
+    "(functions/media.decode_mp4_track_samples, stdlib-only) and emit "
+    "frame count / byte totals / duration, which the oracle recomputes "
+    "from the generating formula. Narrows the video stub to frame PIXEL "
+    "decode only — the routing metadata a video corpus filters on is "
+    "fully decoded.",
+    tags=("multimodal", "udf", "video"),
+)
+def mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import (
+        encode_mp4_with_samples,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        mp4_frame_stats as frame_stats_op,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 10 + did % 20
+                sizes = [200 + (did * 31 + i * 17) % 1000 for i in range(n)]
+                rows.append(
+                    (did, encode_mp4_with_samples(sizes, sample_delta=3000))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return frame_stats_op(blobs, id_col="doc_id", content_col="content")

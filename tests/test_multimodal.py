@@ -506,3 +506,27 @@ if _HYP:
         )
         assert back == samples
         assert meta.sample_rate == rate
+
+
+def test_mp4_sample_table_roundtrip():
+    from appengine_mapreduce_spark.functions.media import (
+        decode_mp4_meta,
+        decode_mp4_track_samples,
+        encode_mp4_with_samples,
+    )
+
+    sizes = [100, 250, 99, 1024, 7]
+    blob = encode_mp4_with_samples(sizes, sample_delta=3000, timescale=90000)
+    ts = decode_mp4_track_samples(blob)
+    assert ts.n_samples == 5
+    assert ts.total_bytes == sum(sizes)
+    assert ts.max_sample_bytes == 1024
+    assert ts.duration_units == 15000
+    # the plain metadata walker still reads the same stream
+    m = decode_mp4_meta(blob)
+    assert m.n_tracks == 1 and m.timescale == 90000
+
+    # empty track: zero frames, zero duration
+    ts0 = decode_mp4_track_samples(encode_mp4_with_samples([]))
+    assert ts0.n_samples == 0 and ts0.total_bytes == 0
+    assert ts0.duration_units == 0
