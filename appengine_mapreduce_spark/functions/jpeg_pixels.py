@@ -14,7 +14,13 @@ Huffman with the Annex K example tables). Two profiles:
   ``encode_baseline_color`` (4:4:4) and ``encode_baseline_420`` build
   fixtures for both ends of the range.
 
-Progressive scans and sampling factors above 2 raise a clear error and
+- PROGRESSIVE grayscale (SOF2, full T.81 Annex G scan script: DC
+  first/refinement, spectral-selection AC first scans with EOB runs,
+  successive-approximation AC refinement): ``encode_progressive_gray`` /
+  ``decode_progressive_gray`` — decodes bit-identical to the baseline
+  stream of the same source.
+
+Progressive COLOR and sampling factors above 2 raise a clear error and
 stay behind ``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here is
 the direct float transform: correct and portable; production swaps a
 vectorized codec without touching the Spark-side plumbing (the
@@ -779,3 +785,442 @@ def encode_baseline_420(
         + scan
         + b"\xff\xd9"
     )
+
+
+# --- progressive (SOF2) grayscale ------------------------------------------
+#
+# T.81 Annex G: DC/AC spectral-selection scans with successive
+# approximation. DC uses an arithmetic shift point transform; AC truncates
+# toward zero. AC first scans carry EOB runs (EOBRUN); AC refinement
+# scans interleave newly-nonzero symbols with correction bits for
+# coefficients that already have history.
+
+
+def _trunc_div2(v: int) -> int:
+    """AC point transform for Al=1: divide by 2 rounding toward zero."""
+    return -((-v) >> 1) if v < 0 else v >> 1
+
+
+# Progressive AC scans need EOBn symbols (r<<4 for r=1..14), which the
+# baseline Annex K table does not define. Fixtures use this flat 9-bit
+# table instead: every needed symbol at code length 9 — canonical,
+# prefix-free, deliberately simple (compression is irrelevant for
+# fixtures; the DECODER reads whatever DHT the stream carries).
+PROG_AC_SYMBOLS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 9)]
+)
+PROG_AC_COUNTS = [0] * 16
+PROG_AC_COUNTS[8] = len(PROG_AC_SYMBOLS)  # all codes 9 bits
+
+
+def encode_progressive_gray(
+    pixels: list[int], width: int, height: int, qt_zz: list[int] | None = None
+) -> bytes:
+    """Encode a REAL progressive (SOF2) grayscale JPEG exercising every
+    scan type the standard defines: DC first (Al=1), DC refinement, AC
+    first with successive approximation (Al=1, EOB runs across blocks),
+    and AC refinement (correction bits + newly-nonzero insertion).
+    Fixture twin of :func:`decode_progressive_gray`."""
+    qt = list(qt_zz or STD_QT_ZZ)
+    dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _canonical_codes(PROG_AC_COUNTS, PROG_AC_SYMBOLS)
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    blocks = []
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = []
+            for y in range(8):
+                sy = min(by + y, height - 1)
+                for x in range(8):
+                    sx = min(bx + x, width - 1)
+                    block.append(pixels[sy * width + sx] - 128)
+            blocks.append(_fdct_quant(block, qt))
+
+    def dc_first_scan() -> bytes:
+        w = _BitWriter()
+        prev = 0
+        for zz in blocks:
+            v = zz[0] >> 1  # arithmetic shift (T.81 DC point transform)
+            diff = v - prev
+            prev = v
+            t = _category(diff)
+            length, code = dc_codes[t]
+            w.put(code, length)
+            if t:
+                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return w.flush()
+
+    def dc_refine_scan() -> bytes:
+        w = _BitWriter()
+        for zz in blocks:
+            w.put(zz[0] & 1, 1)
+        return w.flush()
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (2 << r) - 1)
+                r = take.bit_length() - 1
+                length, code = ac_codes[r << 4]
+                w.put(code, length)
+                if r:
+                    w.put(take - (1 << r), r)
+                eobrun -= take
+
+        for zz in blocks:
+            band = [_trunc_div2(zz[k]) if al else zz[k] for k in range(ss, se + 1)]
+            last_nz = -1
+            for i, v in enumerate(band):
+                if v:
+                    last_nz = i
+            if last_nz < 0:
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]
+                    w.put(code, length)
+                    run -= 16
+                size = _category(v)
+                length, code = ac_codes[(run << 4) | size]
+                w.put(code, length)
+                w.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < se - ss:
+                eobrun += 1
+        flush_eob()
+        return w.flush()
+
+    def ac_refine_scan(ss: int, se: int, al: int) -> bytes:
+        # Al here is the NEW (lower) point transform; prior scan used al+1.
+        w = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits owed after next symbol
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (2 << r) - 1)
+                r = take.bit_length() - 1
+                length, code = ac_codes[r << 4]
+                w.put(code, length)
+                if r:
+                    w.put(take - (1 << r), r)
+                for b in pending:
+                    w.put(b, 1)
+                pending = []
+                eobrun -= take
+
+        for zz in blocks:
+            hist = [_trunc_div2(zz[k]) for k in range(ss, se + 1)]
+            full = [zz[k] for k in range(ss, se + 1)]
+            newly = [i for i, (h, f) in enumerate(zip(hist, full)) if h == 0 and f != 0]
+            if not newly:
+                # only corrections (or nothing): EOB immediately with the
+                # block's correction bits for nonzero-history coefficients
+                corr = []
+                for h, f in zip(hist, full):
+                    if h != 0:
+                        corr.append(abs(f) & 1)
+                if corr:
+                    flush_eob()
+                    length, code = ac_codes[0x00]
+                    w.put(code, length)
+                    for b in corr:
+                        w.put(b, 1)
+                else:
+                    eobrun += 1
+                continue
+            flush_eob()
+            i = 0
+            last_new = newly[-1]
+            while i <= last_new:
+                run = 0
+                corr: list[int] = []
+                while True:
+                    h, f = hist[i], full[i]
+                    if h == 0 and f != 0:
+                        break
+                    if h != 0:
+                        corr.append(abs(f) & 1)
+                    else:
+                        run += 1
+                        if run == 16:
+                            length, code = ac_codes[0xF0]
+                            w.put(code, length)
+                            for b in corr:
+                                w.put(b, 1)
+                            corr = []
+                            run = 0
+                    i += 1
+                # newly-nonzero coefficient: magnitude must be 1 at this Al
+                length, code = ac_codes[(run << 4) | 1]
+                w.put(code, length)
+                w.put(1 if full[i] > 0 else 0, 1)
+                for b in corr:
+                    w.put(b, 1)
+                i += 1
+            tail_corr = [abs(full[j]) & 1 for j in range(i, len(full)) if hist[j] != 0]
+            if any(full[j] == 0 == hist[j] for j in range(i, len(full))) or tail_corr:
+                length, code = ac_codes[0x00]
+                w.put(code, length)
+                for b in tail_corr:
+                    w.put(b, 1)
+        flush_eob()
+        return w.flush()
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _segment(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+    dqt = bytes((0x00,)) + bytes(qt)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0x00))
+    dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
+    dht_ac = bytes((0x10, *PROG_AC_COUNTS)) + bytes(PROG_AC_SYMBOLS)
+    return (
+        JPEG_SOI
+        + _segment(0xDB, dqt)
+        + _segment(0xC2, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + sos(0, 0, 0, 1) + dc_first_scan()
+        + sos(0, 0, 1, 0) + dc_refine_scan()
+        + sos(1, 5, 0, 1) + ac_first_scan(1, 5, 1)
+        + sos(6, 63, 0, 1) + ac_first_scan(6, 63, 1)
+        + sos(1, 5, 1, 0) + ac_refine_scan(1, 5, 0)
+        + sos(6, 63, 1, 0) + ac_refine_scan(6, 63, 0)
+        + b"\xff\xd9"
+    )
+
+
+def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
+    """Decode a progressive (SOF2) GRAYSCALE JPEG: accumulate DCT
+    coefficients across all scans — DC first/refinement (arithmetic-shift
+    point transform), AC first scans with EOB runs, AC refinement scans
+    (correction bits + newly-nonzero insertion, T.81 Annex G) — then
+    dequantize + IDCT once at the end. Multi-component progressive stays
+    behind DECODERS_AVAILABLE."""
+    if blob[:2] != JPEG_SOI:
+        raise JpegFormatError("bad JPEG SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    width = height = None
+    comp_qt = 0
+    coefs: list[list[int]] | None = None
+    n_blocks = 0
+
+    def read_scan(data: bytes, scan_bytes: bytes) -> int:
+        """Apply one scan; returns bytes of entropy data consumed."""
+        nonlocal coefs
+        ss, se, ahal = data[-3], data[-2], data[-1]
+        ah, al = ahal >> 4, ahal & 0x0F
+        dc_tbl = htables.get(data[2] >> 4)
+        ac_tbl = htables.get(0x10 | (data[2] & 0x0F))
+        reader = _BitReader(scan_bytes)
+
+        def read_symbol(lut) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | reader.bit()
+                sym = lut.get((length, code))
+                if sym is not None:
+                    return sym
+            raise JpegFormatError("invalid Huffman code")
+
+        def extend(v: int, t: int) -> int:
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        assert coefs is not None
+        if ss == 0:  # DC scan (se must be 0)
+            if ah == 0:
+                if dc_tbl is None:
+                    raise JpegFormatError("missing DC Huffman table")
+                prev = 0
+                for zz in coefs:
+                    t = read_symbol(dc_tbl)
+                    diff = extend(reader.bits(t), t) if t else 0
+                    prev += diff
+                    zz[0] = prev << al
+            else:  # DC refinement: one bit per block
+                for zz in coefs:
+                    if reader.bit():
+                        zz[0] |= 1 << al
+        elif ah == 0:  # AC first scan
+            if ac_tbl is None:
+                raise JpegFormatError("missing AC Huffman table")
+            eobrun = 0
+            for zz in coefs:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = read_symbol(ac_tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise JpegFormatError("AC run overflow")
+                    zz[k] = extend(reader.bits(s), s) << al
+                    k += 1
+        else:  # AC refinement scan
+            if ac_tbl is None:
+                raise JpegFormatError("missing AC Huffman table")
+            p1, m1 = 1 << al, -1 << al
+            eobrun = 0
+
+            def refine_nonzero(zz, k):
+                if reader.bit():
+                    if zz[k] > 0 and not (zz[k] & p1):
+                        zz[k] += p1
+                    elif zz[k] < 0 and not (zz[k] & p1):
+                        zz[k] += m1
+            for zz in coefs:
+                k = ss
+                if eobrun > 0:
+                    # whole block in EOB run: corrections only
+                    for k2 in range(ss, se + 1):
+                        if zz[k2]:
+                            refine_nonzero(zz, k2)
+                    eobrun -= 1
+                    continue
+                while k <= se:
+                    sym = read_symbol(ac_tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            # current block: corrections for the rest
+                            for k2 in range(k, se + 1):
+                                if zz[k2]:
+                                    refine_nonzero(zz, k2)
+                            k = se + 1
+                            break
+                        # ZRL: skip 16 zero-history positions
+                        zeros = 16
+                        while k <= se and zeros > 0:
+                            if zz[k]:
+                                refine_nonzero(zz, k)
+                            else:
+                                zeros -= 1
+                            k += 1
+                        continue
+                    if s != 1:
+                        raise JpegFormatError("bad refinement magnitude")
+                    newval = p1 if reader.bit() else m1
+                    zeros = r
+                    while k <= se:
+                        if zz[k]:
+                            refine_nonzero(zz, k)
+                        else:
+                            if zeros == 0:
+                                break
+                            zeros -= 1
+                        k += 1
+                    if k > se:
+                        raise JpegFormatError("refinement run overflow")
+                    zz[k] = newval
+                    k += 1
+        # consumed bytes: reader.pos covers full bytes started
+        return reader.pos
+
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtables[pq_tq & 0x0F] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC2:
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8 or n_comp != 1:
+                raise JpegFormatError("only 8-bit grayscale progressive supported")
+            comp_qt = data[8]
+            n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+            coefs = [[0] * 64 for _ in range(n_blocks)]
+        elif marker in (0xC0, 0xC1):
+            raise JpegFormatError("baseline stream: use decode_baseline_gray")
+        elif marker == 0xC4:
+            _parse_dht(data, htables)
+        elif marker == 0xDA:
+            if coefs is None:
+                raise JpegFormatError("SOS before SOF2")
+            scan_start = pos + 2 + length
+            # entropy data runs until the next marker that is not a
+            # stuffed byte (FF00) or fill
+            end = scan_start
+            while end + 1 < len(blob):
+                if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+                    break
+                end += 1
+            read_scan(data, blob[scan_start:end])
+            pos = end
+            continue
+        pos += 2 + length
+    if coefs is None or width is None:
+        raise JpegFormatError("missing SOF2/SOS")
+    qt = qtables.get(comp_qt)
+    if qt is None:
+        raise JpegFormatError("missing quant table")
+
+    bw = 8 * ((width + 7) // 8)
+    pixels = [0] * (width * height)
+    bi = 0
+    for by in range(0, 8 * ((height + 7) // 8), 8):
+        for bx in range(0, bw, 8):
+            block = _dequant_idct(coefs[bi], qt)
+            bi += 1
+            for y in range(8):
+                sy = by + y
+                if sy >= height:
+                    break
+                for x in range(8):
+                    sx = bx + x
+                    if sx >= width:
+                        continue
+                    v = block[y * 8 + x] + 128
+                    pixels[sy * width + sx] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, pixels
+
+
+def decode_gray_auto(blob: bytes) -> tuple[int, int, list[int]]:
+    """Dispatch a grayscale JPEG to the baseline or progressive decoder by
+    its SOF marker — one entry point for the pixel operator."""
+    from appengine_mapreduce_spark.functions.jpeg import decode_jpeg_meta
+
+    if decode_jpeg_meta(blob).progressive:
+        return decode_progressive_gray(blob)
+    return decode_baseline_gray(blob)

@@ -32,8 +32,10 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY progressive JPEG, lossy audio (MP3/AAC), and video
-# frames. Baseline JPEG pixels decode for real — grayscale AND color at
+# now covers ONLY progressive COLOR JPEG, lossy audio (MP3/AAC), and
+# video frame pixels. Progressive GRAYSCALE decodes for real (full T.81
+# Annex G scan script — DC/AC first + successive-approximation
+# refinement; functions/jpeg_pixels.decode_progressive_gray). Baseline JPEG pixels decode for real — grayscale AND color at
 # 4:4:4/4:2:2/4:2:0 sampling (decode_jpeg_pixel_stats below;
 # functions/jpeg_pixels.py implements the full T.81 baseline entropy
 # decode + dequant + IDCT + JFIF color transform), PCM audio SAMPLES
@@ -440,7 +442,7 @@ def decode_jpeg_pixel_stats(
     behind DECODERS_AVAILABLE; baseline grayscale — the document-scan
     profile — does not."""
     from appengine_mapreduce_spark.functions.jpeg_pixels import (
-        decode_baseline_gray,
+        decode_gray_auto,
     )
 
     out_schema = (
@@ -453,7 +455,7 @@ def decode_jpeg_pixel_stats(
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                w, h, px = decode_baseline_gray(bytes(blob))
+                w, h, px = decode_gray_auto(bytes(blob))
                 rows.append((int(i), w, h, sum(px), min(px), max(px)))
             yield (
                 pd.DataFrame(rows, columns=[

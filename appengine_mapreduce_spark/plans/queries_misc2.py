@@ -540,3 +540,59 @@ def mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return frame_stats_op(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "jpeg_progressive_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+               CAST(8 * (1 + n_chars % 2) AS INT) AS height,
+               CAST(8 * (1 + doc_id % 3) * 8 * (1 + n_chars % 2)
+                    * ((doc_id * 11) % 256) AS BIGINT) AS px_sum,
+               CAST((doc_id * 11) % 256 AS INT) AS px_min,
+               CAST((doc_id * 11) % 256 AS INT) AS px_max
+        FROM documents WHERE doc_id < 100
+    """,
+    description="PROGRESSIVE JPEG pixel decode through the driver gate: "
+    "each document encodes a solid-color SOF2 stream with the full "
+    "progressive scan script (DC first + DC refinement + spectral-"
+    "selection AC first scans with EOB runs + AC successive-approximation "
+    "refinement scans, T.81 Annex G; functions/jpeg_pixels.py), then the "
+    "coefficient-accumulating decoder reconstructs pixels the oracle "
+    "predicts exactly. Non-solid progressive content is verified "
+    "bit-identical to the baseline decode of the same source in pytest — "
+    "progressive grayscale is no longer a stub.",
+    tags=("multimodal", "udf", "image", "jpeg"),
+)
+def jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_progressive_gray,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w = 8 * (1 + did % 3)
+                h = 8 * (1 + nc % 2)
+                color = (did * 11) % 256
+                rows.append(
+                    (did, encode_progressive_gray([color] * (w * h), w, h))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_jpeg_pixel_stats(blobs, id_col="doc_id", content_col="content")

@@ -530,3 +530,33 @@ def test_mp4_sample_table_roundtrip():
     ts0 = decode_mp4_track_samples(encode_mp4_with_samples([]))
     assert ts0.n_samples == 0 and ts0.total_bytes == 0
     assert ts0.duration_units == 0
+
+
+def test_jpeg_progressive_codec_matches_baseline():
+    """The progressive pipeline (DC first/refine + spectral-selection AC
+    first with EOB runs + successive-approximation AC refinement) must
+    reconstruct EXACTLY the coefficients the baseline stream carries, so
+    decoding both encodings of the same source yields identical pixels."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_gray,
+        decode_gray_auto,
+        decode_progressive_gray,
+        encode_baseline_gray,
+        encode_progressive_gray,
+    )
+
+    w, h = 24, 16
+    for pat in [
+        [128] * (w * h),
+        [min(255, x * 3 + y * 2) for y in range(h) for x in range(w)],
+        [(x * 7 + y * 5) % 256 for y in range(h) for x in range(w)],
+    ]:
+        _, _, base = decode_baseline_gray(encode_baseline_gray(pat, w, h))
+        blob = encode_progressive_gray(pat, w, h)
+        _, _, prog = decode_progressive_gray(blob)
+        assert prog == base
+        # the auto dispatcher picks the right path for both markers
+        assert decode_gray_auto(blob)[2] == prog
+        assert (
+            decode_gray_auto(encode_baseline_gray(pat, w, h))[2] == base
+        )
