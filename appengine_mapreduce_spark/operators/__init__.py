@@ -12,8 +12,15 @@
 ``joins``         — as-of join, salted skew join.
 ``sampling``      — deterministic samples, train/test split, profiling.
 ``text_analysis`` — language-ID, quality scoring, token stats, fingerprints.
-``multimodal``    — opaque-binary column plumbing (decode stubs, real
-                    Spark-side schema/batching).
+``multimodal``    — binary media columns: REAL stdlib decoders (PNG full,
+                    JPEG baseline gray/color + progressive gray, WAV PCM,
+                    MP4 metadata + frame tables) over Arrow batching.
+``merge``         — MERGE upsert / SCD2 dimension history.
+``cdc``           — snapshot diff + incremental aggregate maintenance.
+``compaction``    — small-file compaction (byte-targeted, atomic swap).
+``backfill``      — per-partition backfill with commit markers.
+``quality_checks``— declarative data-quality gates (one-pass).
+``footer_stats``  — scan-free parquet footer statistics.
 """
 
 from appengine_mapreduce_spark.operators import (  # noqa: F401
