@@ -89,3 +89,31 @@ def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return winnow_fingerprints(docs, k=8, window=4)
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=None,  # iterative greedy training (like kmeans) — rows-only
+    # driver check; exact-merge verification lives in
+    # tests/test_operators.py (classic worked example + determinism)
+    description="Distributed BPE tokenizer TRAINING "
+    "(operators/tokenizer.train_bpe_merges): the corpus collapses to a "
+    "vocabulary-sized word-frequency table once, then each greedy merge "
+    "round is a pair-count aggregation + scalar best-pair collect (the "
+    "model parameter) + a JVM array-fold rewrite — N merges never re-read "
+    "the corpus. Deterministic tie-breaking makes training reproducible; "
+    "the classic {hug,pug,pun,bun,hugs} example is verified merge-by-"
+    "merge in pytest.",
+    tags=("text", "tokenizer", "training-data", "iterative"),
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    merges = train_bpe_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )

@@ -460,3 +460,32 @@ def test_incremental_refresh_handles_group_migration(spark):
         "g2": (25.0, 1),
         "g3": (40.0, 1),
     }, (got, direct)
+
+
+def test_bpe_training_classic_example(spark):
+    """Hand-computable BPE: corpus {hug:10, pug:5, pun:12, bun:4, hugs:5}
+    must learn (u,g)=20, then (u,n)=16, then (h,ug)=15 — the standard
+    worked example for greedy pair merging."""
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+
+    text = " ".join(
+        ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    )
+    docs = spark.createDataFrame([(text,)], "text string")
+    merges = train_bpe_merges(docs, n_merges=3)
+    assert merges == [("u", "g", 20), ("u", "n", 16), ("h", "ug", 15)], merges
+
+
+def test_bpe_training_deterministic_and_early_stop(spark):
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame([("ab ab cd",)], "text string")
+    a = train_bpe_merges(docs, n_merges=10, min_pair_count=2)
+    b = train_bpe_merges(docs, n_merges=10, min_pair_count=2)
+    assert a == b
+    # (a,b)=2 qualifies; (c,d)=1 falls under min_pair_count -> early stop
+    assert a == [("a", "b", 2)], a
