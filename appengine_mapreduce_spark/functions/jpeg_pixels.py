@@ -20,8 +20,13 @@ Huffman with the Annex K example tables). Two profiles:
   ``decode_progressive_gray`` — decodes bit-identical to the baseline
   stream of the same source.
 
-Progressive COLOR and sampling factors above 2 raise a clear error and
-stay behind ``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here is
+Restart markers (DRI/RSTn — camera/libjpeg-style streams) are supported
+in both baseline profiles: predictors reset and the bitstream re-aligns
+at each marker (encoders take ``restart_interval`` for fixtures).
+
+Progressive COLOR, restart markers inside progressive scans, and sampling
+factors above 2 raise a clear error and stay behind
+``operators/multimodal.DECODERS_AVAILABLE``. The IDCT here is
 the direct float transform: correct and portable; production swaps a
 vectorized codec without touching the Spark-side plumbing (the
 mapInPandas batch shape is identical).
@@ -137,6 +142,18 @@ class _BitWriter:
             self.nbits = 0
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit RSTn (T.81 §B.2.1, n in 0..7)."""
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -170,9 +187,101 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Discard padding bits and consume an RSTn marker (any D0-D7)."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise JpegFormatError("expected restart marker")
+        self.pos += 2
+
 
 def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _read_symbol(reader: "_BitReader", lut: dict) -> int:
+    """Walk the canonical-code LUT one bit at a time (T.81 §F.2.2.3)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude field (T.81 §F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _write_coef_block(
+    w: "_BitWriter", zz: list[int], dc_codes: dict, ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Entropy-encode one baseline block (DC diff + AC run/size with ZRL
+    and EOB); returns the block's DC for the caller's predictor. The ONE
+    copy of this logic — gray, 4:4:4 and 4:2:0 encoders all call it."""
+    diff = zz[0] - prev_dc
+    t = _category(diff)
+    length, code = dc_codes[t]
+    w.put(code, length)
+    if t:
+        w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i]:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            w.put(code, length)
+            run -= 16
+        size = _category(zz[i])
+        length, code = ac_codes[(run << 4) | size]
+        w.put(code, length)
+        v = zz[i]
+        w.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]
+        w.put(code, length)
+    return zz[0]
+
+
+def _read_coef_block(
+    reader: "_BitReader", dc_tbl: dict, ac_tbl: dict, prev_dc: int
+) -> tuple[list[int], int]:
+    """Entropy-decode one baseline block; returns (zigzag coefficients,
+    new DC predictor). Shared by the gray and color decoders."""
+    zz = [0] * 64
+    t = _read_symbol(reader, dc_tbl)
+    diff = _extend(reader.bits(t), t) if t else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        sym = _read_symbol(reader, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            raise JpegFormatError("AC run overflow")
+        zz[i] = _extend(reader.bits(size), size)
+        i += 1
+    return zz, dc
 
 
 def _fdct_quant(block: list[int], qt_zz: list[int]) -> list[int]:
@@ -219,11 +328,17 @@ def _dequant_idct(zz_coefs: list[int], qt_zz: list[int]) -> list[int]:
 
 
 def encode_baseline_gray(
-    pixels: list[int], width: int, height: int, qt_zz: list[int] | None = None
+    pixels: list[int],
+    width: int,
+    height: int,
+    qt_zz: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an 8-bit grayscale image (row-major ``pixels``) as a REAL
     baseline sequential JPEG: fDCT + quantization + Annex K Huffman
-    entropy coding. Edge-replication pads to 8×8 blocks."""
+    entropy coding. Edge-replication pads to 8x8 blocks.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs (camera/libjpeg-style streams)."""
     qt = list(qt_zz or STD_QT_ZZ)
     dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
     ac_codes = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
@@ -231,44 +346,24 @@ def encode_baseline_gray(
     bh = 8 * ((height + 7) // 8)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
             block = []
             for y in range(8):
                 sy = min(by + y, height - 1)
                 for x in range(8):
                     sx = min(bx + x, width - 1)
                     block.append(pixels[sy * width + sx] - 128)
-            zz = _fdct_quant(block, qt)
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            t = _category(diff)
-            length, code = dc_codes[t]
-            w.put(code, length)
-            if t:
-                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            run = 0
-            last_nz = 0
-            for i in range(1, 64):
-                if zz[i]:
-                    last_nz = i
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_codes[0xF0]  # ZRL
-                    w.put(code, length)
-                    run -= 16
-                size = _category(zz[i])
-                length, code = ac_codes[(run << 4) | size]
-                w.put(code, length)
-                v = zz[i]
-                w.put(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                length, code = ac_codes[0x00]  # EOB
-                w.put(code, length)
+            prev_dc = _write_coef_block(
+                w, _fdct_quant(block, qt), dc_codes, ac_codes, prev_dc
+            )
+            mcu += 1
     scan = w.flush()
 
     dqt = bytes((0x00,)) + bytes(qt)
@@ -276,9 +371,15 @@ def encode_baseline_gray(
     dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
     dht_ac = bytes((0x10, *AC_COUNTS)) + bytes(AC_SYMBOLS)
     sos = bytes((1, 1, 0x00, 0, 63, 0))
+    dri = (
+        _segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         JPEG_SOI
         + _segment(0xDB, dqt)
+        + dri
         + _segment(0xC0, sof)
         + _segment(0xC4, dht_dc)
         + _segment(0xC4, dht_ac)
@@ -322,6 +423,7 @@ def decode_baseline_gray(blob: bytes) -> tuple[int, int, list[int]]:
     scan_start = None
     dc_tbl = ac_tbl = None
     comp_qt = 0
+    restart_interval = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
@@ -347,6 +449,8 @@ def decode_baseline_gray(blob: bytes) -> tuple[int, int, list[int]]:
             raise JpegFormatError("progressive JPEG unsupported")
         elif marker == 0xC4:
             _parse_dht(data, htables)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
             dc_tbl = htables.get(data[2] >> 4)
             ac_tbl = htables.get(0x10 | (data[2] & 0x0F))
@@ -364,43 +468,18 @@ def decode_baseline_gray(blob: bytes) -> tuple[int, int, list[int]]:
     end = blob.rfind(b"\xff\xd9")
     reader = _BitReader(blob[scan_start : end if end > 0 else len(blob)])
 
-    def read_symbol(lut) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.bit()
-            sym = lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise JpegFormatError("invalid Huffman code")
-
-    def extend(v: int, t: int) -> int:
-        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
     bw = 8 * ((width + 7) // 8)
     bh = 8 * ((height + 7) // 8)
     pixels = [0] * (width * height)
     prev_dc = 0
+    mcu = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
-            zz = [0] * 64
-            t = read_symbol(dc_tbl)
-            diff = extend(reader.bits(t), t) if t else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63:
-                    raise JpegFormatError("AC run overflow")
-                zz[i] = extend(reader.bits(size), size)
-                i += 1
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                prev_dc = 0
+            mcu += 1
+            zz, prev_dc = _read_coef_block(reader, dc_tbl, ac_tbl, prev_dc)
             block = _dequant_idct(zz, qt)
             for y in range(8):
                 sy = by + y
@@ -447,6 +526,7 @@ def encode_baseline_color(
     width: int,
     height: int,
     qt_zz: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an RGB image as baseline 4:4:4 YCbCr JPEG (one 8×8 block per
     component per MCU, interleaved Y Cb Cr; the luminance example tables
@@ -472,39 +552,19 @@ def encode_baseline_color(
             for xx in range(8):
                 sx = min(bx + xx, width - 1)
                 block.append(plane[sy * width + sx] - 128)
-        zz = _fdct_quant(block, qt)
-        diff = zz[0] - prev_dc[comp]
-        prev_dc[comp] = zz[0]
-        t = _category(diff)
-        length, code = dc_codes[t]
-        w.put(code, length)
-        if t:
-            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        run = 0
-        last_nz = 0
-        for i in range(1, 64):
-            if zz[i]:
-                last_nz = i
-        for i in range(1, last_nz + 1):
-            if zz[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                length, code = ac_codes[0xF0]
-                w.put(code, length)
-                run -= 16
-            size = _category(zz[i])
-            length, code = ac_codes[(run << 4) | size]
-            w.put(code, length)
-            v = zz[i]
-            w.put(v if v >= 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last_nz < 63:
-            length, code = ac_codes[0x00]
-            w.put(code, length)
+        prev_dc[comp] = _write_coef_block(
+            w, _fdct_quant(block, qt), dc_codes, ac_codes, prev_dc[comp]
+        )
 
+    mcu = 0
+    rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc[0] = prev_dc[1] = prev_dc[2] = 0
+            mcu += 1
             for comp in range(3):
                 encode_block(planes[comp], bx, by, comp)
     scan = w.flush()
@@ -516,9 +576,15 @@ def encode_baseline_color(
     dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
     dht_ac = bytes((0x10, *AC_COUNTS)) + bytes(AC_SYMBOLS)
     sos = bytes((3,)) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + bytes((0, 63, 0))
+    dri = (
+        _segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         JPEG_SOI
         + _segment(0xDB, dqt)
+        + dri
         + _segment(0xC0, sof)
         + _segment(0xC4, dht_dc)
         + _segment(0xC4, dht_ac)
@@ -546,6 +612,7 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
     scan_sel: dict[int, tuple[int, int]] = {}
     scan_order: list[int] = []
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
@@ -576,6 +643,8 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
             raise JpegFormatError("progressive JPEG unsupported")
         elif marker == 0xC4:
             _parse_dht(data, htables)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
             ns = data[0]
             for c in range(ns):
@@ -591,18 +660,6 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
     end = blob.rfind(b"\xff\xd9")
     reader = _BitReader(blob[scan_start : end if end > 0 else len(blob)])
 
-    def read_symbol(lut) -> int:
-        code = 0
-        for length_ in range(1, 17):
-            code = (code << 1) | reader.bit()
-            sym = lut.get((length_, code))
-            if sym is not None:
-                return sym
-        raise JpegFormatError("invalid Huffman code")
-
-    def extend(v: int, t: int) -> int:
-        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
     hmax = max(h for _, _, h, _ in comps)
     vmax = max(v for _, _, _, v in comps)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
@@ -615,8 +672,14 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
     prev_dc = {cid: 0 for cid, *_ in comps}
     qt_of = {cid: qtables[tq] for cid, tq, _, _ in comps}
     factors = {cid: (h, v) for cid, _, h, v in comps}
+    mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                for cid in prev_dc:
+                    prev_dc[cid] = 0
+            mcu += 1
             for cid in scan_order:
                 h_i, v_i = factors[cid]
                 dc_tbl = htables.get(scan_sel[cid][0])
@@ -625,25 +688,9 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
                     raise JpegFormatError("missing Huffman tables")
                 for v_blk in range(v_i):
                     for h_blk in range(h_i):
-                        zz = [0] * 64
-                        t = read_symbol(dc_tbl)
-                        diff = extend(reader.bits(t), t) if t else 0
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        i = 1
-                        while i < 64:
-                            sym = read_symbol(ac_tbl)
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                i += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            i += run
-                            if i > 63:
-                                raise JpegFormatError("AC run overflow")
-                            zz[i] = extend(reader.bits(size), size)
-                            i += 1
+                        zz, prev_dc[cid] = _read_coef_block(
+                            reader, dc_tbl, ac_tbl, prev_dc[cid]
+                        )
                         block = _dequant_idct(zz, qt_of[cid])
                         plane = planes[cid]
                         pw = plane_w[cid]
@@ -722,36 +769,9 @@ def encode_baseline_420(
             for xx in range(8):
                 sx = min(bx + xx, pw - 1)
                 block.append(plane[sy * pw + sx] - 128)
-        zz = _fdct_quant(block, qt)
-        diff = zz[0] - prev_dc[comp]
-        prev_dc[comp] = zz[0]
-        t = _category(diff)
-        length, code = dc_codes[t]
-        w.put(code, length)
-        if t:
-            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        run = 0
-        last_nz = 0
-        for i in range(1, 64):
-            if zz[i]:
-                last_nz = i
-        for i in range(1, last_nz + 1):
-            if zz[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                length, code = ac_codes[0xF0]
-                w.put(code, length)
-                run -= 16
-            size = _category(zz[i])
-            length, code = ac_codes[(run << 4) | size]
-            w.put(code, length)
-            v = zz[i]
-            w.put(v if v >= 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last_nz < 63:
-            length, code = ac_codes[0x00]
-            w.put(code, length)
+        prev_dc[comp] = _write_coef_block(
+            w, _fdct_quant(block, qt), dc_codes, ac_codes, prev_dc[comp]
+        )
 
     mcus_x = (width + 15) // 16
     mcus_y = (height + 15) // 16
@@ -1034,16 +1054,9 @@ def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
         reader = _BitReader(scan_bytes)
 
         def read_symbol(lut) -> int:
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | reader.bit()
-                sym = lut.get((length, code))
-                if sym is not None:
-                    return sym
-            raise JpegFormatError("invalid Huffman code")
+            return _read_symbol(reader, lut)
 
-        def extend(v: int, t: int) -> int:
-            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        extend = _extend
 
         assert coefs is not None
         if ss == 0:  # DC scan (se must be 0)

@@ -51,8 +51,11 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
             (_audio_format, n_channels, sample_rate, _byte_rate,
              block_align, bits) = struct.unpack("<HHIIHH", body[:16])
             fmt = (n_channels, sample_rate, bits, block_align)
-        elif tag == b"data":
-            data_size = size
+        elif tag == b"data" and data_size is None:
+            # FIRST data chunk (the one decode_wav_samples reads), with
+            # the declared size capped to the bytes actually present so a
+            # truncated blob reports frames that exist, not frames claimed
+            data_size = min(size, max(0, len(blob) - pos - 8))
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise MediaFormatError("missing fmt/data chunk")
@@ -273,11 +276,16 @@ def decode_mp4_track_samples(blob: bytes) -> Mp4TrackSamples:
     (sizes) — REAL frame-level container metadata, stdlib-only: frame
     count, byte sizes, and track duration without touching any codec
     (frame PIXELS stay behind DECODERS_AVAILABLE)."""
+    # Per-FILE aggregation, consistent across tracks: sample counts and
+    # byte totals SUM over every track's stsz, duration is the MAX track
+    # duration (the wall-clock length of the file) — never a mix of
+    # last-track sizes with summed durations.
     n_samples = total = mx = dur = 0
     found = False
 
     def walk_stbl(start: int, end: int) -> None:
         nonlocal n_samples, total, mx, dur, found
+        track_dur = 0
         for tag, b, e in _iter_boxes(blob, start, end):
             if tag == b"stts":
                 (n_ent,) = struct.unpack(">I", blob[b + 4 : b + 8])
@@ -285,22 +293,23 @@ def decode_mp4_track_samples(blob: bytes) -> Mp4TrackSamples:
                     cnt, delta = struct.unpack(
                         ">II", blob[b + 8 + 8 * i : b + 16 + 8 * i]
                     )
-                    dur += cnt * delta
+                    track_dur += cnt * delta
                 found = True
             elif tag == b"stsz":
                 uniform, n = struct.unpack(">II", blob[b + 4 : b + 12])
-                n_samples = n
+                n_samples += n
                 if uniform:
-                    total = uniform * n
-                    mx = uniform if n else 0
+                    total += uniform * n
+                    mx = max(mx, uniform if n else 0)
                 else:
                     sizes = [
                         struct.unpack(">I", blob[b + 12 + 4 * i : b + 16 + 4 * i])[0]
                         for i in range(n)
                     ]
-                    total = sum(sizes)
-                    mx = max(sizes) if sizes else 0
+                    total += sum(sizes)
+                    mx = max(mx, max(sizes) if sizes else 0)
                 found = True
+        dur = max(dur, track_dur)
 
     def walk(start: int, end: int, path: tuple) -> None:
         for tag, b, e in _iter_boxes(blob, start, end):

@@ -6,7 +6,7 @@ produce directories of many small files; at 100 TB scale, scan cost is
 dominated by file-open overhead and scheduler pressure long before bytes.
 ``compact_files`` rewrites a directory to approximately ``target_bytes``
 files with a plain distributed read→repartition→write (no driver data
-path), then swaps the result in atomically (write-to-temp + rename — the
+path), then swaps the result in via write-to-temp + two renames (the
 same commit discipline as the reference's tmp-file rewrite in
 GoogleCloudStorageConsistentOutputWriter, output_writers.py:863-1054).
 
@@ -40,6 +40,17 @@ def _data_files(path: str, suffix: str) -> list[str]:
     return out
 
 
+def _recover(path: str) -> None:
+    """Heal an interrupted swap: if a previous compact_files crashed
+    between its two renames, the data sits in <path>.old and <path> is
+    absent — restore it. Stale .compacting dirs are just deleted."""
+    p = path.rstrip("/")
+    if not os.path.exists(p) and os.path.exists(p + ".old"):
+        os.replace(p + ".old", p)
+    shutil.rmtree(p + ".old", ignore_errors=True)
+    shutil.rmtree(p + ".compacting", ignore_errors=True)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -55,6 +66,7 @@ def compact_files(
     sizes regardless of input skew, which is exactly right for compaction
     (key locality is the sorted/partitioned layouts' job, not this one).
     """
+    _recover(path)
     suffix = "." + data_format
     before = _data_files(path, suffix)
     total = sum(os.path.getsize(f) for f in before)
@@ -65,6 +77,10 @@ def compact_files(
     shutil.rmtree(tmp, ignore_errors=True)
     getattr(df.repartition(int(n_out)).write.mode("overwrite"), data_format)(tmp)
 
+    # Two renames, not one atomic op: there is a sub-millisecond window
+    # where the path is absent. A crash in that window is recoverable
+    # (see _recover, called on entry); readers racing the swap should
+    # coordinate via the table format / catalog at production scale.
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path.rstrip("/"), old)

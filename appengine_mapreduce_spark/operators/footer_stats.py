@@ -29,14 +29,13 @@ register_self(__name__)
 
 
 def _data_files(path: str) -> list[str]:
+    from appengine_mapreduce_spark.operators.compaction import (
+        _data_files as _walk,
+    )
+
     if os.path.isfile(path):
         return [path]
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.join(root, f))
-    return sorted(out)
+    return sorted(_walk(path, ".parquet"))
 
 
 def parquet_footer_stats(

@@ -25,8 +25,9 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     a failing one).
     """
     aggs = [
-        F.sum(
-            F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)
+        F.coalesce(
+            F.sum(F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)),
+            F.lit(0).cast("bigint"),  # empty input: 0 violations, not NULL
         ).alias(f"_viol_{i}")
         for i, cond in enumerate(rules.values())
     ]

@@ -185,9 +185,12 @@ def sq8_encode(
     def code(x: Column, i: Column) -> Column:
         lo, hi = F.get(mn, i), F.get(mx, i)
         rng = hi - lo
-        c = F.least(
-            F.lit(255.0),
-            F.floor(F.lit(255.0) * (x.cast("double") - lo) / rng).cast("double"),
+        c = F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(255.0),
+                F.floor(F.lit(255.0) * (x.cast("double") - lo) / rng).cast("double"),
+            ),
         )
         return F.when(rng == 0, F.lit(0.0)).otherwise(c).cast("int")
 

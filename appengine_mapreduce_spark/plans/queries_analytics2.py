@@ -262,7 +262,7 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_stats",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                              >= 1800000000
@@ -273,7 +273,7 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered AS (
             SELECT user_id, ts,
                    sum(new_session) OVER (PARTITION BY user_id
-                                          ORDER BY ts
+                                          ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS sid
             FROM flagged
         )

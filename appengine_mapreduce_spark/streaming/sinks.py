@@ -65,13 +65,36 @@ def materialized_aggregate_sink(
     from appengine_mapreduce_spark.operators.cdc import incremental_sum_refresh
 
     os.makedirs(agg_path, exist_ok=True)
+    data_dir = os.path.join(agg_path, "data")
+    last_file = "_LAST_APPLIED"  # rides INSIDE the data dir, so the
+    # applied-batch watermark swaps in atomically WITH the state it
+    # describes — a marker written after the swap would leave a crash
+    # window where the swap landed but the marker did not, and the
+    # replayed batch would double-apply (read-modify-write is not
+    # replay-idempotent the way a pure overwrite sink is).
+
+    def _last_applied() -> int:
+        try:
+            with open(os.path.join(data_dir, last_file)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _recover() -> None:
+        # a crash between the two renames leaves data absent and .old
+        # present: restore the previous state (whose watermark correctly
+        # predates the interrupted batch, so it will re-apply)
+        old = data_dir + ".old"
+        if not os.path.exists(data_dir) and os.path.exists(old):
+            os.replace(old, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(data_dir + ".next", ignore_errors=True)
 
     def apply_batch(delta: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(agg_path, f"_BATCH_{batch_id}_COMMITTED")
-        if os.path.exists(marker):
-            return
+        _recover()
+        if _last_applied() >= batch_id:
+            return  # replay of an already-applied batch
         spark = delta.sparkSession
-        data_dir = os.path.join(agg_path, "data")
         if os.path.exists(data_dir):
             old_agg = spark.read.parquet(data_dir)
         else:
@@ -91,13 +114,13 @@ def materialized_aggregate_sink(
         tmp = data_dir + ".next"
         shutil.rmtree(tmp, ignore_errors=True)
         refreshed.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, last_file), "w") as fh:
+            fh.write(str(batch_id))
         old = data_dir + ".old"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(data_dir):
             os.replace(data_dir, old)
         os.replace(tmp, data_dir)
         shutil.rmtree(old, ignore_errors=True)
-        with open(marker, "w") as fh:
-            fh.write("ok")
 
     return apply_batch

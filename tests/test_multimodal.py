@@ -560,3 +560,38 @@ def test_jpeg_progressive_codec_matches_baseline():
         assert (
             decode_gray_auto(encode_baseline_gray(pat, w, h))[2] == base
         )
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support (camera/libjpeg-style streams): gray and 4:4:4
+    color streams with restart intervals decode identically to their
+    non-restart encodings — DC predictors reset and the bitstream
+    re-aligns at every marker."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_color,
+        decode_baseline_gray,
+        encode_baseline_color,
+        encode_baseline_gray,
+    )
+
+    w, h = 32, 24
+    pat = [(x * 7 + y * 5) % 256 for y in range(h) for x in range(w)]
+    base = decode_baseline_gray(encode_baseline_gray(pat, w, h))[2]
+    for ri in (1, 2, 5):
+        got = decode_baseline_gray(
+            encode_baseline_gray(pat, w, h, restart_interval=ri)
+        )[2]
+        assert got == base, ri
+
+    w, h = 16, 16
+    grad = [
+        (min(255, x * 16), min(255, y * 16), 128)
+        for y in range(h)
+        for x in range(w)
+    ]
+    cbase = decode_baseline_color(encode_baseline_color(grad, w, h))[2]
+    for ri in (1, 3):
+        got = decode_baseline_color(
+            encode_baseline_color(grad, w, h, restart_interval=ri)
+        )[2]
+        assert got == cbase, ri
