@@ -64,6 +64,13 @@ def z_value_scaled(
         scaled = F.floor(
             (c.cast("double") - F.lit(float(lo))) * ((1 << bits) - 1) / F.lit(rng)
         )
-        return scaled.cast("bigint")
+        # Stale/approximate ranges must not corrupt the interleave: a value
+        # below lo would go negative and its sign bits would scramble the
+        # Morton ordering (shiftright is arithmetic). Clamp to the curve's
+        # domain — out-of-range rows cluster at the edge cells instead.
+        hi_cell = F.lit((1 << bits) - 1).cast("bigint")
+        return F.greatest(
+            F.lit(0).cast("bigint"), F.least(hi_cell, scaled.cast("bigint"))
+        )
 
     return z_value(norm(x, *x_range), norm(y, *y_range), bits)

@@ -60,12 +60,15 @@ def snapshot_diff(
     new_absent = reduce(
         lambda a, b: a & b, [F.col(f"_nk_{c}").isNull() for c in key_cols]
     )
+    # Keys-only tables have nothing to compare: presence on both sides
+    # means unchanged, so 'changed' degenerates to FALSE.
     changed = reduce(
         lambda a, b: a | b,
         [
             ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
             for c in compare_cols
         ],
+        F.lit(False),
     )
     change = (
         F.when(old_absent, F.lit("insert"))
@@ -76,8 +79,15 @@ def snapshot_diff(
         F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
         for c in key_cols
     ]
+    # Value columns must reflect the NEW snapshot for insert/update —
+    # including an update that sets a value to NULL (a coalesce here would
+    # silently resurrect the OLD value and corrupt downstream consumers).
+    # Only deletes carry the old values; keys may coalesce because the
+    # present side's keys are never NULL for a matched row.
     out_vals = [
-        F.coalesce(F.col(f"_nv_{c}"), F.col(f"_ov_{c}")).alias(c)
+        F.when(new_absent, F.col(f"_ov_{c}"))
+        .otherwise(F.col(f"_nv_{c}"))
+        .alias(c)
         for c in compare_cols
     ]
     extra = (
@@ -112,6 +122,12 @@ def incremental_sum_refresh(
     100 TB the cost tracks the CHANGE volume, not the table. Groups whose
     count reaches zero are dropped. Sums must be decimal-typed for exact
     retraction (float retraction drifts).
+
+    NULL values contribute nothing (SQL SUM semantics): an update to NULL
+    retracts the old value and adds nothing. One documented divergence
+    from a full recompute: a group whose surviving values are ALL NULL
+    reports sum 0 here where SUM over the table reports NULL — matching
+    exactly would require maintaining a non-null count alongside.
     """
     # Signed contribution entries: inserts/updates ADD the new value under
     # the NEW group, updates/deletes RETRACT the old value under the OLD

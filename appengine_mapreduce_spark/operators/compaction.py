@@ -35,9 +35,41 @@ def _data_files(path: str, suffix: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(suffix) and not f.startswith(("_", ".")):
+            # Compressed writers append the codec AFTER the format suffix
+            # for text formats (part-*.csv.gz) but BEFORE it for parquet
+            # (part-*.snappy.parquet) — accept both shapes.
+            if (
+                f.endswith(suffix) or (suffix + ".") in f
+            ) and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
     return out
+
+
+def _partition_leaves(path: str) -> list[str] | None:
+    """Leaf directories of a Hive-partitioned (key=value) tree under
+    ``path``, or None if the directory is flat. A mix of key=value and
+    plain subdirectories is rejected (ambiguous layout)."""
+    p = path.rstrip("/")
+    subdirs = [
+        d for d in os.listdir(p)
+        if os.path.isdir(os.path.join(p, d)) and not d.startswith((".", "_"))
+    ]
+    if not subdirs:
+        return None
+    hive = [d for d in subdirs if "=" in d]
+    if not hive:
+        return None
+    if len(hive) != len(subdirs):
+        raise ValueError(
+            f"{path}: mixed key=value and plain subdirectories — "
+            "refusing to compact an ambiguous layout"
+        )
+    leaves: list[str] = []
+    for d in hive:
+        child = os.path.join(p, d)
+        nested = _partition_leaves(child)
+        leaves.extend(nested if nested else [child])
+    return leaves
 
 
 def _recover(path: str) -> None:
@@ -65,7 +97,28 @@ def compact_files(
     ``repartition(n)`` is a round-robin exchange — it balances output
     sizes regardless of input skew, which is exactly right for compaction
     (key locality is the sorted/partitioned layouts' job, not this one).
+
+    A Hive-partitioned (key=value) tree is compacted PER PARTITION LEAF,
+    preserving the directory layout and planning-time partition pruning —
+    a flat rewrite would infer the partition columns, inline them into
+    data files and destroy the layout. Per-leaf is also the 100 TB shape:
+    each leaf compaction is independent (parallelizable, restartable) and
+    untouched partitions can be skipped entirely by a change-aware caller.
     """
+    leaves = _partition_leaves(path)
+    if leaves is not None:
+        stats = [
+            compact_files(
+                spark, leaf, data_format=data_format,
+                target_bytes=target_bytes, min_files=min_files,
+            )
+            for leaf in leaves
+        ]
+        return CompactionStats(
+            files_before=sum(s.files_before for s in stats),
+            files_after=sum(s.files_after for s in stats),
+            bytes_total=sum(s.bytes_total for s in stats),
+        )
     _recover(path)
     suffix = "." + data_format
     before = _data_files(path, suffix)

@@ -24,6 +24,11 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     NOT true (NULL counts as a violation — an unevaluable expectation is
     a failing one).
     """
+    if not rules:
+        # stack(0, ...) is unparseable; an empty suite is simply no rows.
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations bigint, n_rows bigint"
+        )
     aggs = [
         F.coalesce(
             F.sum(F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)),
@@ -33,12 +38,18 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     ]
     wide = df.agg(*aggs, F.count(F.lit(1)).alias("_n"))
     names = list(rules)
-    stack_args = ", ".join(
-        f"'{name}', _viol_{i}" for i, name in enumerate(names)
+    # Rule names are data, not SQL: build the unpivot from Column
+    # expressions so a quote/backslash in a name can't break (or inject
+    # into) the plan the way interpolating into stack()'s string would.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_viol_{i}").alias("violations"),
+            )
+            for i, name in enumerate(names)
+        ]
     )
     return wide.select(
-        F.expr(
-            f"stack({len(names)}, {stack_args}) AS (rule, violations)"
-        ),
-        F.col("_n").alias("n_rows"),
-    )
+        F.explode(entries).alias("_e"), F.col("_n").alias("n_rows")
+    ).select("_e.rule", "_e.violations", "n_rows")

@@ -33,8 +33,10 @@ from appengine_mapreduce_spark.plans.tables import load
                           OR old.c_nationkey IS DISTINCT FROM new.c_nationkey
                         THEN 'update'
                    END AS change_type,
-                   COALESCE(new.c_acctbal, old.c_acctbal) AS c_acctbal,
-                   COALESCE(new.c_nationkey, old.c_nationkey) AS c_nationkey
+                   CASE WHEN new.c_custkey IS NULL THEN old.c_acctbal
+                        ELSE new.c_acctbal END AS c_acctbal,
+                   CASE WHEN new.c_custkey IS NULL THEN old.c_nationkey
+                        ELSE new.c_nationkey END AS c_nationkey
             FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
         ) WHERE change_type IS NOT NULL
     """,

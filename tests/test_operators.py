@@ -401,6 +401,58 @@ def test_snapshot_diff_null_to_value_is_update(spark):
     assert rows[0].v == 7.0  # new value wins for updates
 
 
+def test_snapshot_diff_value_to_null_reports_null(spark):
+    """An update that SETS a value to NULL must report NULL (the new
+    value), not resurrect the old one — otherwise every downstream
+    consumer of the delta silently keeps stale data."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.cdc import (
+        incremental_sum_refresh,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "g1", 5.0), (2, "g1", 7.0)], "k int, g string, v double"
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    new = spark.createDataFrame(
+        [(1, "g1", None), (2, "g1", 7.0)], "k int, g string, v double"
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+
+    delta = snapshot_diff(old, new, key_cols=["k"], include_old=True)
+    rows = delta.collect()
+    assert len(rows) == 1
+    assert rows[0].change_type == "update"
+    assert rows[0].v is None, rows  # the NEW (null) value, not old 5.0
+    assert float(rows[0].old_v) == 5.0
+
+    # The maintained aggregate must match a full recompute: SUM ignores
+    # the NULL, so g1's total drops to 7.0 with count still 2.
+    old_agg = old.groupBy("g").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    got = incremental_sum_refresh(
+        old_agg, delta, "g", "v", "total", "n"
+    ).collect()
+    assert len(got) == 1
+    assert (got[0].g, float(got[0].total), got[0].n) == ("g1", 7.0, 2)
+
+
+def test_snapshot_diff_keys_only_table(spark):
+    """With no compare columns, presence drives classification: inserts
+    and deletes only, never 'update' (regression: reduce() over an empty
+    list used to raise)."""
+    from appengine_mapreduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert got == {1: "delete", 3: "insert"}, got
+
+
 def test_validate_counts_null_as_violation(spark):
     from pyspark.sql import functions as F
 
@@ -417,6 +469,52 @@ def test_validate_counts_null_as_violation(spark):
     }
     # v > 0 is NULL for the None row -> counts as violation
     assert out == {"v_positive": (2, 3), "k_small": (0, 3)}, out
+
+
+def test_validate_hostile_rule_names_and_empty_suite(spark):
+    """Rule names are data: quotes/backslashes must survive verbatim
+    (regression: interpolation into stack() broke the plan parse), and an
+    empty suite yields an empty result, not a stack(0) parse error."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.quality_checks import validate
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    weird = "it's a ', SELECT 1 -- \\ rule"
+    out = {
+        r.rule: (r.violations, r.n_rows)
+        for r in validate(df, {weird: F.col("k") > 0}).collect()
+    }
+    assert out == {weird: (0, 2)}, out
+
+    empty = validate(df, {})
+    assert empty.columns == ["rule", "violations", "n_rows"]
+    assert empty.count() == 0
+
+
+def test_z_value_scaled_clamps_out_of_range(spark):
+    """Values outside the declared ranges clamp to the curve's edge cells
+    instead of producing sign-corrupted Morton values (stale-stats
+    safety)."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.functions.zorder import z_value_scaled
+
+    df = spark.createDataFrame(
+        [(-50.0, 5.0), (0.0, 5.0), (200.0, 5.0), (100.0, 5.0)],
+        "x double, y double",
+    )
+    rows = df.select(
+        "x",
+        z_value_scaled(
+            F.col("x"), F.col("y"), (0.0, 100.0), (0.0, 10.0), bits=4
+        ).alias("z"),
+    ).collect()
+    z = {r.x: r.z for r in rows}
+    max_z = (1 << 8) - 1  # bits=4 per dim -> 8-bit z space
+    assert all(0 <= v <= max_z for v in z.values()), z
+    assert z[-50.0] == z[0.0]  # below-range clamps to lo cell
+    assert z[200.0] == z[100.0]  # above-range clamps to hi cell
 
 
 def test_incremental_refresh_handles_group_migration(spark):

@@ -267,6 +267,60 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10_000))
 
 
+def test_compaction_preserves_hive_partition_layout(spark, tmp_path):
+    """A key=value tree is compacted per partition leaf: the directory
+    layout (and planning-time pruning) survives, file counts drop, rows
+    and values are intact (regression: a flat rewrite inlined the
+    partition column and destroyed the layout)."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.compaction import (
+        _data_files,
+        compact_files,
+    )
+
+    path = str(tmp_path / "partitioned")
+    df = spark.range(0, 6_000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(10).write.partitionBy("p").parquet(path)
+    assert len(_data_files(path, ".parquet")) == 30
+
+    stats = compact_files(spark, path, target_bytes=64 * 1024 * 1024)
+    assert stats.files_before == 30
+    assert stats.files_after == 3, stats  # one file per partition leaf
+
+    import os
+
+    leaves = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert leaves == ["p=0", "p=1", "p=2"]  # layout preserved on disk
+    back = spark.read.parquet(path)
+    assert back.count() == 6_000
+    assert set(back.columns) == {"id", "p", "v"}
+    assert back.filter(F.col("p") == 1).count() == 2_000
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(6_000))
+
+
+def test_compaction_counts_compressed_text_files(spark, tmp_path):
+    """Byte/file stats must see codec-suffixed text files (part-*.csv.gz),
+    not just bare .csv."""
+    from appengine_mapreduce_spark.operators.compaction import (
+        _data_files,
+        compact_files,
+    )
+
+    path = str(tmp_path / "gz_csv")
+    spark.range(0, 1_000).repartition(8).write.option(
+        "compression", "gzip"
+    ).csv(path)
+    assert len(_data_files(path, ".csv")) == 8
+
+    stats = compact_files(
+        spark, path, data_format="csv", target_bytes=64 * 1024 * 1024
+    )
+    assert stats.files_before == 8 and stats.bytes_total > 0, stats
+
+
 def test_backfill_builds_only_missing_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 
