@@ -40,6 +40,8 @@ from __future__ import annotations
 import math
 import struct
 
+import numpy as np
+
 from appengine_mapreduce_spark.functions.jpeg import (
     JPEG_SOI,
     JpegFormatError,
@@ -99,6 +101,13 @@ _COS = [
 ]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+# DCT basis as a matrix: _M[u, x] = C[u] * cos((2x+1)uπ/16). The 2-D
+# transforms become two 8×8 matmuls (IDCT: 0.25·Mᵀ·F·M, fDCT:
+# 0.25·M·f·Mᵀ) — numpy BLAS instead of 64×64-term Python loops, which
+# profiling showed was 76% of decode wall time.
+_M = np.array([[_C[u] * _COS[x][u] for x in range(8)] for u in range(8)])
+_ZIGZAG_NP = np.array(ZIGZAG)
+
 
 def _canonical_codes(counts: list[int], symbols: list[int]):
     """T.81 §C.2: assign consecutive codes per length."""
@@ -156,40 +165,52 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Accumulator-based reader: bytes refill a small int accumulator so
+    multi-bit reads are one shift+mask instead of a per-bit loop (the
+    entropy walk is the decode hot path after the numpy IDCT)."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
+    def _refill(self) -> None:
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            raise JpegFormatError("entropy stream exhausted")
+        b = data[pos]
+        pos += 1
+        if b == 0xFF:
+            if pos >= len(data):
+                raise JpegFormatError("truncated after 0xFF")
+            nxt = data[pos]
+            if nxt == 0x00:
+                pos += 1  # stuffed byte
+            else:
+                raise JpegFormatError(f"unexpected marker FF{nxt:02X} in scan")
+        self.pos = pos
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFF
+        self.nbits += 8
+
     def bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise JpegFormatError("entropy stream exhausted")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise JpegFormatError("truncated after 0xFF")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise JpegFormatError(f"unexpected marker FF{nxt:02X} in scan")
-            self.acc = b
-            self.nbits = 8
+            self._refill()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._refill()
+        if n == 0:
+            return 0
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def restart(self) -> None:
         """Discard padding bits and consume an RSTn marker (any D0-D7)."""
         self.nbits = 0
+        self.acc = 0
         if (
             self.pos + 2 > len(self.data)
             or self.data[self.pos] != 0xFF
@@ -203,12 +224,25 @@ def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+_FAST_KEY = "perlength"  # cache slot inside a decoder LUT dict
+
+
 def _read_symbol(reader: "_BitReader", lut: dict) -> int:
-    """Walk the canonical-code LUT one bit at a time (T.81 §F.2.2.3)."""
+    """Walk the canonical code one bit at a time (T.81 §F.2.2.3), probing
+    a per-length int-keyed dict (built lazily per table) instead of
+    allocating+hashing a (length, code) tuple per bit."""
+    fast = lut.get(_FAST_KEY)
+    if fast is None:
+        fast = [None] + [dict() for _ in range(16)]
+        for key, sym in lut.items():
+            if isinstance(key, tuple):
+                fast[key[0]][key[1]] = sym
+        lut[_FAST_KEY] = fast
     code = 0
+    bit = reader.bit
     for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = lut.get((length, code))
+        code = (code << 1) | bit()
+        sym = fast[length].get(code)
         if sym is not None:
             return sym
     raise JpegFormatError("invalid Huffman code")
@@ -286,45 +320,22 @@ def _read_coef_block(
 
 def _fdct_quant(block: list[int], qt_zz: list[int]) -> list[int]:
     """Level-shifted 8x8 spatial block -> quantized zigzag coefficients."""
-    coef = [[0.0] * 8 for _ in range(8)]
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for x in range(8):
-                cxu = _COS[x][u]
-                row = block[x * 8 : x * 8 + 8]
-                for y in range(8):
-                    s += row[y] * cxu * _COS[y][v]
-            coef[u][v] = 0.25 * _C[u] * _C[v] * s
-    out = []
-    for i, zz in enumerate(ZIGZAG):
-        u, v = divmod(zz, 8)
-        q = qt_zz[i]
-        c = coef[u][v] / q
-        out.append(int(round(c)))
-    return out
+    spatial = np.asarray(block, dtype=np.float64).reshape(8, 8)
+    coef = 0.25 * (_M @ spatial @ _M.T)
+    zz = coef.ravel()[_ZIGZAG_NP] / np.asarray(qt_zz, dtype=np.float64)
+    # np.rint rounds half-to-even, same as the round() this replaced.
+    return np.rint(zz).astype(np.int64).tolist()
 
 
 def _dequant_idct(zz_coefs: list[int], qt_zz: list[int]) -> list[int]:
     """Quantized zigzag coefficients -> spatial 8x8 block (pre level
     shift)."""
-    F = [[0.0] * 8 for _ in range(8)]
-    for i, zz in enumerate(ZIGZAG):
-        if zz_coefs[i]:
-            u, v = divmod(zz, 8)
-            F[u][v] = zz_coefs[i] * qt_zz[i]
-    out = []
-    for x in range(8):
-        for y in range(8):
-            s = 0.0
-            for u in range(8):
-                cu = _C[u] * _COS[x][u]
-                Fu = F[u]
-                for v in range(8):
-                    if Fu[v]:
-                        s += cu * _C[v] * Fu[v] * _COS[y][v]
-            out.append(int(round(0.25 * s)))
-    return out
+    F = np.zeros(64)
+    F[_ZIGZAG_NP] = np.asarray(zz_coefs, dtype=np.float64) * np.asarray(
+        qt_zz, dtype=np.float64
+    )
+    spatial = 0.25 * (_M.T @ F.reshape(8, 8) @ _M)
+    return np.rint(spatial).astype(np.int64).ravel().tolist()
 
 
 def encode_baseline_gray(

@@ -11,6 +11,10 @@ from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
 from appengine_mapreduce_spark.functions.hashing import stable_hash32
 from appengine_mapreduce_spark.functions.text import nonempty_tokens
 
+import string as _string
+
+_ALNUM = _string.ascii_letters + _string.digits
+
 # n-gram-heuristic marker words per language (tiny on purpose — the
 # pattern is what matters; swap in real frequency tables in production).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -55,30 +59,58 @@ def quality_score(
     mean token length, stopword ratio, non-alphanumeric character ratio.
     """
     df = ensure_parallelism(df)
-    toks = nonempty_tokens(F.col(text_col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    alnum_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
 
+    # Staged selects so every expensive expression is computed ONCE and
+    # referenced by attribute. Reusing the same Column object across output
+    # expressions duplicates its whole subtree in the projection — the
+    # original single-select version tokenized each row 9 times (and HOF
+    # projections are interpreted, with no runtime subexpression
+    # elimination to save it). Catalyst's CollapseProject keeps these
+    # stages apart: it only inlines cheap or once-used aliases.
+    toked = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_n_chars"),
+        # Count alnum chars by DELETING them with translate() and
+        # measuring the shrink: a char-map pass, ~10x cheaper than the
+        # regexp_replace scan it replaced.
+        F.length(F.translate(F.col(text_col), _ALNUM, "")).alias("_non_alnum"),
+        nonempty_tokens(F.col(text_col)).alias("_toks"),
+    )
+    counted = toked.select(
+        F.col(id_col),
+        F.col("_n_chars"),
+        (F.col("_n_chars") - F.col("_non_alnum")).alias("_alnum"),
+        F.size("_toks").alias("n_tokens"),
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("_tok_chars"),
+        F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(stop_arr, t))
+        ).alias("_stop_hits"),
+    )
+
+    n_tokens = F.col("n_tokens")
     # No rounding anywhere: every input is integer-derived, so both engines
     # compute bit-identical doubles — rounding would only create half-ulp
     # boundary divergence (engines disagree on ties).
     mean_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        / n_tokens,
+        n_tokens > 0, F.col("_tok_chars") / n_tokens
     ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
-    alnum_ratio = F.when(n_chars > 0, alnum_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, F.col("_stop_hits") / n_tokens
+    ).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(
+        F.col("_n_chars") > 0, F.col("_alnum") / F.col("_n_chars")
+    ).otherwise(F.lit(0.0))
 
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
         + stop_ratio * 0.3
         + alnum_ratio * 0.3
     )
-    return df.select(
+    return counted.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_tok_len"),
@@ -108,14 +140,37 @@ def scrub_signals(
     for lg in reversed(langs):
         pred = F.when((F.col(f"_h_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
 
-    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    alnum_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
-    alnum_ratio = F.when(n_chars > 0, alnum_chars / n_chars).otherwise(F.lit(0.0))
+    # Each heavy expression lands in its own withColumn stage and is then
+    # referenced by attribute — reusing a Column OBJECT would duplicate its
+    # subtree per use (see quality_score; HOF projections are interpreted,
+    # so duplicated tokenizations all execute).
+    out = (
+        out.withColumn("_n_tokens", F.size("_toks"))
+        .withColumn("_n_chars", F.length(F.col(text_col)))
+        # alnum count via translate() deletion: char-map pass, ~10x
+        # cheaper than the regexp_replace scan it replaced.
+        .withColumn(
+            "_alnum",
+            F.col("_n_chars")
+            - F.length(F.translate(F.col(text_col), _ALNUM, "")),
+        )
+        .withColumn(
+            "_stop_hits",
+            F.size(
+                F.filter(
+                    F.col("_toks"), lambda t: F.array_contains(stop_arr, t)
+                )
+            ),
+        )
+    )
+    n_tokens = F.col("_n_tokens")
+    stop_ratio = F.when(
+        n_tokens > 0, F.col("_stop_hits") / n_tokens
+    ).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(
+        F.col("_n_chars") > 0, F.col("_alnum") / F.col("_n_chars")
+    ).otherwise(F.lit(0.0))
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
         + stop_ratio * 0.3
@@ -124,7 +179,10 @@ def scrub_signals(
     return (
         out.withColumn("pred_lang", pred)
         .withColumn("quality", score)
-        .drop("_toks", *[f"_h_{lg}" for lg in langs])
+        .drop(
+            "_toks", "_n_tokens", "_n_chars", "_alnum", "_stop_hits",
+            *[f"_h_{lg}" for lg in langs],
+        )
     )
 
 

@@ -50,10 +50,11 @@ def _measure(
             samples[name].append(time.perf_counter() - t0)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-
+def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
+    """Measure the full headliner suite at ``sf_dir``; returns the result
+    block (queries/spread/value). JVM-only and UDF queries run in separate
+    SparkContexts (see module docstring)."""
+    global N_ROUNDS
     specs = bench_queries()
     jvm_only = sorted(
         ((n, s) for n, s in specs.items() if "udf" not in s.tags),
@@ -67,14 +68,19 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in specs}
     rows: dict[str, int] = {}
 
-    spark = get_spark(app_name="bench-jvm")
-    _measure(spark, jvm_only, sf_dir, samples, rows)
-    if udf:
-        # Fresh context for the UDF phase: the JVM-only numbers above were
-        # taken with zero Python workers resident.
+    saved_rounds, N_ROUNDS = N_ROUNDS, n_rounds
+    try:
+        spark = get_spark(app_name=f"bench-jvm-{label}")
+        _measure(spark, jvm_only, sf_dir, samples, rows)
+        if udf:
+            # Fresh context for the UDF phase: the JVM-only numbers above
+            # were taken with zero Python workers resident.
+            spark.stop()
+            spark = get_spark(app_name=f"bench-udf-{label}")
+            _measure(spark, udf, sf_dir, samples, rows)
         spark.stop()
-        spark = get_spark(app_name="bench-udf")
-        _measure(spark, udf, sf_dir, samples, rows)
+    finally:
+        N_ROUNDS = saved_rounds
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -86,24 +92,83 @@ def main() -> None:
         spread[name] = round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
         total += med
         print(
-            f"# {name}: median {med:.3f}s over {len(runs)} runs "
+            f"# [{label}] {name}: median {med:.3f}s over {len(runs)} runs "
             f"(min {min(runs):.3f} max {max(runs):.3f}, {rows[name]} rows)",
             file=sys.stderr,
         )
+    return {"value": round(total, 4), "queries": timings, "spread": spread,
+            "runs": n_rounds}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs": N_ROUNDS,
-                "sf": sf,
-            }
+
+def _ensure_sf1(sf1_dir: str) -> bool:
+    """Materialize the tiled sf1 fixture if absent (tools/gen_sf.py is
+    deterministic, so a regenerated fixture is byte-identical)."""
+    if os.path.isdir(sf1_dir) and os.path.exists(
+        os.path.join(sf1_dir, "lineitem.parquet")
+    ):
+        return True
+    try:
+        import subprocess
+
+        gen = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "gen_sf.py")
+        subprocess.run(
+            [sys.executable, gen, "--mult", "10", "--out", sf1_dir],
+            check=True, timeout=900,
         )
+        return True
+    except Exception as exc:  # sf1 is additive evidence, never fatal
+        print(f"# sf1 generation failed: {exc}", file=sys.stderr)
+        return False
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    out = _run_suite(sf_dir, N_ROUNDS, f"sf{sf:g}")
+    result = {
+        "metric": "headline_queries_total",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "spread": out["spread"],
+        "runs": out["runs"],
+        "sf": sf,
+    }
+
+    # Scale section (VERDICT r3 ask #1): one measured order of magnitude
+    # above the primary SF, same frozen headliner set. 1 round after a
+    # warmup pass; failures never cost the primary numbers.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "testdata", "sf1"),
     )
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        try:
+            if _ensure_sf1(sf1_dir):
+                sf1 = _run_suite(sf1_dir, 1, "sf1")
+                exponents = {
+                    n: round(
+                        __import__("math").log10(
+                            max(sf1["queries"][n], 1e-4)
+                            / max(out["queries"][n], 1e-4)
+                        ),
+                        2,
+                    )
+                    for n in out["queries"]
+                }
+                result["sf1"] = {
+                    "value": sf1["value"],
+                    "queries": sf1["queries"],
+                    "runs": 1,
+                    "scaling_exponent_vs_sf0.1": exponents,
+                }
+        except Exception as exc:
+            print(f"# sf1 phase failed: {exc}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
