@@ -846,6 +846,166 @@ PROG_AC_COUNTS = [0] * 16
 PROG_AC_COUNTS[8] = len(PROG_AC_SYMBOLS)  # all codes 9 bits
 
 
+def _enc_dc_first(
+    seq: list[tuple[int, list[int]]], dc_codes: dict, al: int
+) -> bytes:
+    """DC first scan over (comp_idx, zz) pairs in scan order; per-component
+    predictor (arithmetic-shift point transform, T.81 G.1.2.1)."""
+    w = _BitWriter()
+    prev: dict[int, int] = {}
+    for ci, zz in seq:
+        v = zz[0] >> al if al else zz[0]
+        diff = v - prev.get(ci, 0)
+        prev[ci] = v
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.put(code, length)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return w.flush()
+
+
+def _enc_dc_refine(seq: list[tuple[int, list[int]]], al: int) -> bytes:
+    w = _BitWriter()
+    for _ci, zz in seq:
+        w.put((zz[0] >> al) & 1, 1)
+    return w.flush()
+
+
+def _enc_ac_first(
+    blocks: list[list[int]], ac_codes: dict, ss: int, se: int, al: int
+) -> bytes:
+    """AC first scan for ONE component's blocks with EOB runs (G.1.2.2)."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            take = min(eobrun, (2 << r) - 1)
+            r = take.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(take - (1 << r), r)
+            eobrun -= take
+
+    for zz in blocks:
+        band = [_trunc_div2(zz[k]) if al else zz[k] for k in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(band):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                w.put(code, length)
+                run -= 16
+            size = _category(v)
+            length, code = ac_codes[(run << 4) | size]
+            w.put(code, length)
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+    flush_eob()
+    return w.flush()
+
+
+def _enc_ac_refine(
+    blocks: list[list[int]], ac_codes: dict, ss: int, se: int, al: int
+) -> bytes:
+    """AC refinement scan for ONE component (correction bits +
+    newly-nonzero insertion, G.1.2.3). ``al`` is the NEW point transform;
+    the prior scan used al+1."""
+    w = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed after next symbol
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            take = min(eobrun, (2 << r) - 1)
+            r = take.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(take - (1 << r), r)
+            for b in pending:
+                w.put(b, 1)
+            pending = []
+            eobrun -= take
+
+    for zz in blocks:
+        hist = [_trunc_div2(zz[k]) for k in range(ss, se + 1)]
+        full = [zz[k] for k in range(ss, se + 1)]
+        newly = [i for i, (h, f) in enumerate(zip(hist, full)) if h == 0 and f != 0]
+        if not newly:
+            # only corrections (or nothing): EOB immediately with the
+            # block's correction bits for nonzero-history coefficients
+            corr = []
+            for h, f in zip(hist, full):
+                if h != 0:
+                    corr.append(abs(f) & 1)
+            if corr:
+                flush_eob()
+                length, code = ac_codes[0x00]
+                w.put(code, length)
+                for b in corr:
+                    w.put(b, 1)
+            else:
+                eobrun += 1
+            continue
+        flush_eob()
+        i = 0
+        last_new = newly[-1]
+        while i <= last_new:
+            run = 0
+            corr: list[int] = []
+            while True:
+                h, f = hist[i], full[i]
+                if h == 0 and f != 0:
+                    break
+                if h != 0:
+                    corr.append(abs(f) & 1)
+                else:
+                    run += 1
+                    if run == 16:
+                        length, code = ac_codes[0xF0]
+                        w.put(code, length)
+                        for b in corr:
+                            w.put(b, 1)
+                        corr = []
+                        run = 0
+                i += 1
+            # newly-nonzero coefficient: magnitude must be 1 at this Al
+            length, code = ac_codes[(run << 4) | 1]
+            w.put(code, length)
+            w.put(1 if full[i] > 0 else 0, 1)
+            for b in corr:
+                w.put(b, 1)
+            i += 1
+        tail_corr = [abs(full[j]) & 1 for j in range(i, len(full)) if hist[j] != 0]
+        if any(full[j] == 0 == hist[j] for j in range(i, len(full))) or tail_corr:
+            length, code = ac_codes[0x00]
+            w.put(code, length)
+            for b in tail_corr:
+                w.put(b, 1)
+    flush_eob()
+    return w.flush()
+
+
 def encode_progressive_gray(
     pixels: list[int], width: int, height: int, qt_zz: list[int] | None = None
 ) -> bytes:
@@ -870,150 +1030,7 @@ def encode_progressive_gray(
                     block.append(pixels[sy * width + sx] - 128)
             blocks.append(_fdct_quant(block, qt))
 
-    def dc_first_scan() -> bytes:
-        w = _BitWriter()
-        prev = 0
-        for zz in blocks:
-            v = zz[0] >> 1  # arithmetic shift (T.81 DC point transform)
-            diff = v - prev
-            prev = v
-            t = _category(diff)
-            length, code = dc_codes[t]
-            w.put(code, length)
-            if t:
-                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        return w.flush()
-
-    def dc_refine_scan() -> bytes:
-        w = _BitWriter()
-        for zz in blocks:
-            w.put(zz[0] & 1, 1)
-        return w.flush()
-
-    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
-        w = _BitWriter()
-        eobrun = 0
-
-        def flush_eob():
-            nonlocal eobrun
-            while eobrun > 0:
-                r = min(14, eobrun.bit_length() - 1)
-                take = min(eobrun, (2 << r) - 1)
-                r = take.bit_length() - 1
-                length, code = ac_codes[r << 4]
-                w.put(code, length)
-                if r:
-                    w.put(take - (1 << r), r)
-                eobrun -= take
-
-        for zz in blocks:
-            band = [_trunc_div2(zz[k]) if al else zz[k] for k in range(ss, se + 1)]
-            last_nz = -1
-            for i, v in enumerate(band):
-                if v:
-                    last_nz = i
-            if last_nz < 0:
-                eobrun += 1
-                continue
-            flush_eob()
-            run = 0
-            for i in range(last_nz + 1):
-                v = band[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_codes[0xF0]
-                    w.put(code, length)
-                    run -= 16
-                size = _category(v)
-                length, code = ac_codes[(run << 4) | size]
-                w.put(code, length)
-                w.put(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < se - ss:
-                eobrun += 1
-        flush_eob()
-        return w.flush()
-
-    def ac_refine_scan(ss: int, se: int, al: int) -> bytes:
-        # Al here is the NEW (lower) point transform; prior scan used al+1.
-        w = _BitWriter()
-        eobrun = 0
-        pending: list[int] = []  # correction bits owed after next symbol
-
-        def flush_eob():
-            nonlocal eobrun, pending
-            while eobrun > 0:
-                r = min(14, eobrun.bit_length() - 1)
-                take = min(eobrun, (2 << r) - 1)
-                r = take.bit_length() - 1
-                length, code = ac_codes[r << 4]
-                w.put(code, length)
-                if r:
-                    w.put(take - (1 << r), r)
-                for b in pending:
-                    w.put(b, 1)
-                pending = []
-                eobrun -= take
-
-        for zz in blocks:
-            hist = [_trunc_div2(zz[k]) for k in range(ss, se + 1)]
-            full = [zz[k] for k in range(ss, se + 1)]
-            newly = [i for i, (h, f) in enumerate(zip(hist, full)) if h == 0 and f != 0]
-            if not newly:
-                # only corrections (or nothing): EOB immediately with the
-                # block's correction bits for nonzero-history coefficients
-                corr = []
-                for h, f in zip(hist, full):
-                    if h != 0:
-                        corr.append(abs(f) & 1)
-                if corr:
-                    flush_eob()
-                    length, code = ac_codes[0x00]
-                    w.put(code, length)
-                    for b in corr:
-                        w.put(b, 1)
-                else:
-                    eobrun += 1
-                continue
-            flush_eob()
-            i = 0
-            last_new = newly[-1]
-            while i <= last_new:
-                run = 0
-                corr: list[int] = []
-                while True:
-                    h, f = hist[i], full[i]
-                    if h == 0 and f != 0:
-                        break
-                    if h != 0:
-                        corr.append(abs(f) & 1)
-                    else:
-                        run += 1
-                        if run == 16:
-                            length, code = ac_codes[0xF0]
-                            w.put(code, length)
-                            for b in corr:
-                                w.put(b, 1)
-                            corr = []
-                            run = 0
-                    i += 1
-                # newly-nonzero coefficient: magnitude must be 1 at this Al
-                length, code = ac_codes[(run << 4) | 1]
-                w.put(code, length)
-                w.put(1 if full[i] > 0 else 0, 1)
-                for b in corr:
-                    w.put(b, 1)
-                i += 1
-            tail_corr = [abs(full[j]) & 1 for j in range(i, len(full)) if hist[j] != 0]
-            if any(full[j] == 0 == hist[j] for j in range(i, len(full))) or tail_corr:
-                length, code = ac_codes[0x00]
-                w.put(code, length)
-                for b in tail_corr:
-                    w.put(b, 1)
-        flush_eob()
-        return w.flush()
+    seq = [(0, zz) for zz in blocks]
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
         return _segment(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
@@ -1028,14 +1045,134 @@ def encode_progressive_gray(
         + _segment(0xC2, sof)
         + _segment(0xC4, dht_dc)
         + _segment(0xC4, dht_ac)
-        + sos(0, 0, 0, 1) + dc_first_scan()
-        + sos(0, 0, 1, 0) + dc_refine_scan()
-        + sos(1, 5, 0, 1) + ac_first_scan(1, 5, 1)
-        + sos(6, 63, 0, 1) + ac_first_scan(6, 63, 1)
-        + sos(1, 5, 1, 0) + ac_refine_scan(1, 5, 0)
-        + sos(6, 63, 1, 0) + ac_refine_scan(6, 63, 0)
+        + sos(0, 0, 0, 1) + _enc_dc_first(seq, dc_codes, 1)
+        + sos(0, 0, 1, 0) + _enc_dc_refine(seq, 0)
+        + sos(1, 5, 0, 1) + _enc_ac_first(blocks, ac_codes, 1, 5, 1)
+        + sos(6, 63, 0, 1) + _enc_ac_first(blocks, ac_codes, 6, 63, 1)
+        + sos(1, 5, 1, 0) + _enc_ac_refine(blocks, ac_codes, 1, 5, 0)
+        + sos(6, 63, 1, 0) + _enc_ac_refine(blocks, ac_codes, 6, 63, 0)
         + b"\xff\xd9"
     )
+
+
+# --- progressive scan application (T.81 Annex G), shared by the gray and
+# --- color decoders. Each helper applies ONE scan's entropy data to the
+# --- accumulated coefficient blocks.
+
+def _prog_dc_first(
+    reader: "_BitReader", seq: list[tuple[int, list[int]]],
+    dc_tbl_of: dict, al: int,
+) -> None:
+    """DC first scan over ``seq`` = [(comp_idx, zz_block)] in scan order
+    (MCU-interleaved for multi-component scans); one DC predictor and one
+    Huffman table (``dc_tbl_of[comp_idx]``) per component."""
+    prev: dict[int, int] = {}
+    for ci, zz in seq:
+        t = _read_symbol(reader, dc_tbl_of[ci])
+        diff = _extend(reader.bits(t), t) if t else 0
+        prev[ci] = prev.get(ci, 0) + diff
+        zz[0] = prev[ci] << al
+
+
+def _prog_dc_refine(
+    reader: "_BitReader", seq: list[tuple[int, list[int]]], al: int
+) -> None:
+    for _ci, zz in seq:
+        if reader.bit():
+            zz[0] |= 1 << al
+
+
+def _prog_ac_first(
+    reader: "_BitReader", blocks: list[list[int]], ac_tbl: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    """AC first scan (always single-component per T.81 G.1.1.1.1)."""
+    eobrun = 0
+    for zz in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _read_symbol(reader, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JpegFormatError("AC run overflow")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(
+    reader: "_BitReader", blocks: list[list[int]], ac_tbl: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    def refine_nonzero(zz, k):
+        if reader.bit():
+            if zz[k] > 0 and not (zz[k] & p1):
+                zz[k] += p1
+            elif zz[k] < 0 and not (zz[k] & p1):
+                zz[k] += m1
+
+    for zz in blocks:
+        k = ss
+        if eobrun > 0:
+            # whole block in EOB run: corrections only
+            for k2 in range(ss, se + 1):
+                if zz[k2]:
+                    refine_nonzero(zz, k2)
+            eobrun -= 1
+            continue
+        while k <= se:
+            sym = _read_symbol(reader, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    # current block: corrections for the rest
+                    for k2 in range(k, se + 1):
+                        if zz[k2]:
+                            refine_nonzero(zz, k2)
+                    k = se + 1
+                    break
+                # ZRL: skip 16 zero-history positions
+                zeros = 16
+                while k <= se and zeros > 0:
+                    if zz[k]:
+                        refine_nonzero(zz, k)
+                    else:
+                        zeros -= 1
+                    k += 1
+                continue
+            if s != 1:
+                raise JpegFormatError("bad refinement magnitude")
+            newval = p1 if reader.bit() else m1
+            zeros = r
+            while k <= se:
+                if zz[k]:
+                    refine_nonzero(zz, k)
+                else:
+                    if zeros == 0:
+                        break
+                    zeros -= 1
+                k += 1
+            if k > se:
+                raise JpegFormatError("refinement run overflow")
+            zz[k] = newval
+            k += 1
 
 
 def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
@@ -1057,118 +1194,28 @@ def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
 
     def read_scan(data: bytes, scan_bytes: bytes) -> int:
         """Apply one scan; returns bytes of entropy data consumed."""
-        nonlocal coefs
         ss, se, ahal = data[-3], data[-2], data[-1]
         ah, al = ahal >> 4, ahal & 0x0F
         dc_tbl = htables.get(data[2] >> 4)
         ac_tbl = htables.get(0x10 | (data[2] & 0x0F))
         reader = _BitReader(scan_bytes)
-
-        def read_symbol(lut) -> int:
-            return _read_symbol(reader, lut)
-
-        extend = _extend
-
         assert coefs is not None
         if ss == 0:  # DC scan (se must be 0)
             if ah == 0:
                 if dc_tbl is None:
                     raise JpegFormatError("missing DC Huffman table")
-                prev = 0
-                for zz in coefs:
-                    t = read_symbol(dc_tbl)
-                    diff = extend(reader.bits(t), t) if t else 0
-                    prev += diff
-                    zz[0] = prev << al
-            else:  # DC refinement: one bit per block
-                for zz in coefs:
-                    if reader.bit():
-                        zz[0] |= 1 << al
-        elif ah == 0:  # AC first scan
+                _prog_dc_first(
+                    reader, [(0, zz) for zz in coefs], {0: dc_tbl}, al
+                )
+            else:
+                _prog_dc_refine(reader, [(0, zz) for zz in coefs], al)
+        else:
             if ac_tbl is None:
                 raise JpegFormatError("missing AC Huffman table")
-            eobrun = 0
-            for zz in coefs:
-                if eobrun > 0:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    sym = read_symbol(ac_tbl)
-                    r, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if r < 15:
-                            eobrun = (1 << r) - 1
-                            if r:
-                                eobrun += reader.bits(r)
-                            break
-                        k += 16  # ZRL
-                        continue
-                    k += r
-                    if k > se:
-                        raise JpegFormatError("AC run overflow")
-                    zz[k] = extend(reader.bits(s), s) << al
-                    k += 1
-        else:  # AC refinement scan
-            if ac_tbl is None:
-                raise JpegFormatError("missing AC Huffman table")
-            p1, m1 = 1 << al, -1 << al
-            eobrun = 0
-
-            def refine_nonzero(zz, k):
-                if reader.bit():
-                    if zz[k] > 0 and not (zz[k] & p1):
-                        zz[k] += p1
-                    elif zz[k] < 0 and not (zz[k] & p1):
-                        zz[k] += m1
-            for zz in coefs:
-                k = ss
-                if eobrun > 0:
-                    # whole block in EOB run: corrections only
-                    for k2 in range(ss, se + 1):
-                        if zz[k2]:
-                            refine_nonzero(zz, k2)
-                    eobrun -= 1
-                    continue
-                while k <= se:
-                    sym = read_symbol(ac_tbl)
-                    r, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if r < 15:
-                            eobrun = (1 << r) - 1
-                            if r:
-                                eobrun += reader.bits(r)
-                            # current block: corrections for the rest
-                            for k2 in range(k, se + 1):
-                                if zz[k2]:
-                                    refine_nonzero(zz, k2)
-                            k = se + 1
-                            break
-                        # ZRL: skip 16 zero-history positions
-                        zeros = 16
-                        while k <= se and zeros > 0:
-                            if zz[k]:
-                                refine_nonzero(zz, k)
-                            else:
-                                zeros -= 1
-                            k += 1
-                        continue
-                    if s != 1:
-                        raise JpegFormatError("bad refinement magnitude")
-                    newval = p1 if reader.bit() else m1
-                    zeros = r
-                    while k <= se:
-                        if zz[k]:
-                            refine_nonzero(zz, k)
-                        else:
-                            if zeros == 0:
-                                break
-                            zeros -= 1
-                        k += 1
-                    if k > se:
-                        raise JpegFormatError("refinement run overflow")
-                    zz[k] = newval
-                    k += 1
+            if ah == 0:
+                _prog_ac_first(reader, coefs, ac_tbl, ss, se, al)
+            else:
+                _prog_ac_refine(reader, coefs, ac_tbl, ss, se, al)
         # consumed bytes: reader.pos covers full bytes started
         return reader.pos
 
@@ -1240,6 +1287,274 @@ def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
     return width, height, pixels
 
 
+def encode_progressive_color(
+    rgb: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    qt_zz: list[int] | None = None,
+) -> bytes:
+    """Encode RGB as a progressive (SOF2) 4:4:4 YCbCr JPEG: interleaved DC
+    first + refinement scans (all three components in MCU order with
+    per-component predictors), then per-component AC first and AC
+    refinement scans — AC progressive scans are single-component by
+    T.81 G.1.1.1.1. Fixture twin of :func:`decode_progressive_color`."""
+    qt = list(qt_zz or STD_QT_ZZ)
+    dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _canonical_codes(PROG_AC_COUNTS, PROG_AC_SYMBOLS)
+
+    planes: list[list[int]] = [[], [], []]
+    for (r, g, b) in rgb:
+        y, cb, cr = _rgb_to_ycbcr(r, g, b)
+        planes[0].append(y)
+        planes[1].append(cb)
+        planes[2].append(cr)
+
+    bw = 8 * ((width + 7) // 8)
+    bh = 8 * ((height + 7) // 8)
+    comp_blocks: list[list[list[int]]] = []
+    for plane in planes:
+        blocks = []
+        for by in range(0, bh, 8):
+            for bx in range(0, bw, 8):
+                block = []
+                for y in range(8):
+                    sy = min(by + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx + x, width - 1)
+                        block.append(plane[sy * width + sx] - 128)
+                blocks.append(_fdct_quant(block, qt))
+        comp_blocks.append(blocks)
+
+    # 4:4:4 interleaved MCU order: one block per component per MCU.
+    seq = [
+        (c, comp_blocks[c][i])
+        for i in range(len(comp_blocks[0]))
+        for c in range(3)
+    ]
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes((len(comp_ids),))
+        for cid in comp_ids:
+            body += bytes((cid, 0x00))  # DC table 0, AC table 0
+        body += bytes((ss, se, (ah << 4) | al))
+        return _segment(0xDA, body)
+
+    dqt = bytes((0x00,)) + bytes(qt)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"".join(
+        bytes((cid, 0x11, 0x00)) for cid in (1, 2, 3)
+    )
+    dht_dc = bytes((0x00, *DC_COUNTS)) + bytes(DC_SYMBOLS)
+    dht_ac = bytes((0x10, *PROG_AC_COUNTS)) + bytes(PROG_AC_SYMBOLS)
+    out = (
+        JPEG_SOI
+        + _segment(0xDB, dqt)
+        + _segment(0xC2, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + sos([1, 2, 3], 0, 0, 0, 1) + _enc_dc_first(seq, dc_codes, 1)
+        + sos([1, 2, 3], 0, 0, 1, 0) + _enc_dc_refine(seq, 0)
+    )
+    for c, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 0, 1) + _enc_ac_first(
+            comp_blocks[c], ac_codes, 1, 63, 1
+        )
+    for c, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 1, 0) + _enc_ac_refine(
+            comp_blocks[c], ac_codes, 1, 63, 0
+        )
+    return out + b"\xff\xd9"
+
+
+def decode_progressive_color(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a progressive (SOF2) 3-component YCbCr JPEG to (width,
+    height, row-major RGB): accumulate coefficients across interleaved DC
+    scans (MCU order, per-component predictors) and single-component AC
+    scans, then dequantize + IDCT once and color-convert with
+    clamp-sampled chroma upsampling. Sampling factors 1-2 per axis, like
+    the baseline color decoder."""
+    if blob[:2] != JPEG_SOI:
+        raise JpegFormatError("bad JPEG SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, tq, h, v)
+    coefs: dict[int, list[list[int]]] = {}  # cid -> padded-grid blocks
+    grid: dict[int, tuple[int, int]] = {}  # cid -> (padded bx, padded by)
+    ni_grid: dict[int, tuple[int, int]] = {}  # cid -> non-interleaved dims
+    mcus = (0, 0)
+
+    def apply_scan(data: bytes, scan_bytes: bytes) -> None:
+        ns = data[0]
+        scan_comps = []  # (cid, dc_tbl_id, ac_tbl_id)
+        for c in range(ns):
+            cid, tsel = data[1 + 2 * c : 3 + 2 * c]
+            scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+        ss, se, ahal = data[-3], data[-2], data[-1]
+        ah, al = ahal >> 4, ahal & 0x0F
+        reader = _BitReader(scan_bytes)
+        factors = {cid: (h, v) for cid, _, h, v in comps}
+
+        if ss == 0:  # DC scan
+            if ns > 1:  # interleaved: MCU order, h×v blocks per comp
+                seq = []
+                mcus_x, mcus_y = mcus
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for cid, _td, _ta in scan_comps:
+                            h_i, v_i = factors[cid]
+                            pbx = grid[cid][0]
+                            for v_blk in range(v_i):
+                                for h_blk in range(h_i):
+                                    idx = (my * v_i + v_blk) * pbx + (
+                                        mx * h_i + h_blk
+                                    )
+                                    seq.append((cid, coefs[cid][idx]))
+            else:
+                cid = scan_comps[0][0]
+                nbx, nby = ni_grid[cid]
+                pbx = grid[cid][0]
+                seq = [
+                    (cid, coefs[cid][by * pbx + bx])
+                    for by in range(nby)
+                    for bx in range(nbx)
+                ]
+            if ah == 0:
+                dc_tbl_of = {}
+                for cid, td, _ta in scan_comps:
+                    tbl = htables.get(td)
+                    if tbl is None:
+                        raise JpegFormatError("missing DC Huffman table")
+                    dc_tbl_of[cid] = tbl
+                _prog_dc_first(reader, seq, dc_tbl_of, al)
+            else:
+                _prog_dc_refine(reader, seq, al)
+            return
+
+        # AC scans are single-component (T.81 G.1.1.1.1); blocks iterate
+        # the component's own (non-interleaved) grid inside the padded
+        # MCU-grid storage.
+        if ns != 1:
+            raise JpegFormatError("progressive AC scan must be single-component")
+        cid, _td, ta = scan_comps[0]
+        ac_tbl = htables.get(0x10 | ta)
+        if ac_tbl is None:
+            raise JpegFormatError("missing AC Huffman table")
+        nbx, nby = ni_grid[cid]
+        pbx = grid[cid][0]
+        blocks = [
+            coefs[cid][by * pbx + bx]
+            for by in range(nby)
+            for bx in range(nbx)
+        ]
+        if ah == 0:
+            _prog_ac_first(reader, blocks, ac_tbl, ss, se, al)
+        else:
+            _prog_ac_refine(reader, blocks, ac_tbl, ss, se, al)
+
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtables[pq_tq & 0x0F] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC2:
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8 or n_comp != 3:
+                raise JpegFormatError(
+                    "decode_progressive_color needs 3 components"
+                )
+            for c in range(3):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
+                    raise JpegFormatError(
+                        f"sampling factor {h_i}x{v_i} unsupported"
+                    )
+                comps.append((cid, tq, h_i, v_i))
+            hmax = max(h for _, _, h, _ in comps)
+            vmax = max(v for _, _, _, v in comps)
+            mcus = (
+                (width + 8 * hmax - 1) // (8 * hmax),
+                (height + 8 * vmax - 1) // (8 * vmax),
+            )
+            for cid, _tq, h_i, v_i in comps:
+                pbx, pby = mcus[0] * h_i, mcus[1] * v_i
+                grid[cid] = (pbx, pby)
+                # non-interleaved dims: ceil over the component's actual
+                # sample area (T.81 A.1.1), NOT the padded MCU grid
+                cw = (width * h_i + hmax - 1) // hmax
+                chh = (height * v_i + vmax - 1) // vmax
+                ni_grid[cid] = ((cw + 7) // 8, (chh + 7) // 8)
+                coefs[cid] = [[0] * 64 for _ in range(pbx * pby)]
+        elif marker in (0xC0, 0xC1):
+            raise JpegFormatError("baseline stream: use decode_baseline_color")
+        elif marker == 0xC4:
+            _parse_dht(data, htables)
+        elif marker == 0xDA:
+            if not coefs:
+                raise JpegFormatError("SOS before SOF2")
+            scan_start = pos + 2 + length
+            end = scan_start
+            while end + 1 < len(blob):
+                if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+                    break
+                end += 1
+            apply_scan(data, blob[scan_start:end])
+            pos = end
+            continue
+        pos += 2 + length
+    if not coefs or width is None:
+        raise JpegFormatError("missing SOF2/SOS")
+
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    plane_px: dict[int, list[int]] = {}
+    for cid, tq, h_i, v_i in comps:
+        qt = qtables.get(tq)
+        if qt is None:
+            raise JpegFormatError("missing quant table")
+        pbx, pby = grid[cid]
+        pw = pbx * 8
+        plane = [0] * (pw * pby * 8)
+        for bi, zz in enumerate(coefs[cid]):
+            block = _dequant_idct(zz, qt)
+            ox = (bi % pbx) * 8
+            oy = (bi // pbx) * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                for xx in range(8):
+                    v = block[yy * 8 + xx] + 128
+                    plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        plane_px[cid] = plane
+
+    ordered = [cid for cid, *_ in comps]
+    factors = {cid: (h, v) for cid, _, h, v in comps}
+    rgb = []
+    for y in range(height):
+        for x in range(width):
+            vals = []
+            for cid in ordered:
+                h_i, v_i = factors[cid]
+                px = x * h_i // hmax
+                py = y * v_i // vmax
+                vals.append(plane_px[cid][py * grid[cid][0] * 8 + px])
+            rgb.append(_ycbcr_to_rgb(*vals))
+    return width, height, rgb
+
+
 def decode_gray_auto(blob: bytes) -> tuple[int, int, list[int]]:
     """Dispatch a grayscale JPEG to the baseline or progressive decoder by
     its SOF marker — one entry point for the pixel operator."""
@@ -1248,3 +1563,13 @@ def decode_gray_auto(blob: bytes) -> tuple[int, int, list[int]]:
     if decode_jpeg_meta(blob).progressive:
         return decode_progressive_gray(blob)
     return decode_baseline_gray(blob)
+
+
+def decode_color_auto(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Dispatch a 3-component JPEG to the baseline or progressive color
+    decoder by its SOF marker."""
+    from appengine_mapreduce_spark.functions.jpeg import decode_jpeg_meta
+
+    if decode_jpeg_meta(blob).progressive:
+        return decode_progressive_color(blob)
+    return decode_baseline_color(blob)

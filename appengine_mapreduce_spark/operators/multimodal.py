@@ -32,10 +32,13 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY progressive COLOR JPEG, lossy audio (MP3/AAC), and
-# video frame pixels. Progressive GRAYSCALE decodes for real (full T.81
-# Annex G scan script — DC/AC first + successive-approximation
-# refinement; functions/jpeg_pixels.decode_progressive_gray). Baseline JPEG pixels decode for real — grayscale AND color at
+# now covers ONLY lossy-audio SAMPLE decode (MP3/AAC need a DSP stack)
+# and video frame pixels (H.264/VP9 need a codec library). The ENTIRE
+# JPEG matrix decodes for real: baseline + progressive, grayscale +
+# color. Progressive decodes use the full T.81 Annex G scan script —
+# DC/AC first + successive-approximation refinement, interleaved DC MCU
+# order with per-component predictors for color
+# (functions/jpeg_pixels.decode_progressive_gray/_color). Baseline JPEG pixels decode for real — grayscale AND color at
 # 4:4:4/4:2:2/4:2:0 sampling (decode_jpeg_pixel_stats below;
 # functions/jpeg_pixels.py implements the full T.81 baseline entropy
 # decode + dequant + IDCT + JFIF color transform), PCM audio SAMPLES
@@ -438,9 +441,8 @@ def decode_jpeg_pixel_stats(
     entropy decode + dequant + IDCT (functions/jpeg_pixels.py, stdlib-only
     per the public T.81 spec), reduced to per-image pixel statistics
     (sum/min/max — integer-exact, the shape an image-corpus filter uses
-    for exposure/blank-page screens). Color and progressive profiles stay
-    behind DECODERS_AVAILABLE; baseline grayscale — the document-scan
-    profile — does not."""
+    for exposure/blank-page screens). Handles baseline and progressive
+    grayscale; color streams go through decode_jpeg_color_pixel_stats."""
     from appengine_mapreduce_spark.functions.jpeg_pixels import (
         decode_gray_auto,
     )
@@ -457,6 +459,51 @@ def decode_jpeg_pixel_stats(
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 w, h, px = decode_gray_auto(bytes(blob))
                 rows.append((int(i), w, h, sum(px), min(px), max(px)))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "width", "height", "px_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "px_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_jpeg_color_pixel_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL COLOR JPEG pixel decode over a binary column — baseline OR
+    progressive streams (dispatched by SOF marker), full entropy decode +
+    dequant + IDCT + chroma upsampling + JFIF color transform
+    (functions/jpeg_pixels.decode_color_auto) — reduced to integer-exact
+    per-image RGB statistics. With this operator the whole JPEG
+    profile matrix (baseline/progressive × gray/color) is decoded for
+    real; only lossy audio and video pixels remain behind
+    DECODERS_AVAILABLE."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_color_auto,
+    )
+
+    out_schema = (
+        f"{id_col} bigint, width int, height int, px_sum bigint, "
+        "px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, rgb = decode_color_auto(bytes(blob))
+                flat = [v for px in rgb for v in px]
+                rows.append((int(i), w, h, sum(flat), min(flat), max(flat)))
             yield (
                 pd.DataFrame(rows, columns=[
                     id_col, "width", "height", "px_sum", "px_min", "px_max"])

@@ -63,9 +63,11 @@ _CURATED_FIRST: tuple[str, ...] = (
     # TPC-H tail (never driver-witnessed):
     "q4_order_priority", "q7_nation_volume", "q8_market_share",
     "q12_late_shipment_priority", "q13_order_count_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q20_promotion_suppliers",
-    "q22_idle_customers",
+    "q15_top_supplier", "q22_idle_customers",
+    # live Structured Streaming replays (readStream -> jobs -> memory
+    # sink), oracled against batch SQL:
+    "streaming_hourly_replay", "streaming_dedup_replay",
+    "streaming_sessionize_replay",
     # dedup capstones + incremental dedup:
     "semantic_dedup_keepers", "text_dedup_keepers", "dedup_incremental",
     # storage layout / footer stats:
@@ -125,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_sampling,
         queries_similarity,
         queries_sql,
+        queries_streaming,
         queries_tpch3,
         queries_tpch4,
         queries_tpch5,

@@ -562,6 +562,61 @@ def test_jpeg_progressive_codec_matches_baseline():
         )
 
 
+def test_jpeg_progressive_color_matches_baseline_color():
+    """Progressive COLOR (interleaved DC scans in MCU order with
+    per-component predictors + per-component AC first/refinement scans)
+    must accumulate EXACTLY the coefficients the baseline color stream
+    carries: decoding both encodings of the same RGB source yields
+    identical pixels — including non-multiple-of-8 dimensions."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_color,
+        decode_color_auto,
+        decode_progressive_color,
+        encode_baseline_color,
+        encode_progressive_color,
+    )
+
+    for w, h in [(16, 16), (20, 13)]:
+        patterns = [
+            [(128, 64, 200)] * (w * h),
+            [
+                (min(255, x * 12), min(255, y * 16), (x * 7 + y * 5) % 256)
+                for y in range(h)
+                for x in range(w)
+            ],
+        ]
+        for rgb in patterns:
+            base = decode_baseline_color(encode_baseline_color(rgb, w, h))
+            blob = encode_progressive_color(rgb, w, h)
+            prog = decode_progressive_color(blob)
+            assert prog[:2] == (w, h)
+            assert prog[2] == base[2], (w, h)
+            # auto dispatcher picks the right path for both markers
+            assert decode_color_auto(blob)[2] == prog[2]
+            assert (
+                decode_color_auto(encode_baseline_color(rgb, w, h))[2]
+                == base[2]
+            )
+
+
+def test_jpeg_progressive_color_solid_gray_exact():
+    """Solid gray (r=g=b=v): the Y DC survives Q[DC]=8 quantization and
+    the successive-approximation point transform losslessly, chroma is
+    exactly 128, so the decode returns (v,v,v) bit-exactly — the property
+    the jpeg_progressive_color_decode oracle relies on."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_progressive_color,
+        encode_progressive_color,
+    )
+
+    for v in (0, 1, 13, 127, 128, 200, 254, 255):
+        w, h = 16, 8
+        _, _, rgb = decode_progressive_color(
+            encode_progressive_color([(v, v, v)] * (w * h), w, h)
+        )
+        assert rgb == [(v, v, v)] * (w * h), v
+
+
 def test_jpeg_restart_markers_roundtrip():
     """DRI/RSTn support (camera/libjpeg-style streams): gray and 4:4:4
     color streams with restart intervals decode identically to their
