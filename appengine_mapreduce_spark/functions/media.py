@@ -327,3 +327,150 @@ def decode_mp4_track_samples(blob: bytes) -> Mp4TrackSamples:
         max_sample_bytes=mx,
         duration_units=dur,
     )
+
+
+# --- MP3 (MPEG audio Layer III) frame headers --------------------------------
+#
+# The MPEG-1/2 audio frame header (ISO/IEC 11172-3 / 13818-3) is pure bit
+# fields: 11-bit sync, version, layer, bitrate index, sampling-rate index,
+# padding. Walking frame-to-frame (each header gives its own frame length)
+# yields frame count, duration and CBR/VBR-ness without any DSP — the
+# routing metadata an audio corpus filters on. SAMPLE decode (the
+# polyphase filterbank / MDCT) genuinely needs a codec library and stays
+# behind operators/multimodal.DECODERS_AVAILABLE.
+
+# bitrate tables in kbps, index 1..14 (0 = free format, 15 = invalid)
+_MP3_BITRATES_V1_L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2_L3 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
+_MP3_SAMPLERATES = {
+    3: (44100, 48000, 32000),   # MPEG-1
+    2: (22050, 24000, 16000),   # MPEG-2
+    0: (11025, 12000, 8000),    # MPEG-2.5
+}
+
+
+@dataclass(frozen=True)
+class Mp3Meta:
+    mpeg_version: str      # '1', '2', or '2.5'
+    sample_rate: int
+    n_frames: int
+    duration_ms: int
+    bitrate_kbps: int      # first frame's bitrate
+    is_cbr: bool
+    channel_mode: str      # 'stereo', 'joint', 'dual', 'mono'
+
+
+_MP3_CHANNEL_MODES = ("stereo", "joint", "dual", "mono")
+
+
+def _mp3_frame_header(blob: bytes, pos: int):
+    """Parse one frame header at ``pos``; returns (frame_bytes,
+    samples_per_frame, sample_rate, bitrate_kbps, version_bits,
+    channel_mode_bits) or raises."""
+    if pos + 4 > len(blob):
+        raise MediaFormatError("truncated MP3 frame header")
+    b0, b1, b2, b3 = blob[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise MediaFormatError(f"lost MP3 sync at {pos}")
+    version_bits = (b1 >> 3) & 0x3      # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (b1 >> 1) & 0x3        # 1 = Layer III
+    if version_bits == 1 or layer_bits != 1:
+        raise MediaFormatError("only MPEG-1/2/2.5 Layer III supported")
+    bitrate_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if bitrate_idx in (0, 15) or sr_idx == 3:
+        raise MediaFormatError("free-format/invalid bitrate or samplerate")
+    table = (
+        _MP3_BITRATES_V1_L3 if version_bits == 3 else _MP3_BITRATES_V2_L3
+    )
+    bitrate = table[bitrate_idx]
+    sample_rate = _MP3_SAMPLERATES[version_bits][sr_idx]
+    spf = 1152 if version_bits == 3 else 576  # Layer III samples/frame
+    frame_bytes = (spf // 8) * bitrate * 1000 // sample_rate + padding
+    return frame_bytes, spf, sample_rate, bitrate, version_bits, (b3 >> 6) & 0x3
+
+
+def decode_mp3_meta(blob: bytes) -> Mp3Meta:
+    """Walk every MP3 frame (skipping a leading ID3v2 tag): frame count,
+    exact duration from per-frame sample counts, CBR/VBR detection."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise MediaFormatError("truncated ID3v2 tag")
+        # syncsafe 28-bit size, header excluded
+        size = (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    sample_rate = None
+    first_bitrate = None
+    bitrates = set()
+    version_bits = None
+    mode_bits = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] == 0x00:  # trailing padding/tag area
+            break
+        fb, spf, sr, br, vb, mb = _mp3_frame_header(blob, pos)
+        if sample_rate is None:
+            sample_rate, first_bitrate, version_bits, mode_bits = sr, br, vb, mb
+        n_frames += 1
+        total_samples += spf
+        bitrates.add(br)
+        pos += fb
+    if n_frames == 0 or sample_rate is None:
+        raise MediaFormatError("no MP3 frames found")
+    version = {3: "1", 2: "2", 0: "2.5"}[version_bits]
+    return Mp3Meta(
+        mpeg_version=version,
+        sample_rate=sample_rate,
+        n_frames=n_frames,
+        duration_ms=total_samples * 1000 // sample_rate,
+        bitrate_kbps=first_bitrate,
+        is_cbr=len(bitrates) == 1,
+        channel_mode=_MP3_CHANNEL_MODES[mode_bits],
+    )
+
+
+def encode_minimal_mp3(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+    mpeg1: bool = True,
+    channel_mode: int = 0,
+    id3_bytes: int = 0,
+    vbr_step: int = 0,
+) -> bytes:
+    """Fixture encoder: syntactically valid Layer III frame headers with
+    zero-filled payloads (header-walk testing needs valid FRAMING, not
+    valid audio). ``vbr_step`` bumps the bitrate index every frame to
+    exercise VBR detection; ``id3_bytes`` prepends an ID3v2 tag."""
+    out = bytearray()
+    if id3_bytes:
+        size = id3_bytes
+        out += b"ID3" + bytes((4, 0, 0)) + bytes(
+            ((size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F)
+        )
+        out += bytes(id3_bytes)
+    version_bits = 3 if mpeg1 else 2
+    table = _MP3_BITRATES_V1_L3 if mpeg1 else _MP3_BITRATES_V2_L3
+    sample_rate = _MP3_SAMPLERATES[version_bits][sr_idx]
+    spf = 1152 if mpeg1 else 576
+    for i in range(n_frames):
+        bi = bitrate_idx + (i * vbr_step) % max(1, 14 - bitrate_idx + 1)
+        bi = min(14, max(1, bi))
+        bitrate = table[bi]
+        frame_bytes = (spf // 8) * bitrate * 1000 // sample_rate
+        b1 = 0xE0 | (version_bits << 3) | (1 << 1) | 1  # layer III, no CRC
+        b2 = (bi << 4) | (sr_idx << 2)                  # no padding
+        b3 = (channel_mode & 0x3) << 6
+        out += bytes((0xFF, b1, b2, b3)) + bytes(frame_bytes - 4)
+    return bytes(out)

@@ -17,6 +17,8 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+import numpy as np
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -51,12 +53,20 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
     n = len(row)
     if ftype == 0:
         return
-    if ftype == 1:  # Sub
-        for i in range(bpp, n):
-            row[i] = (row[i] + row[i - bpp]) & 0xFF
-    elif ftype == 2:  # Up
-        for i in range(n):
-            row[i] = (row[i] + prev[i]) & 0xFF
+    if ftype == 1:  # Sub: per-channel prefix sum mod 256 (vectorized —
+        # mod distributes over addition, so cumsum then mask is exact)
+        a = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int64)
+        for r in range(bpp):
+            lane = a[r::bpp]
+            np.cumsum(lane, out=lane)
+        row[:] = (a & 0xFF).astype(np.uint8).tobytes()
+    elif ftype == 2:  # Up: no intra-row dependency, one vector add
+        a = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int16)
+        a += np.frombuffer(prev, dtype=np.uint8)
+        row[:] = (a & 0xFF).astype(np.uint8).tobytes()
+    # Average/Paeth depend on the just-reconstructed LEFT byte through a
+    # nonlinear predictor (floor-average / Paeth select), so the row is
+    # inherently sequential — no cumsum trick applies.
     elif ftype == 3:  # Average
         for i in range(n):
             left = row[i - bpp] if i >= bpp else 0

@@ -476,6 +476,54 @@ def decode_jpeg_pixel_stats(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def decode_mp3_frame_meta(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL MP3 frame-header metadata over a binary column
+    (functions/media.decode_mp3_meta): walk every Layer III frame —
+    sync + bitrate/samplerate tables, per-header frame length — for frame
+    count, exact duration and CBR/VBR-ness, skipping a leading ID3v2 tag.
+    The compressed-SAMPLE decode (filterbank/MDCT) stays behind
+    DECODERS_AVAILABLE; the frame walk is the routing layer an audio
+    corpus filters on."""
+    from appengine_mapreduce_spark.functions.media import decode_mp3_meta
+
+    out_schema = (
+        f"{id_col} bigint, mpeg_version string, sample_rate int, "
+        "n_frames bigint, duration_ms bigint, bitrate_kbps int, "
+        "is_cbr boolean, channel_mode string"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_mp3_meta(bytes(blob))
+                rows.append(
+                    (int(i), m.mpeg_version, m.sample_rate, m.n_frames,
+                     m.duration_ms, m.bitrate_kbps, m.is_cbr, m.channel_mode)
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "mpeg_version", "sample_rate", "n_frames",
+                    "duration_ms", "bitrate_kbps", "is_cbr", "channel_mode"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "mpeg_version": pd.Series(dtype="object"),
+                    "sample_rate": pd.Series(dtype="int32"),
+                    "n_frames": pd.Series(dtype="int64"),
+                    "duration_ms": pd.Series(dtype="int64"),
+                    "bitrate_kbps": pd.Series(dtype="int32"),
+                    "is_cbr": pd.Series(dtype="bool"),
+                    "channel_mode": pd.Series(dtype="object"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def decode_jpeg_color_pixel_stats(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:

@@ -658,3 +658,81 @@ def jpeg_progressive_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_jpeg_color_pixel_stats(
         blobs, id_col="doc_id", content_col="content"
     )
+
+
+@register(
+    "mp3_decode_meta",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, n_chars,
+                   (doc_id % 3 <> 0) AS mpeg1,
+                   1 + doc_id % 14 AS bi,
+                   CAST(doc_id % 3 AS INT) AS sri,
+                   CAST(doc_id % 4 AS INT) AS cm,
+                   5 + n_chars % 20 AS nf
+            FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               CASE WHEN mpeg1 THEN '1' ELSE '2' END AS mpeg_version,
+               CAST(CASE WHEN mpeg1 THEN ([44100, 48000, 32000])[sri + 1]
+                         ELSE ([22050, 24000, 16000])[sri + 1]
+                    END AS INT) AS sample_rate,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(nf * (CASE WHEN mpeg1 THEN 1152 ELSE 576 END) * 1000
+                    // (CASE WHEN mpeg1 THEN ([44100, 48000, 32000])[sri + 1]
+                             ELSE ([22050, 24000, 16000])[sri + 1] END)
+                    AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN mpeg1 THEN
+                        ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi + 1]
+                    ELSE
+                        ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi + 1]
+                    END AS INT) AS bitrate_kbps,
+               TRUE AS is_cbr,
+               (['stereo', 'joint', 'dual', 'mono'])[cm + 1] AS channel_mode
+        FROM base
+    """,
+    description="REAL MP3 frame-header metadata through the driver gate: "
+    "synthesize a valid Layer III stream per document (MPEG version, "
+    "bitrate index, samplerate index, channel mode and frame count all "
+    "derived from table columns; every fifth stream carries a leading "
+    "ID3v2 tag the walker must skip), then walk the frame headers "
+    "(functions/media.decode_mp3_meta — sync word, public bitrate/"
+    "samplerate tables, per-header frame length) and emit frame count, "
+    "exact duration, bitrate and CBR flag, which the oracle recomputes "
+    "from the same public tables. VBR detection and malformed-stream "
+    "rejection are pytest-covered; sample decode stays behind "
+    "DECODERS_AVAILABLE (needs a DSP stack).",
+    tags=("multimodal", "udf", "audio", "mp3"),
+)
+def mp3_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_minimal_mp3
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_mp3_frame_meta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_minimal_mp3(
+                    n_frames=5 + nc % 20,
+                    bitrate_idx=1 + did % 14,
+                    sr_idx=did % 3,
+                    mpeg1=did % 3 != 0,
+                    channel_mode=did % 4,
+                    id3_bytes=64 if did % 5 == 0 else 0,
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_mp3_frame_meta(blobs, id_col="doc_id", content_col="content")

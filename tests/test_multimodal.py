@@ -532,6 +532,47 @@ def test_mp4_sample_table_roundtrip():
     assert ts0.duration_units == 0
 
 
+def test_mp3_frame_walk_metadata():
+    """MP3 frame-header walk: frame count / duration / CBR detection /
+    ID3v2 skip, against the public bitrate and samplerate tables."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_mp3_meta,
+        encode_minimal_mp3,
+    )
+
+    m = decode_mp3_meta(encode_minimal_mp3(40))  # MPEG-1, 128k, 44100
+    assert (m.mpeg_version, m.sample_rate, m.bitrate_kbps) == ("1", 44100, 128)
+    assert m.n_frames == 40
+    assert m.duration_ms == 40 * 1152 * 1000 // 44100
+    assert m.is_cbr and m.channel_mode == "stereo"
+
+    # MPEG-2: 576 samples/frame, the low-rate tables, ID3v2 skipped
+    m2 = decode_mp3_meta(
+        encode_minimal_mp3(
+            12, bitrate_idx=3, sr_idx=2, mpeg1=False, channel_mode=3,
+            id3_bytes=200,
+        )
+    )
+    assert (m2.mpeg_version, m2.sample_rate, m2.bitrate_kbps) == ("2", 16000, 24)
+    assert m2.n_frames == 12 and m2.channel_mode == "mono"
+    assert m2.duration_ms == 12 * 576 * 1000 // 16000
+
+    # VBR: bitrate varies across frames -> is_cbr False, count still exact
+    mv = decode_mp3_meta(encode_minimal_mp3(8, bitrate_idx=2, vbr_step=1))
+    assert not mv.is_cbr and mv.n_frames == 8
+
+    with pytest.raises(MediaFormatError):
+        decode_mp3_meta(b"\x00" * 32)  # no sync anywhere
+    with pytest.raises(MediaFormatError):
+        # valid first header but truncated mid-stream walk is fine (we
+        # stop at zero padding); a corrupt second header must raise
+        good = encode_minimal_mp3(1)
+        decode_mp3_meta(good + b"\xff\xff\xff\xff" * 2)
+
+
 def test_jpeg_progressive_codec_matches_baseline():
     """The progressive pipeline (DC first/refine + spectral-selection AC
     first with EOB runs + successive-approximation AC refinement) must

