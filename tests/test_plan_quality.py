@@ -383,3 +383,68 @@ try:
             assert morton(x1, y) == morton(x2, y)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew evidence at runtime, not just design (VERDICT r3 ask #6): on
+    a zipf-keyed fixture (half of all rows share ONE key) AQE's skew-join
+    handling must actually split the hot partition — asserted via the
+    ``skew=true`` annotation in the final adaptive plan — and the
+    salted_join operator must agree with the plain join on the same
+    skewed input. Thresholds are lowered so the 300k-row twin exhibits at
+    test scale exactly what a hot key does at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.joins import salted_join
+
+    # zipf-ish twin of the events table: key 0 is catastrophically hot
+    big = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"),
+        F.repeat(F.lit("x"), 64).alias("pad"),  # give the hot rows bytes
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dv")
+    )
+
+    with contextlib.ExitStack() as stack:
+        for key, val in [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),  # force SMJ
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+            ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"),
+            ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB"),
+        ]:
+            stack.enter_context(_conf(spark, key, val))
+        joined = big.join(dim, big.k == dim.dk).select(
+            F.sum(F.col("v") + F.col("dv")).alias("s")
+        )
+        [row] = joined.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan
+        assert "isFinalPlan=true" in plan
+
+        # equivalence on the same skewed input: salting must not change
+        # the result (salted tags add no rows, drop no rows)
+        plain_agg = (
+            big.join(dim, big.k == dim.dk)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s"))
+        )
+        salted_agg = (
+            salted_join(big, dim, key="k", build_key="dk", salt=8)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s"))
+        )
+        assert sorted(map(tuple, plain_agg.collect())) == sorted(
+            map(tuple, salted_agg.collect())
+        )
