@@ -448,3 +448,35 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert sorted(map(tuple, plain_agg.collect())) == sorted(
             map(tuple, salted_agg.collect())
         )
+
+
+SF1_DIR = "/root/repo/testdata/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1_DIR),
+    reason="sf1 fixture not generated (tools/gen_sf.py)",
+)
+@pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue",
+                                  "q9_profit_by_nation"])
+def test_no_fact_table_broadcast_at_sf1(spark, name):
+    """At sf1 (6M lineitem) the fact tables are far over the 10MB default
+    broadcast threshold, so under the DEFAULT threshold any
+    BroadcastHashJoin whose build side scans lineitem or orders can only
+    come from a forced hint — the OOM-at-scale pattern round 2 removed.
+    This re-asserts that removal at real sizes (VERDICT r3 ask #1)."""
+    import contextlib
+    import io
+
+    # with the size guard disabled, the ONLY BroadcastHashJoins left are
+    # the explicit hints on constant-size dims — a forced hint on a fact
+    # table would survive and break the expected count
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        df = QUERIES[name].fn(spark, SF1_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        forced_tree = buf.getvalue().split("\n\n")[0]
+    allowed = {"q3_top_orders": 0, "q5_region_revenue": 2,
+               "q9_profit_by_nation": 1}[name]
+    assert forced_tree.count("BroadcastHashJoin") == allowed, forced_tree
