@@ -474,3 +474,101 @@ def encode_minimal_mp3(
         b3 = (channel_mode & 0x3) << 6
         out += bytes((0xFF, b1, b2, b3)) + bytes(frame_bytes - 4)
     return bytes(out)
+
+
+# --- AAC (ADTS framing) ------------------------------------------------------
+#
+# ADTS (Audio Data Transport Stream, ISO/IEC 13818-7 §6.2) wraps raw AAC
+# frames in self-describing headers: 12-bit sync, MPEG-4 audio object
+# type, sampling-frequency index, channel configuration, 13-bit frame
+# length. Like MP3, the header walk yields count/duration/bitrate without
+# any DSP; SAMPLE decode stays behind DECODERS_AVAILABLE.
+
+_ADTS_SAMPLERATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+
+@dataclass(frozen=True)
+class AacMeta:
+    profile: str           # 'Main', 'LC', 'SSR', 'LTP'
+    sample_rate: int
+    n_channels: int
+    n_frames: int
+    duration_ms: int
+    total_bytes: int       # sum of frame payloads (header excluded)
+
+
+_AAC_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def decode_aac_adts_meta(blob: bytes) -> AacMeta:
+    """Walk every ADTS frame: sync + header fields + 13-bit frame length.
+    Each AAC frame carries 1024 PCM samples per channel; duration follows
+    exactly from frame count and the sampling-frequency index."""
+    pos = 0
+    n_frames = 0
+    sample_rate = None
+    profile_bits = 0
+    channels = 0
+    payload = 0
+    while pos + 7 <= len(blob):
+        if blob[pos] == 0x00:  # zero padding/tag tail
+            break
+        b = blob[pos : pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+            raise MediaFormatError(f"lost ADTS sync at {pos}")
+        protection_absent = b[1] & 0x1
+        prof = (b[2] >> 6) & 0x3
+        sf_idx = (b[2] >> 2) & 0xF
+        if sf_idx >= len(_ADTS_SAMPLERATES):
+            raise MediaFormatError("reserved sampling-frequency index")
+        chan = ((b[2] & 0x1) << 2) | ((b[3] >> 6) & 0x3)
+        frame_len = ((b[3] & 0x03) << 11) | (b[4] << 3) | ((b[5] >> 5) & 0x7)
+        header_len = 7 if protection_absent else 9
+        if frame_len < header_len:
+            raise MediaFormatError("ADTS frame length smaller than header")
+        if sample_rate is None:
+            sample_rate = _ADTS_SAMPLERATES[sf_idx]
+            profile_bits = prof
+            channels = chan
+        n_frames += 1
+        payload += frame_len - header_len
+        pos += frame_len
+    if n_frames == 0 or sample_rate is None:
+        raise MediaFormatError("no ADTS frames found")
+    return AacMeta(
+        profile=_AAC_PROFILES[profile_bits],
+        sample_rate=sample_rate,
+        n_channels=channels,
+        n_frames=n_frames,
+        duration_ms=n_frames * 1024 * 1000 // sample_rate,
+        total_bytes=payload,
+    )
+
+
+def encode_minimal_adts(
+    n_frames: int,
+    sf_idx: int = 4,
+    channels: int = 2,
+    profile: int = 1,
+    payload_bytes: int = 200,
+    with_crc_field: bool = False,
+) -> bytes:
+    """Fixture encoder: framing-valid ADTS stream with zero payloads."""
+    out = bytearray()
+    header_len = 9 if with_crc_field else 7
+    frame_len = header_len + payload_bytes
+    for _ in range(n_frames):
+        b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if with_crc_field else 1)
+        b2 = ((profile & 0x3) << 6) | ((sf_idx & 0xF) << 2) | ((channels >> 2) & 0x1)
+        b3 = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x03)
+        b4 = (frame_len >> 3) & 0xFF
+        b5 = ((frame_len & 0x7) << 5) | 0x1F
+        b6 = 0xFC
+        out += bytes((0xFF, b1, b2, b3, b4, b5, b6))
+        if with_crc_field:
+            out += b"\x00\x00"
+        out += bytes(payload_bytes)
+    return bytes(out)

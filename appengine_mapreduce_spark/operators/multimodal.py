@@ -32,8 +32,10 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY lossy-audio SAMPLE decode (MP3/AAC need a DSP stack)
-# and video frame pixels (H.264/VP9 need a codec library). The ENTIRE
+# now covers ONLY lossy-audio SAMPLE decode (the MP3 filterbank/MDCT and
+# AAC spectral decode need a DSP stack; their FRAME/HEADER walks are real,
+# functions/media.decode_mp3_meta / decode_aac_adts_meta) and video frame
+# pixels (H.264/VP9 need a codec library). The ENTIRE
 # JPEG matrix decodes for real: baseline + progressive, grayscale +
 # color. Progressive decodes use the full T.81 Annex G scan script —
 # DC/AC first + successive-approximation refinement, interleaved DC MCU
@@ -67,9 +69,10 @@ def _stub_decode_image(blob: bytes) -> tuple[int, int, bytes]:
 
     PNG blobs take the REAL path: full parse + inflate + unfilter via
     functions/png.py, digest over the decoded pixels. JPEG blobs take the
-    REAL header path: SOFn segment scan via functions/jpeg.py for true
-    dimensions (digest over the raw blob — pixel decode for JPEG stays
-    behind ``DECODERS_AVAILABLE``). Other formats fall back to a
+    REAL header path here: SOFn segment scan via functions/jpeg.py for
+    true dimensions with a digest over the raw blob (this stub keeps the
+    cheap path; full JPEG pixel decode lives in decode_jpeg_pixel_stats /
+    decode_jpeg_color_pixel_stats). Other formats fall back to a
     deterministic fake (# STUB) until their codecs exist.
     """
     from appengine_mapreduce_spark.functions.jpeg import JPEG_SOI, decode_jpeg_meta
@@ -518,6 +521,52 @@ def decode_mp3_frame_meta(
                     "bitrate_kbps": pd.Series(dtype="int32"),
                     "is_cbr": pd.Series(dtype="bool"),
                     "channel_mode": pd.Series(dtype="object"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_aac_frame_meta(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL AAC/ADTS frame-header metadata over a binary column
+    (functions/media.decode_aac_adts_meta): walk the ADTS framing — sync,
+    profile, sampling-frequency index, channel config, 13-bit frame
+    length — for frame count, exact duration (1024 samples/frame) and
+    payload bytes. Like MP3, the header walk is the routing layer; AAC
+    SAMPLE decode stays behind DECODERS_AVAILABLE."""
+    from appengine_mapreduce_spark.functions.media import decode_aac_adts_meta
+
+    out_schema = (
+        f"{id_col} bigint, profile string, sample_rate int, "
+        "n_channels int, n_frames bigint, duration_ms bigint, "
+        "total_bytes bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_aac_adts_meta(bytes(blob))
+                rows.append(
+                    (int(i), m.profile, m.sample_rate, m.n_channels,
+                     m.n_frames, m.duration_ms, m.total_bytes)
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "profile", "sample_rate", "n_channels",
+                    "n_frames", "duration_ms", "total_bytes"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "profile": pd.Series(dtype="object"),
+                    "sample_rate": pd.Series(dtype="int32"),
+                    "n_channels": pd.Series(dtype="int32"),
+                    "n_frames": pd.Series(dtype="int64"),
+                    "duration_ms": pd.Series(dtype="int64"),
+                    "total_bytes": pd.Series(dtype="int64"),
                 })
             )
 

@@ -736,3 +736,75 @@ def mp3_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return decode_mp3_frame_meta(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "aac_decode_meta",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(doc_id % 13 AS INT) AS sfi,
+                   CAST(1 + doc_id % 6 AS INT) AS ch,
+                   CAST(doc_id % 4 AS INT) AS prof,
+                   4 + n_chars % 25 AS nf,
+                   100 + doc_id % 100 AS pb
+            FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               (['Main', 'LC', 'SSR', 'LTP'])[prof + 1] AS profile,
+               CAST(([96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                      16000, 12000, 11025, 8000, 7350])[sfi + 1] AS INT)
+                   AS sample_rate,
+               ch AS n_channels,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(nf * 1024 * 1000
+                    // ([96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                         22050, 16000, 12000, 11025, 8000, 7350])[sfi + 1]
+                    AS BIGINT) AS duration_ms,
+               CAST(nf * pb AS BIGINT) AS total_bytes
+        FROM base
+    """,
+    description="REAL AAC/ADTS frame-header metadata through the driver "
+    "gate: synthesize a framing-valid ADTS stream per document (profile, "
+    "sampling-frequency index, channel config, frame count and payload "
+    "size all derived from table columns), then walk the ADTS headers "
+    "(functions/media.decode_aac_adts_meta — 12-bit sync, 13-bit frame "
+    "length, public sampling-frequency table, 1024 samples/frame) and "
+    "emit count/duration/payload bytes, which the oracle recomputes from "
+    "the same public tables. With MP3 + AAC framing decoded, "
+    "DECODERS_AVAILABLE now gates only lossy-audio SAMPLES and video "
+    "pixels.",
+    tags=("multimodal", "udf", "audio", "aac"),
+)
+def aac_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_minimal_adts
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_aac_frame_meta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_minimal_adts(
+                    n_frames=4 + nc % 25,
+                    sf_idx=did % 13,
+                    channels=1 + did % 6,
+                    profile=did % 4,
+                    payload_bytes=100 + did % 100,
+                    with_crc_field=did % 7 == 0,
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_aac_frame_meta(blobs, id_col="doc_id", content_col="content")

@@ -74,8 +74,9 @@ _CURATED_FIRST: tuple[str, ...] = (
     "zorder_layout_scan", "footer_stats_orders",
     # text fingerprinting + native session windows:
     "winnow_doc_fingerprints", "session_window_stats",
-    # multimodal metadata/pixel oracles:
-    "jpeg_decode_meta", "wav_pcm_features", "mp4_frame_stats",
+    # multimodal metadata/pixel oracles (round-4 NEW operators first —
+    # jpeg_decode_meta / wav_pcm_features rotate in next round):
+    "mp3_decode_meta", "jpeg_progressive_color_decode", "mp4_frame_stats",
     "jpeg_progressive_decode",
     # skew + bucketed join strategies:
     "salted_join_priority_revenue", "bucketed_join_revenue",

@@ -573,6 +573,42 @@ def test_mp3_frame_walk_metadata():
         decode_mp3_meta(good + b"\xff\xff\xff\xff" * 2)
 
 
+def test_aac_adts_frame_walk_metadata():
+    """ADTS header walk: frame count via the 13-bit frame length, exact
+    duration (1024 samples/frame), CRC-header variant, malformed sync."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_aac_adts_meta,
+        encode_minimal_adts,
+    )
+
+    m = decode_aac_adts_meta(encode_minimal_adts(20))
+    assert (m.profile, m.sample_rate, m.n_channels) == ("LC", 44100, 2)
+    assert m.n_frames == 20
+    assert m.duration_ms == 20 * 1024 * 1000 // 44100
+    assert m.total_bytes == 20 * 200
+
+    # 9-byte header (protection_absent=0): payload accounting must
+    # exclude the CRC field too
+    m2 = decode_aac_adts_meta(
+        encode_minimal_adts(
+            5, sf_idx=8, channels=1, profile=0, payload_bytes=64,
+            with_crc_field=True,
+        )
+    )
+    assert (m2.profile, m2.sample_rate) == ("Main", 16000)
+    assert m2.total_bytes == 5 * 64
+    assert m2.duration_ms == 5 * 1024 * 1000 // 16000
+
+    with pytest.raises(MediaFormatError):
+        decode_aac_adts_meta(b"\x12\x34" * 16)
+    with pytest.raises(MediaFormatError):
+        # reserved sampling-frequency index
+        decode_aac_adts_meta(encode_minimal_adts(1, sf_idx=14))
+
+
 def test_jpeg_progressive_codec_matches_baseline():
     """The progressive pipeline (DC first/refine + spectral-selection AC
     first with EOB runs + successive-approximation AC refinement) must
