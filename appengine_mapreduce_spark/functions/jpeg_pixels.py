@@ -520,6 +520,38 @@ def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
     return clamp(y), clamp(cb), clamp(cr)
 
 
+def _planes_to_rgb(
+    planes: dict,
+    plane_w: dict,
+    factors: dict,
+    ordered: list[int],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+) -> list[tuple[int, int, int]]:
+    """Upsample the Y/Cb/Cr component planes to full resolution (nearest
+    sample, the x*h//hmax index map) and apply the inverse JFIF transform
+    — vectorized. np.rint rounds half-to-even exactly like the scalar
+    ``int(round())`` in :func:`_ycbcr_to_rgb`, and the per-element float
+    expressions are identical, so this is bit-equal to the former
+    per-pixel loop."""
+    full = []
+    for cid in ordered:
+        h_i, v_i = factors[cid]
+        pw = plane_w[cid]
+        arr = np.asarray(planes[cid], dtype=np.float64)
+        xs = (np.arange(width) * h_i) // hmax
+        ys = (np.arange(height) * v_i) // vmax
+        full.append(arr[ys[:, None] * pw + xs[None, :]])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    out = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255)
+    return [tuple(px) for px in out.astype(np.int64).reshape(-1, 3).tolist()]
+
+
 def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     r = y + 1.402 * (cr - 128)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
@@ -715,16 +747,9 @@ def decode_baseline_color(blob: bytes) -> tuple[int, int, list[tuple[int, int, i
                                     0 if v < 0 else (255 if v > 255 else v)
                                 )
     ordered = [cid for cid, *_ in comps]
-    rgb = []
-    for y in range(height):
-        for x in range(width):
-            vals = []
-            for cid in ordered:
-                h_i, v_i = factors[cid]
-                px = x * h_i // hmax
-                py = y * v_i // vmax
-                vals.append(planes[cid][py * plane_w[cid] + px])
-            rgb.append(_ycbcr_to_rgb(*vals))
+    rgb = _planes_to_rgb(
+        planes, plane_w, factors, ordered, width, height, hmax, vmax
+    )
     return width, height, rgb
 
 
@@ -1542,16 +1567,11 @@ def decode_progressive_color(
 
     ordered = [cid for cid, *_ in comps]
     factors = {cid: (h, v) for cid, _, h, v in comps}
-    rgb = []
-    for y in range(height):
-        for x in range(width):
-            vals = []
-            for cid in ordered:
-                h_i, v_i = factors[cid]
-                px = x * h_i // hmax
-                py = y * v_i // vmax
-                vals.append(plane_px[cid][py * grid[cid][0] * 8 + px])
-            rgb.append(_ycbcr_to_rgb(*vals))
+    rgb = _planes_to_rgb(
+        plane_px,
+        {cid: grid[cid][0] * 8 for cid in plane_px},
+        factors, ordered, width, height, hmax, vmax,
+    )
     return width, height, rgb
 
 
