@@ -173,3 +173,57 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "streaming_conversion_join_replay",
+    oracle="""
+        SELECT l.user_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS lead_us,
+               CAST(epoch_us(c.ts) AS BIGINT) AS conv_us,
+               CAST(epoch_us(c.ts) // 1000000 - epoch_us(l.ts) // 1000000
+                    AS BIGINT) AS delay_s,
+               c.value AS conv_value
+        FROM (SELECT * FROM events WHERE event_type = 'signup') l
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+          ON l.user_id = c.user_id
+         AND c.ts >= l.ts
+         AND c.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+    description="Stream-stream event-time interval join replayed over the "
+    "events fixture (streaming/jobs.conversion_join): signup and purchase "
+    "streams carry watermarks on BOTH sides and the join condition bounds "
+    "event time, so the engine can expire join state — the finite replay's "
+    "result must equal the batch interval join the oracle computes. This "
+    "is the hardest streaming operator (two-sided buffered state) proven "
+    "against plain SQL.",
+    tags=("streaming", "join", "replay"),
+)
+def streaming_conversion_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.streaming.jobs import conversion_join
+
+    path = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    leads = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "signup")
+    )
+    convs = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = conversion_join(
+        leads, convs, key="user_id", within="1 hour", watermark="100 days"
+    )
+    out = _replay(joined, "append")
+    return out.select(
+        "user_id",
+        F.unix_micros("lead_ts").alias("lead_us"),
+        F.unix_micros("conv_ts").alias("conv_us"),
+        F.col("delay_s").cast("bigint").alias("delay_s"),
+        "conv_value",
+    )

@@ -74,14 +74,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pairs_cte() -> str:
+    """The minhash_lsh_pairs oracle as a CTE chain ending in ``pairs`` —
+    same parameters as the Spark side of dedup_clusters."""
+    from appengine_mapreduce_spark.plans.queries_dedup import (
+        _NUM_BANDS,
+        _SHINGLES_CTE,
+        _SIG_CTE,
+    )
+
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"h{2 * b}::VARCHAR || '_' || h{2 * b + 1}::VARCHAR AS band_sig FROM sig"
+        for b in range(_NUM_BANDS)
+    )
+    return f"""
+        {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS ({banded}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+    """
+
+
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; correctness is
-    # asserted on planted clusters in tests/test_graph.py
+    # The whole pipeline is SQL-replayable: signatures are md5-derived
+    # (engine-portable), and the iterative components converge to exactly
+    # the transitive closure a recursive CTE computes — so the driver
+    # value-hashes the full (pairs -> components -> keepers) chain.
+    oracle=f"""
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        closure AS (
+            SELECT u, v FROM reach UNION SELECT DISTINCT u, u FROM sym
+        ),
+        comp AS (SELECT u AS node, min(v) AS component FROM closure GROUP BY u)
+        SELECT component,
+               array_to_string(list_sort(list(node)), ',') AS members,
+               count(*) AS size,
+               CAST(min(node) AS BIGINT) AS keeper
+        FROM comp GROUP BY component
+    """,
     description="Near-duplicate clustering: MinHash+LSH candidate pairs → "
     "connected components (iterative label propagation, one join+agg per "
     "round, lineage truncated per iteration) → (component, members, size, "
-    "keeper). The final step of corpus dedup: keep one doc per component.",
+    "keeper). The final step of corpus dedup: keep one doc per component. "
+    "Oracled end to end: the md5-derived signatures replay in SQL and the "
+    "iterative fixpoint must equal the recursive-CTE transitive closure.",
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
