@@ -36,13 +36,28 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # stubbed decoders are engine-internal — rows-only check;
-    # determinism and schema are asserted in tests/test_multimodal.py
+    # Even the STUB path is oracle-checkable: its deterministic fake is
+    # md5-derived (width = 16 + digest[0] % 64, feature[0] = digest[0]/255
+    # as float32), and DuckDB's md5() over the same utf-8 bytes replays it
+    # byte for byte. round(6) absorbs the float32 storage of features.
+    oracle="""
+        SELECT count(*) AS n_decoded,
+               CAST(min(16 + b0 % 64) AS INT) AS min_w,
+               CAST(max(16 + b1 % 64) AS INT) AS max_h,
+               round(avg(CAST(CAST(b0 / 255.0 AS FLOAT) AS DOUBLE)), 6)
+                   AS mean_f0
+        FROM (
+            SELECT ('0x' || substr(md5(text), 1, 2))::INT AS b0,
+                   ('0x' || substr(md5(text), 3, 2))::INT AS b1
+            FROM documents
+        )
+    """,
     description="Multimodal pipeline through the driver gate: documents' "
     "text bytes stand in for media blobs → binary column → Arrow-batched "
     "stub decode → (width, height, feature vector) stats. Proves the "
     "binary-column plumbing end-to-end; real codecs swap one function "
-    "(operators/multimodal.py).",
+    "(operators/multimodal.py). The stub's md5-derived fake replays in "
+    "SQL, so even this path is value-hash checked.",
     tags=("multimodal", "udf"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
