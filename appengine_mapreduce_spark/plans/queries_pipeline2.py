@@ -294,3 +294,156 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return token_rarity_profile(docs)
+
+
+# Grand capstone: the ENTIRE training-corpus build as one oracled query.
+# Stage oracles are reused/derived from the independently-verified
+# component queries, so the integration cannot drift from the parts.
+from appengine_mapreduce_spark.plans.queries_dedup import (  # noqa: E402
+    _MAX_DOC_FREQ as _CAP_DF,
+    _SHINGLES_CTE as _CAP_SHINGLES,
+    _SHINGLE_WORDS as _CAP_SW,
+)
+
+_CAP_SHINGLES_KEPT = _CAP_SHINGLES.replace("FROM documents", "FROM keptdocs")
+_CAP_GRAM = (
+    f"unnest(list_transform(generate_series(1, len({_TOKS}) - 4), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')))"
+)
+
+_BUILD_ORACLE = f"""
+    WITH RECURSIVE
+    scrub AS ({_SCRUB_ORACLE}),
+    keptdocs AS (
+        SELECT d.* FROM documents d
+        JOIN scrub s ON d.doc_id = s.doc_id WHERE s.keep
+    ),
+    {_CAP_SHINGLES_KEPT},
+    kept AS (
+        SELECT doc_id, shingle FROM shingles
+        WHERE shingle NOT IN (
+            SELECT shingle FROM shingles
+            GROUP BY shingle HAVING count(*) > {_CAP_DF})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        WHERE s.v <> r.u
+    ),
+    dupdrop AS (
+        SELECT u AS doc_id FROM reach GROUP BY u
+        HAVING u <> least(u, min(v))
+    ),
+    survivors AS (
+        SELECT * FROM keptdocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupdrop)
+    ),
+    grams_train AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, {_CAP_GRAM} AS gram FROM survivors
+            WHERE doc_id >= 100)
+    ),
+    grams_eval AS (
+        SELECT DISTINCT gram FROM (
+            SELECT {_CAP_GRAM} AS gram FROM documents WHERE doc_id < 100)
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams_train JOIN grams_eval USING (gram)
+    ),
+    final AS (
+        SELECT * FROM survivors
+        WHERE doc_id >= 100
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM final GROUP BY lang
+"""
+
+
+@register(
+    "corpus_build_pipeline",
+    oracle=_BUILD_ORACLE,
+    description="GRAND CAPSTONE — the whole training-corpus build as ONE "
+    "plan: (1) scrub every document (language-ID + quality + repetition, "
+    "the corpus_filter_pipeline decision), (2) near-dup dedup of the kept "
+    "set (exact n-gram Jaccard pairs, stop-shingle-capped, -> "
+    "large-star/small-star connected components -> drop non-keepers), "
+    "(3) benchmark decontamination (drop training docs sharing any word "
+    "5-gram with the held-out doc_id<100 eval slice), (4) per-language "
+    "accounting of the surviving corpus. Every stage reuses an "
+    "independently-oracled operator, and the composite oracle chains the "
+    "same SQL stages — so the driver value-hash checks the INTEGRATION, "
+    "not just the parts. At 100 TB: scrub is a map-only scan, pair "
+    "generation is bucket-bounded, components are O(log^2 n) rounds on "
+    "the (small) edge list, decontamination broadcasts the benchmark-"
+    "sized eval grams; the corpus itself is never joined all-pairs.",
+    tags=("pipeline", "training-data", "dedup", "graph", "integration"),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators import dedup
+    from appengine_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        ngram_contamination,
+        repetition_signals,
+        scrub_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+
+    # stage 1: scrub decision (shared-projection lang+quality, one
+    # shuffle for repetition), keep survivors only
+    scored = scrub_signals(docs).select("doc_id", "pred_lang", "quality")
+    rep = repetition_signals(docs).select("doc_id", "dup_tok_fraction")
+    keep = (
+        (F.col("pred_lang") != "und")
+        & (F.col("quality") >= 0.45)
+        & (F.col("dup_tok_fraction") <= 0.55)
+    )
+    kept_ids = scored.join(rep, "doc_id").filter(keep).select("doc_id")
+    kept_docs = docs.join(kept_ids, "doc_id")
+
+    # stage 2: near-dup components over the kept set; drop non-keepers
+    pairs = dedup.ngram_jaccard_pairs(
+        kept_docs, shingle_words=_CAP_SW, threshold=0.2,
+        max_doc_freq=_CAP_DF,
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs)
+    dup_ids = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = kept_docs.join(dup_ids, "doc_id", "left_anti")
+
+    # stage 3: decontaminate the training slice against the eval slice
+    train = survivors.filter(F.col("doc_id") >= 100)
+    eval_slice = docs.filter(F.col("doc_id") < 100)
+    contaminated = ngram_contamination(train, eval_slice, n=5).select(
+        "doc_id"
+    )
+    final = train.join(contaminated, "doc_id", "left_anti")
+
+    # stage 4: per-language accounting of the surviving corpus
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

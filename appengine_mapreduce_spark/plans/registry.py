@@ -63,7 +63,10 @@ _CURATED_FIRST: tuple[str, ...] = (
     # TPC-H tail (never driver-witnessed):
     "q4_order_priority", "q7_nation_volume", "q8_market_share",
     "q12_late_shipment_priority", "q13_order_count_distribution",
-    "q15_top_supplier", "q22_idle_customers",
+    "q22_idle_customers",
+    # grand capstone: scrub -> near-dup dedup -> decontaminate -> mix
+    # accounting as ONE oracled plan (q15_top_supplier rotates next round):
+    "corpus_build_pipeline",
     # live Structured Streaming replays (readStream -> jobs -> memory
     # sink), oracled against batch SQL:
     "streaming_hourly_replay", "streaming_dedup_replay",
