@@ -176,3 +176,38 @@ def mix_to_target(
         )
         .drop("_cut")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a reproducible pseudo-random ``shard`` in [0, n_shards) and a
+    ``position`` within its shard — the same permutation every run, on
+    any engine, independent of input partitioning (RNG-based
+    ``orderBy(rand())`` cannot promise that across retries).
+
+    Order key is the salted hash of the row key (ties broken by the key
+    itself, so the permutation is total). At 100 TB: the shard is a pure
+    row-local hash (no shuffle to ASSIGN it); the within-shard position
+    is one window per shard partition — a single hash-partitioned
+    exchange keyed on ``shard``, each shard sorted independently. This is
+    exactly the "shuffle the corpus into N training shards" step before
+    sequence packing; writers partitionBy(shard) downstream.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash32(F.col(key).cast("string"), salt=salt)
+    with_shard = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key))
+    return (
+        with_shard.withColumn(
+            "position", (F.row_number().over(w) - 1).cast("bigint")
+        )
+        .drop("_h")
+    )

@@ -69,3 +69,50 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return profile_table(orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+@register(
+    "global_shuffle_shards",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT AS h
+            FROM documents
+        ),
+        positioned AS (
+            SELECT doc_id, lang,
+                   CAST(h % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                                           ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM hashed
+        )
+        SELECT shard, count(*) AS n_rows,
+               CAST(min(position) AS BIGINT) AS min_pos,
+               CAST(max(position) AS BIGINT) AS max_pos,
+               CAST(sum(doc_id * (position + 1)) AS BIGINT) AS perm_sig
+        FROM positioned GROUP BY shard
+    """,
+    description="Deterministic global shuffle for training export "
+    "(operators/sampling.global_shuffle): every document gets a "
+    "reproducible pseudo-random shard (row-local salted hash, no shuffle "
+    "to assign) and a within-shard position (one window per shard "
+    "partition — a single exchange keyed on shard). perm_sig "
+    "(sum of doc_id x (position+1)) pins the EXACT permutation, so the "
+    "oracle match proves byte-for-byte reproducibility of the shuffle — "
+    "the property RNG-based orderBy(rand()) cannot give across task "
+    "retries. min/max positions prove each shard is densely numbered.",
+    tags=("sampling", "training-data", "window"),
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import global_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    shuffled = global_shuffle(docs, key="doc_id", n_shards=8)
+    return shuffled.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("position").alias("min_pos"),
+        F.max("position").alias("max_pos"),
+        F.sum(F.col("doc_id") * (F.col("position") + 1)).alias("perm_sig"),
+    )

@@ -560,6 +560,28 @@ def test_incremental_refresh_handles_group_migration(spark):
     }, (got, direct)
 
 
+def test_global_shuffle_reproducible_and_dense(spark):
+    """The permutation must be identical regardless of input partitioning
+    (the retry-safety RNG shuffles lack), shards dense from 0, and every
+    row present exactly once."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.sampling import global_shuffle
+
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    a = global_shuffle(base.repartition(3), key="k", n_shards=4)
+    b = global_shuffle(base.repartition(17), key="k", n_shards=4)
+    rows_a = {(r.k): (r.shard, r.position) for r in a.collect()}
+    rows_b = {(r.k): (r.shard, r.position) for r in b.collect()}
+    assert rows_a == rows_b  # partitioning-independent permutation
+    assert len(rows_a) == 1000
+    per_shard: dict[int, list[int]] = {}
+    for shard, pos in rows_a.values():
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard  # dense
+
+
 def test_bpe_training_classic_example(spark):
     """Hand-computable BPE: corpus {hug:10, pug:5, pun:12, bun:4, hugs:5}
     must learn (u,g)=20, then (u,n)=16, then (h,ug)=15 — the standard
