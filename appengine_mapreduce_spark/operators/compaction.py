@@ -48,8 +48,20 @@ def _data_files(path: str, suffix: str) -> list[str]:
 def _partition_leaves(path: str) -> list[str] | None:
     """Leaf directories of a Hive-partitioned (key=value) tree under
     ``path``, or None if the directory is flat. A mix of key=value and
-    plain subdirectories is rejected (ambiguous layout)."""
+    plain subdirectories is rejected (ambiguous layout).
+
+    Heals interrupted per-leaf swaps FIRST: a crash between the two
+    renames leaves ``<leaf>.old`` (data) with ``<leaf>`` absent — and
+    since ``p=1.old`` still contains ``=``, it would otherwise be
+    mistaken for a real partition and its data resurrected under a wrong
+    partition value."""
     p = path.rstrip("/")
+    for d in os.listdir(p):
+        full = os.path.join(p, d)
+        if d.endswith(".compacting"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith(".old") and os.path.isdir(full):
+            _recover(full[: -len(".old")])
     subdirs = [
         d for d in os.listdir(p)
         if os.path.isdir(os.path.join(p, d)) and not d.startswith((".", "_"))

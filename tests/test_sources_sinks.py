@@ -301,6 +301,35 @@ def test_compaction_preserves_hive_partition_layout(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(6_000))
 
 
+def test_compaction_heals_interrupted_partition_leaf_swap(spark, tmp_path):
+    """A crash between a leaf's two swap renames leaves p=1.old (data
+    present) with p=1 absent; the next compaction must RESTORE that leaf
+    instead of treating 'p=1.old' as a partition named '1.old'."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.compaction import compact_files
+
+    path = str(tmp_path / "part_crash")
+    spark.range(0, 3_000).select(
+        F.col("id"), (F.col("id") % 3).alias("p")
+    ).repartition(4).write.partitionBy("p").parquet(path)
+
+    # simulate the crash window: first rename done, second not
+    os.rename(os.path.join(path, "p=1"), os.path.join(path, "p=1.old"))
+    shutil.rmtree(os.path.join(path, "p=1.compacting"), ignore_errors=True)
+
+    stats = compact_files(spark, path, target_bytes=64 * 1024 * 1024)
+    assert stats.files_after == 3, stats
+    leaves = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert leaves == ["p=0", "p=1", "p=2"], leaves  # p=1 restored
+    back = spark.read.parquet(path)
+    assert back.count() == 3_000
+    assert back.filter(F.col("p") == 1).count() == 1_000
+
+
 def test_compaction_counts_compressed_text_files(spark, tmp_path):
     """Byte/file stats must see codec-suffixed text files (part-*.csv.gz),
     not just bare .csv."""
