@@ -1280,6 +1280,14 @@ def decode_progressive_gray(blob: bytes) -> tuple[int, int, list[int]]:
             end = scan_start
             while end + 1 < len(blob):
                 if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+                    if 0xD0 <= blob[end + 1] <= 0xD7:
+                        # T.81 allows RSTn inside progressive scans but we
+                        # do not decode them — fail loudly instead of
+                        # misparsing the marker as a segment header
+                        raise JpegFormatError(
+                            "restart markers inside progressive scans "
+                            "unsupported"
+                        )
                     break
                 end += 1
             read_scan(data, blob[scan_start:end])
@@ -1535,6 +1543,14 @@ def decode_progressive_color(
             end = scan_start
             while end + 1 < len(blob):
                 if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+                    if 0xD0 <= blob[end + 1] <= 0xD7:
+                        # T.81 allows RSTn inside progressive scans but we
+                        # do not decode them — fail loudly instead of
+                        # misparsing the marker as a segment header
+                        raise JpegFormatError(
+                            "restart markers inside progressive scans "
+                            "unsupported"
+                        )
                     break
                 end += 1
             apply_scan(data, blob[scan_start:end])

@@ -421,6 +421,8 @@ def decode_mp3_meta(blob: bytes) -> Mp3Meta:
         fb, spf, sr, br, vb, mb = _mp3_frame_header(blob, pos)
         if sample_rate is None:
             sample_rate, first_bitrate, version_bits, mode_bits = sr, br, vb, mb
+        if fb < 4:
+            raise MediaFormatError("MP3 frame length smaller than header")
         n_frames += 1
         total_samples += spf
         bitrates.add(br)
