@@ -56,10 +56,17 @@ _CURATED_FIRST: tuple[str, ...] = (
     "simhash_fingerprints", "decontaminate_overlap",
     # ---- 25 rotation slots (round 4): queries that have NEVER had a
     # CORRECTNESS_r{N} row — previously checked only by the pytest
-    # full-gate twin. Next round, rotate these to the remaining
-    # unwitnessed tail (sorted_layout_scan, compaction_roundtrip,
-    # customer_balance_quartiles, orc_roundtrip, token_stats/top_tokens,
-    # sampling family, ann_sign_lsh/batch_ann, ...).
+    # full-gate twin. Round-5 builder: rotate these slots to the
+    # still-unwitnessed tail — aac_decode_meta,
+    # streaming_conversion_join_replay, global_shuffle_shards,
+    # corpus_filter_pipeline, dedup_clusters (newly oracled),
+    # jpeg_decode_meta / wav_decode_meta / mp4_decode_meta /
+    # wav_pcm_features, q15/q16/q17/q20, sorted_layout_scan,
+    # compaction_roundtrip, orc_roundtrip, customer_balance_quartiles,
+    # token_stats/top_tokens/token_rarity/bpe_token_stats, the
+    # sampling family, ann_sign_lsh/batch_ann/embedding_norms/
+    # label_centroids, signup_purchase_funnel, grouped_values_capped,
+    # line_input_custom_sep, ivf_multiprobe_topk.
     # TPC-H tail (never driver-witnessed):
     "q4_order_priority", "q7_nation_volume", "q8_market_share",
     "q12_late_shipment_priority", "q13_order_count_distribution",
