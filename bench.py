@@ -138,8 +138,8 @@ def main() -> None:
     }
 
     # Scale section (VERDICT r3 ask #1): one measured order of magnitude
-    # above the primary SF, same frozen headliner set. 1 round after a
-    # warmup pass; failures never cost the primary numbers.
+    # above the primary SF, same frozen headliner set, warmup + 2 rounds;
+    # failures never cost the primary numbers.
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -148,7 +148,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         try:
             if _ensure_sf1(sf1_dir):
-                sf1 = _run_suite(sf1_dir, 1, "sf1")
+                # 2 rounds: a single-round exponent moves ±0.1-0.3 when a
+                # VM-steal burst lands on one query; the median of 2
+                # halves that without doubling the whole bench.
+                sf1_rounds = int(os.environ.get("SPARK_GRAFT_SF1_ROUNDS", "2"))
+                sf1 = _run_suite(sf1_dir, sf1_rounds, "sf1")
                 exponents = {
                     n: round(
                         __import__("math").log10(
@@ -162,7 +166,7 @@ def main() -> None:
                 result["sf1"] = {
                     "value": sf1["value"],
                     "queries": sf1["queries"],
-                    "runs": 1,
+                    "runs": sf1_rounds,
                     "scaling_exponent_vs_sf0.1": exponents,
                 }
         except Exception as exc:
