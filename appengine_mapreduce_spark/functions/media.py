@@ -574,3 +574,118 @@ def encode_minimal_adts(
             out += b"\x00\x00"
         out += bytes(payload_bytes)
     return bytes(out)
+
+
+# --- AVI (RIFF) container with MJPEG video frames ----------------------------
+#
+# AVI is RIFF framing (same 4CC chunk walk as WAV): RIFF('AVI ' LIST(hdrl
+# avih ...) LIST(movi <00dc frame chunks>)). With the MJPG codec every
+# '##dc' chunk is a complete baseline JPEG — which functions/jpeg_pixels.py
+# decodes for real. That makes VIDEO FRAME PIXELS a real decode path for
+# the MJPEG profile (the classic capture/intermediate format), stdlib +
+# numpy only; modern inter-frame codecs (H.264/VP9) stay behind
+# operators/multimodal.DECODERS_AVAILABLE.
+
+
+@dataclass(frozen=True)
+class AviMeta:
+    width: int
+    height: int
+    n_frames: int
+    us_per_frame: int
+    codec: str
+
+
+def _riff_chunks(blob: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end); chunks pad to even."""
+    pos = start
+    while pos + 8 <= end:
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise MediaFormatError(f"truncated RIFF chunk {tag!r} at {pos}")
+        yield tag, body, body + size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_mjpeg(blob: bytes) -> "tuple[AviMeta, list[bytes]]":
+    """Parse an AVI container and return (meta, [frame JPEG bytes]).
+
+    Walks RIFF → LIST hdrl (avih for dimensions/frame timing, strf for
+    the codec 4CC) and LIST movi (each ``..dc`` chunk is one compressed
+    frame). Rejects non-MJPG streams — their frames would not be JPEGs.
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise MediaFormatError("bad RIFF/AVI signature")
+    width = height = 0
+    us_per_frame = 0
+    codec = ""
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, us_per_frame, codec
+        for tag, b, e in _riff_chunks(blob, start, end):
+            if tag == b"LIST":
+                walk(b + 4, e)  # skip the list-type 4CC
+            elif tag == b"avih":
+                us_per_frame, = struct.unpack("<I", blob[b : b + 4])
+                width, height = struct.unpack("<II", blob[b + 32 : b + 40])
+            elif tag == b"strf" and e - b >= 40:
+                # BITMAPINFOHEADER: biCompression 4CC at offset 16
+                codec = blob[b + 16 : b + 20].decode("ascii", "replace")
+            elif tag[2:4] == b"dc":
+                frames.append(blob[b:e])
+
+    walk(12, len(blob))
+    if not width or not height:
+        raise MediaFormatError("missing avih header")
+    if codec not in ("MJPG", "mjpg"):
+        raise MediaFormatError(
+            f"codec {codec!r} is not MJPG — frame decode unsupported"
+        )
+    return (
+        AviMeta(
+            width=width,
+            height=height,
+            n_frames=len(frames),
+            us_per_frame=us_per_frame,
+            codec=codec,
+        ),
+        frames,
+    )
+
+
+def encode_minimal_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Fixture encoder: a structurally valid AVI wrapping pre-encoded
+    MJPEG (JPEG) frames."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    us_per_frame = 1_000_000 // max(1, fps)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -34,8 +34,11 @@ register_self(__name__)
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
 # now covers ONLY lossy-audio SAMPLE decode (the MP3 filterbank/MDCT and
 # AAC spectral decode need a DSP stack; their FRAME/HEADER walks are real,
-# functions/media.decode_mp3_meta / decode_aac_adts_meta) and video frame
-# pixels (H.264/VP9 need a codec library). The ENTIRE
+# functions/media.decode_mp3_meta / decode_aac_adts_meta) and
+# INTER-FRAME video codecs (H.264/VP9 need a codec library). Video frame
+# PIXELS decode for real for the MJPEG/AVI profile: the RIFF container
+# walk extracts per-frame JPEGs which the in-repo T.81 codec fully
+# decodes (decode_video_frame_pixels below). The ENTIRE
 # JPEG matrix decodes for real: baseline + progressive, grayscale +
 # color. Progressive decodes use the full T.81 Annex G scan script —
 # DC/AC first + successive-approximation refinement, interleaved DC MCU
@@ -521,6 +524,68 @@ def decode_mp3_frame_meta(
                     "bitrate_kbps": pd.Series(dtype="int32"),
                     "is_cbr": pd.Series(dtype="bool"),
                     "channel_mode": pd.Series(dtype="object"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_video_frame_pixels(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL VIDEO FRAME PIXEL decode over a binary column for the MJPEG
+    profile: walk the AVI RIFF container (functions/media.decode_avi_mjpeg)
+    and fully decode every ``00dc`` frame — each one a baseline JPEG —
+    through functions/jpeg_pixels, reduced to per-video pixel statistics.
+    This is frame sampling + decode for the classic capture/intermediate
+    video format with no codec library; inter-frame codecs (H.264/VP9)
+    remain behind DECODERS_AVAILABLE."""
+    from appengine_mapreduce_spark.functions.jpeg import decode_jpeg_meta
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_color_auto,
+        decode_gray_auto,
+    )
+    from appengine_mapreduce_spark.functions.media import decode_avi_mjpeg
+
+    out_schema = (
+        f"{id_col} bigint, n_frames bigint, width int, height int, "
+        "px_sum bigint, px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                meta, frames = decode_avi_mjpeg(bytes(blob))
+                total = 0
+                mn, mx = 255, 0
+                for fr in frames:
+                    if decode_jpeg_meta(fr).n_components == 3:
+                        _w, _h, rgb = decode_color_auto(fr)
+                        px = [v for p in rgb for v in p]
+                    else:
+                        _w, _h, px = decode_gray_auto(fr)
+                    total += sum(px)
+                    mn = min(mn, min(px))
+                    mx = max(mx, max(px))
+                rows.append(
+                    (int(i), meta.n_frames, meta.width, meta.height,
+                     total, mn if frames else 0, mx if frames else 0)
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_frames", "width", "height",
+                    "px_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_frames": pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "px_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
                 })
             )
 

@@ -85,9 +85,9 @@ _CURATED_FIRST: tuple[str, ...] = (
     # text fingerprinting + native session windows:
     "winnow_doc_fingerprints", "session_window_stats",
     # multimodal metadata/pixel oracles (round-4 NEW operators first —
-    # jpeg_decode_meta / wav_pcm_features rotate in next round):
-    "mp3_decode_meta", "jpeg_progressive_color_decode", "mp4_frame_stats",
-    "jpeg_progressive_decode",
+    # jpeg_decode_meta / wav_pcm_features / mp4_frame_stats rotate next):
+    "mp3_decode_meta", "jpeg_progressive_color_decode",
+    "avi_mjpeg_frame_decode", "jpeg_progressive_decode",
     # skew + bucketed join strategies:
     "salted_join_priority_revenue", "bucketed_join_revenue",
     # CDC diff + quality gate (fixed this round — fresh evidence wanted):

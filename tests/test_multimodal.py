@@ -609,6 +609,41 @@ def test_aac_adts_frame_walk_metadata():
         decode_aac_adts_meta(encode_minimal_adts(1, sf_idx=14))
 
 
+def test_avi_mjpeg_container_roundtrip_and_frame_decode():
+    """AVI RIFF walk: meta fields + frame extraction byte-exact; frames
+    decode through the real JPEG codec; non-MJPG streams rejected."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        decode_baseline_gray,
+        encode_baseline_gray,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_avi_mjpeg,
+        encode_minimal_avi,
+    )
+
+    frames = [
+        encode_baseline_gray([v] * (16 * 8), 16, 8) for v in (10, 100, 200)
+    ]
+    blob = encode_minimal_avi(frames, 16, 8, fps=30)
+    meta, out = decode_avi_mjpeg(blob)
+    assert (meta.width, meta.height, meta.n_frames) == (16, 8, 3)
+    assert meta.codec == "MJPG" and meta.us_per_frame == 1_000_000 // 30
+    assert out == frames  # byte-exact frame extraction
+    # solid frames decode exactly through the real codec
+    for f, v in zip(out, (10, 100, 200)):
+        assert decode_baseline_gray(f)[2] == [v] * (16 * 8)
+
+    with pytest.raises(MediaFormatError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    # non-MJPG codec 4CC must be rejected, not mis-decoded
+    bad = blob.replace(b"MJPG", b"H264")
+    with pytest.raises(MediaFormatError):
+        decode_avi_mjpeg(bad)
+
+
 def test_jpeg_progressive_codec_matches_baseline():
     """The progressive pipeline (DC first/refine + spectral-selection AC
     first with EOB runs + successive-approximation AC refinement) must
