@@ -609,6 +609,31 @@ def test_aac_adts_frame_walk_metadata():
         decode_aac_adts_meta(encode_minimal_adts(1, sf_idx=14))
 
 
+def test_decode_video_frame_pixels_color_frames(spark):
+    """The video-frame operator must route 3-component frames through the
+    color decoder: an AVI of solid-RGB-gray MJPEG frames yields exact
+    per-video stats (3 channels x pixels x value)."""
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_color,
+    )
+    from appengine_mapreduce_spark.functions.media import encode_minimal_avi
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_video_frame_pixels,
+    )
+
+    w, h = 16, 8
+    vals = (30, 130, 230)
+    frames = [
+        encode_baseline_color([(v, v, v)] * (w * h), w, h) for v in vals
+    ]
+    blob = encode_minimal_avi(frames, w, h, fps=10)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+    [row] = decode_video_frame_pixels(df).collect()
+    assert (row.n_frames, row.width, row.height) == (3, w, h)
+    assert row.px_sum == 3 * w * h * sum(vals)
+    assert (row.px_min, row.px_max) == (min(vals), max(vals))
+
+
 def test_avi_mjpeg_container_roundtrip_and_frame_decode():
     """AVI RIFF walk: meta fields + frame extraction byte-exact; frames
     decode through the real JPEG codec; non-MJPG streams rejected."""
