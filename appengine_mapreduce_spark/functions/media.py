@@ -689,3 +689,111 @@ def encode_minimal_avi(
     )
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_pcm_audio(blob: bytes) -> "tuple[WavMeta, list[int]]":
+    """Extract the PCM16 audio track from an AVI container: walk each
+    LIST strl, remember which stream index is the ``auds`` stream and its
+    WAVEFORMATEX (strf), then concatenate that stream's ``NNwb`` movi
+    chunks and unpack samples — the audio half of a video file, decoded
+    with the same zero-codec PCM path as WAV."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise MediaFormatError("bad RIFF/AVI signature")
+    stream_types: list[bytes] = []
+    fmt: tuple[int, int, int] | None = None  # (channels, rate, bits)
+    audio = bytearray()
+    audio_idx: int | None = None
+
+    def walk(start: int, end: int, in_strl: bool) -> None:
+        nonlocal fmt, audio_idx
+        cur_type: bytes | None = None
+        for tag, b, e in _riff_chunks(blob, start, end):
+            if tag == b"LIST":
+                walk(b + 4, e, blob[b : b + 4] == b"strl")
+            elif tag == b"strh" and in_strl:
+                cur_type = blob[b : b + 4]
+                stream_types.append(cur_type)
+            elif tag == b"strf" and in_strl and cur_type == b"auds":
+                n_ch, rate = struct.unpack("<HI", blob[b + 2 : b + 8])
+                (bits,) = struct.unpack("<H", blob[b + 14 : b + 16])
+                fmt = (n_ch, rate, bits)
+                audio_idx = len(stream_types) - 1
+            elif len(tag) == 4 and tag[2:4] == b"wb":
+                idx = int(tag[:2])
+                if audio_idx is not None and idx == audio_idx:
+                    audio.extend(blob[b:e])
+
+    walk(12, len(blob), False)
+    if fmt is None:
+        raise MediaFormatError("no auds (audio) stream in AVI")
+    n_ch, rate, bits = fmt
+    if bits != 16:
+        raise MediaFormatError("only PCM16 AVI audio supported")
+    n = len(audio) // 2
+    samples = list(struct.unpack(f"<{n}h", bytes(audio[: 2 * n])))
+    return (
+        WavMeta(
+            n_channels=n_ch,
+            sample_rate=rate,
+            bits_per_sample=bits,
+            n_frames=n // max(1, n_ch),
+            duration_ms=(n // max(1, n_ch)) * 1000 // max(1, rate),
+        ),
+        samples,
+    )
+
+
+def encode_minimal_avi_with_audio(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    audio_samples: list[int],
+    sample_rate: int = 16000,
+    fps: int = 25,
+) -> bytes:
+    """Fixture encoder: AVI with an MJPEG video stream (index 0) AND a
+    PCM16 mono audio stream (index 1, one 01wb chunk)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    us_per_frame = 1_000_000 // max(1, fps)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 2, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0, 0, 0)
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    strh_a = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, sample_rate, 0,
+                      len(audio_samples), 0, 0, 0, 0)
+    )
+    # WAVEFORMATEX: PCM(1), mono, rate, byterate, blockalign 2, 16 bits
+    strf_a = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    pcm = struct.pack(f"<{len(audio_samples)}h", *audio_samples)
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00dc", f) for f in frames) + chunk(b"01wb", pcm),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)

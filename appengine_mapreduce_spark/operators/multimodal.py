@@ -392,6 +392,17 @@ def sample_video_frames(
     return df.mapInPandas(sample, schema=out_schema)
 
 
+def _pcm_feature_row(samples: list) -> tuple:
+    """Integer-exact clip features shared by the WAV and AVI audio paths:
+    (n_samples, energy sum-of-squares, peak amplitude, zero crossings)."""
+    sum_sq = sum(s * s for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return len(samples), sum_sq, peak, zc
+
+
 def audio_pcm_features(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:
@@ -416,14 +427,7 @@ def audio_pcm_features(
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 _meta, samples = decode_wav_samples(bytes(blob))
-                sum_sq = sum(s * s for s in samples)
-                peak = max((abs(s) for s in samples), default=0)
-                zc = sum(
-                    1
-                    for a, b in zip(samples, samples[1:])
-                    if (a >= 0) != (b >= 0)
-                )
-                rows.append((int(i), len(samples), sum_sq, peak, zc))
+                rows.append((int(i), *_pcm_feature_row(samples)))
             yield (
                 pd.DataFrame(rows, columns=[
                     id_col, "n_samples", "sum_sq", "peak", "zero_crossings"])
@@ -524,6 +528,49 @@ def decode_mp3_frame_meta(
                     "bitrate_kbps": pd.Series(dtype="int32"),
                     "is_cbr": pd.Series(dtype="bool"),
                     "channel_mode": pd.Series(dtype="object"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def avi_audio_pcm_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio-track SAMPLE decode from VIDEO containers: extract the
+    AVI auds stream's PCM16 samples (functions/media.decode_avi_pcm_audio
+    — RIFF strl/strf walk + NNwb chunk concatenation, zero-codec) and
+    compute the same integer-exact clip features as the WAV path
+    (_pcm_feature_row). A video corpus screens soundtracks
+    (silence/clipping) without any DSP library."""
+    from appengine_mapreduce_spark.functions.media import decode_avi_pcm_audio
+
+    out_schema = (
+        f"{id_col} bigint, sample_rate int, n_samples bigint, "
+        "sum_sq bigint, peak int, zero_crossings bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                meta, samples = decode_avi_pcm_audio(bytes(blob))
+                rows.append(
+                    (int(i), meta.sample_rate, *_pcm_feature_row(samples))
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "sample_rate", "n_samples", "sum_sq",
+                    "peak", "zero_crossings"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "sample_rate": pd.Series(dtype="int32"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "sum_sq": pd.Series(dtype="int64"),
+                    "peak": pd.Series(dtype="int32"),
+                    "zero_crossings": pd.Series(dtype="int64"),
                 })
             )
 

@@ -902,3 +902,87 @@ def avi_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frame_pixels(
         blobs, id_col="doc_id", content_col="content"
     )
+
+
+@register(
+    "avi_audio_features",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, 40 + doc_id % 60 AS n,
+                   CAST(([8000, 16000, 44100])[1 + doc_id % 3] AS INT)
+                       AS sample_rate
+            FROM documents WHERE doc_id < 150
+        ),
+        samp AS (
+            SELECT doc_id, sample_rate,
+                   unnest(generate_series(0, n - 1)) AS i,
+                   unnest(list_transform(
+                       generate_series(0, n - 1),
+                       i -> ((doc_id * 41 + i * 17) % 3001) - 1500)) AS s
+            FROM base
+        ),
+        lagged AS (
+            SELECT doc_id, sample_rate, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samp
+        )
+        SELECT doc_id, sample_rate,
+               count(*) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND (s >= 0) <> (prev >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id, sample_rate
+    """,
+    description="REAL audio-track decode from VIDEO containers through "
+    "the driver gate: each document synthesizes an AVI holding an MJPEG "
+    "video stream AND a PCM16 auds stream "
+    "(functions/media.encode_minimal_avi_with_audio), then "
+    "operators/multimodal.avi_audio_pcm_features walks the RIFF stream "
+    "headers, concatenates the audio chunks, unpacks the samples and "
+    "emits the integer-exact clip features the oracle recomputes from "
+    "the generating formula — soundtrack screening for a video corpus "
+    "with zero codec dependencies.",
+    tags=("multimodal", "udf", "video", "audio"),
+)
+def avi_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_gray,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        encode_minimal_avi_with_audio,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        avi_audio_pcm_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "n_chars")
+    )
+    rates = [8000, 16000, 44100]
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, _nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(did)
+                n = 40 + did % 60
+                samples = [
+                    ((did * 41 + i * 17) % 3001) - 1500 for i in range(n)
+                ]
+                frame = encode_baseline_gray([did % 256] * 64, 8, 8)
+                rows.append(
+                    (did, encode_minimal_avi_with_audio(
+                        [frame], 8, 8, samples,
+                        sample_rate=rates[did % 3],
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return avi_audio_pcm_features(blobs, id_col="doc_id", content_col="content")

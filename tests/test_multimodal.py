@@ -634,6 +634,35 @@ def test_decode_video_frame_pixels_color_frames(spark):
     assert (row.px_min, row.px_max) == (min(vals), max(vals))
 
 
+def test_avi_audio_track_extraction():
+    """The auds stream's PCM chunks concatenate to the exact written
+    samples; files without an audio stream are rejected."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_gray,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_avi_pcm_audio,
+        encode_minimal_avi,
+        encode_minimal_avi_with_audio,
+    )
+
+    frame = encode_baseline_gray([9] * 64, 8, 8)
+    samples = [((i * 13) % 4001) - 2000 for i in range(250)]
+    blob = encode_minimal_avi_with_audio(
+        [frame], 8, 8, samples, sample_rate=16000
+    )
+    meta, out = decode_avi_pcm_audio(blob)
+    assert out == samples
+    assert (meta.sample_rate, meta.n_channels, meta.bits_per_sample) == (
+        16000, 1, 16,
+    )
+    with pytest.raises(MediaFormatError):
+        decode_avi_pcm_audio(encode_minimal_avi([frame], 8, 8))
+
+
 def test_avi_mjpeg_container_roundtrip_and_frame_decode():
     """AVI RIFF walk: meta fields + frame extraction byte-exact; frames
     decode through the real JPEG codec; non-MJPG streams rejected."""
