@@ -816,3 +816,112 @@ def test_jpeg_restart_markers_roundtrip():
             encode_baseline_color(grad, w, h, restart_interval=ri)
         )[2]
         assert got == cbase, ri
+
+if _HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n_frames=st.integers(1, 40),
+        bitrate_idx=st.integers(1, 14),
+        sr_idx=st.integers(0, 2),
+        mpeg1=st.booleans(),
+        channel_mode=st.integers(0, 3),
+        id3=st.sampled_from([0, 10, 333]),
+    )
+    def test_mp3_frame_walk_property(
+        n_frames, bitrate_idx, sr_idx, mpeg1, channel_mode, id3
+    ):
+        """PROPERTY: any framing-valid Layer III stream walks back to its
+        exact frame count and table-derived fields, with or without an
+        ID3v2 prefix."""
+        from appengine_mapreduce_spark.functions.media import (
+            decode_mp3_meta,
+            encode_minimal_mp3,
+        )
+
+        m = decode_mp3_meta(
+            encode_minimal_mp3(
+                n_frames, bitrate_idx=bitrate_idx, sr_idx=sr_idx,
+                mpeg1=mpeg1, channel_mode=channel_mode, id3_bytes=id3,
+            )
+        )
+        assert m.n_frames == n_frames
+        assert m.mpeg_version == ("1" if mpeg1 else "2")
+        spf = 1152 if mpeg1 else 576
+        assert m.duration_ms == n_frames * spf * 1000 // m.sample_rate
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n_frames=st.integers(1, 40),
+        sf_idx=st.integers(0, 12),
+        channels=st.integers(1, 7),
+        profile=st.integers(0, 3),
+        payload=st.integers(1, 500),
+        crc=st.booleans(),
+    )
+    def test_aac_adts_walk_property(
+        n_frames, sf_idx, channels, profile, payload, crc
+    ):
+        """PROPERTY: any framing-valid ADTS stream walks back exactly —
+        frame count, payload accounting (CRC field excluded), duration
+        from the sampling-frequency table."""
+        from appengine_mapreduce_spark.functions.media import (
+            decode_aac_adts_meta,
+            encode_minimal_adts,
+        )
+
+        m = decode_aac_adts_meta(
+            encode_minimal_adts(
+                n_frames, sf_idx=sf_idx, channels=channels,
+                profile=profile, payload_bytes=payload,
+                with_crc_field=crc,
+            )
+        )
+        assert m.n_frames == n_frames
+        assert m.total_bytes == n_frames * payload
+        assert m.duration_ms == n_frames * 1024 * 1000 // m.sample_rate
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 255), min_size=1, max_size=6),
+        w=st.sampled_from([8, 16, 24]),
+        h=st.sampled_from([8, 16]),
+        fps=st.integers(1, 60),
+    )
+    def test_avi_mjpeg_roundtrip_property(vals, w, h, fps):
+        """PROPERTY: any MJPEG frame sequence survives the AVI container
+        byte-exactly, and solid frames decode to their exact pixels."""
+        from appengine_mapreduce_spark.functions.jpeg_pixels import (
+            decode_baseline_gray,
+            encode_baseline_gray,
+        )
+        from appengine_mapreduce_spark.functions.media import (
+            decode_avi_mjpeg,
+            encode_minimal_avi,
+        )
+
+        frames = [encode_baseline_gray([v] * (w * h), w, h) for v in vals]
+        meta, out = decode_avi_mjpeg(encode_minimal_avi(frames, w, h, fps))
+        assert out == frames
+        assert meta.n_frames == len(vals)
+        for f, v in zip(out, vals):
+            assert decode_baseline_gray(f)[2] == [v] * (w * h)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        v=st.integers(0, 255),
+        w=st.sampled_from([8, 13, 16]),
+        h=st.sampled_from([8, 11]),
+    )
+    def test_jpeg_progressive_color_solid_property(v, w, h):
+        """PROPERTY: solid gray survives the progressive color pipeline
+        bit-exactly at any dimension (incl. non-multiple-of-8)."""
+        from appengine_mapreduce_spark.functions.jpeg_pixels import (
+            decode_progressive_color,
+            encode_progressive_color,
+        )
+
+        _, _, rgb = decode_progressive_color(
+            encode_progressive_color([(v, v, v)] * (w * h), w, h)
+        )
+        assert rgb == [(v, v, v)] * (w * h)
