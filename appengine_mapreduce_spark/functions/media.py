@@ -797,3 +797,167 @@ def encode_minimal_avi_with_audio(
         b"".join(chunk(b"00dc", f) for f in frames) + chunk(b"01wb", pcm),
     )
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+# --- WebP (RIFF) and GIF image metadata --------------------------------------
+#
+# WebP is RIFF framing again: RIFF('WEBP' <'VP8 '|'VP8L'|'VP8X' chunk>).
+# Dimensions live in the first bitstream chunk's public header layout —
+# no entropy decode needed. GIF (89a/87a) dimensions come from the
+# logical screen descriptor, and walking the block structure (image
+# descriptors, extensions, sub-block chains) yields the frame count —
+# the metadata an image corpus routes on; LZW pixel decode stays out of
+# scope (GIF pixels are rarely training-relevant; the frame COUNT is the
+# animation screen).
+
+
+@dataclass(frozen=True)
+class WebpMeta:
+    width: int
+    height: int
+    format: str       # 'lossy', 'lossless', 'extended'
+    has_alpha: bool
+    has_animation: bool
+
+
+def decode_webp_meta(blob: bytes) -> WebpMeta:
+    """Dimensions + variant from the first VP8/VP8L/VP8X chunk header."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise MediaFormatError("bad RIFF/WEBP signature")
+    for tag, b, e in _riff_chunks(blob, 12, len(blob)):
+        if tag == b"VP8 ":  # lossy: 10-byte uncompressed frame tag
+            if e - b < 10:
+                raise MediaFormatError("truncated VP8 frame header")
+            if blob[b + 3 : b + 6] != b"\x9d\x01\x2a":
+                raise MediaFormatError("bad VP8 start code")
+            w, h = struct.unpack("<HH", blob[b + 6 : b + 10])
+            return WebpMeta(w & 0x3FFF, h & 0x3FFF, "lossy", False, False)
+        if tag == b"VP8L":  # lossless: 1-byte sig + 14+14 bit dims
+            if e - b < 5 or blob[b] != 0x2F:
+                raise MediaFormatError("bad VP8L signature")
+            bits = struct.unpack("<I", blob[b + 1 : b + 5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = bool((bits >> 28) & 1)
+            return WebpMeta(w, h, "lossless", alpha, False)
+        if tag == b"VP8X":  # extended: flags + 24-bit minus-one dims
+            if e - b < 10:
+                raise MediaFormatError("truncated VP8X header")
+            flags = blob[b]
+            w = int.from_bytes(blob[b + 4 : b + 7], "little") + 1
+            h = int.from_bytes(blob[b + 7 : b + 10], "little") + 1
+            return WebpMeta(
+                w, h, "extended",
+                has_alpha=bool(flags & 0x10),
+                has_animation=bool(flags & 0x02),
+            )
+    raise MediaFormatError("no VP8/VP8L/VP8X chunk in WEBP")
+
+
+def encode_minimal_webp(
+    width: int, height: int, variant: str = "lossy",
+    alpha: bool = False, animation: bool = False,
+) -> bytes:
+    """Fixture encoder: structurally valid WebP headers (no pixel data)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    if variant == "lossy":
+        body = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        )
+        inner = chunk(b"VP8 ", body)
+    elif variant == "lossless":
+        bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
+        inner = chunk(b"VP8L", bytes((0x2F,)) + struct.pack("<I", bits))
+    elif variant == "extended":
+        flags = (0x10 if alpha else 0) | (0x02 if animation else 0)
+        body = (
+            bytes((flags,)) + b"\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        inner = chunk(b"VP8X", body)
+    else:
+        raise ValueError(variant)
+    return chunk(b"RIFF", b"WEBP" + inner)
+
+
+@dataclass(frozen=True)
+class GifMeta:
+    width: int
+    height: int
+    version: str       # '87a' or '89a'
+    n_frames: int
+    has_gce: bool      # graphic control extension present (transparency/delay)
+
+
+def decode_gif_meta(blob: bytes) -> GifMeta:
+    """Logical-screen dimensions + frame count via the block-structure
+    walk (image descriptors, extension sub-block chains, color tables)."""
+    if blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
+        raise MediaFormatError("bad GIF signature")
+    version = blob[3:6].decode("ascii")
+    if len(blob) < 13:
+        raise MediaFormatError("truncated GIF header")
+    width, height = struct.unpack("<HH", blob[6:10])
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    has_gce = False
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(blob):
+            size = blob[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        raise MediaFormatError("unterminated GIF sub-block chain")
+
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if blob[pos + 1] == 0xF9:
+                has_gce = True
+            pos = skip_subblocks(pos + 2)
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise MediaFormatError("truncated image descriptor")
+            local = blob[pos + 9]
+            pos += 10
+            if local & 0x80:
+                pos += 3 * (2 << (local & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{b0:02X} at {pos}")
+    return GifMeta(width, height, version, n_frames, has_gce)
+
+
+def encode_minimal_gif(
+    width: int, height: int, n_frames: int = 1, gce: bool = False
+) -> bytes:
+    """Fixture encoder: structurally valid GIF89a with ``n_frames`` image
+    descriptors holding tiny opaque data sub-blocks."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x00, 0, 0))  # no global color table
+    for i in range(n_frames):
+        if gce:
+            out += bytes((0x21, 0xF9, 4, 0, 10, 0, 0, 0))  # GCE, 100ms
+        out += bytes((0x2C,)) + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes((0x00,))       # no local color table
+        out += bytes((2,))          # LZW min code size
+        out += bytes((3, i & 0xFF, 0x01, 0x00))  # one 3-byte sub-block
+        out += bytes((0,))          # terminator
+    out += bytes((0x3B,))
+    return bytes(out)

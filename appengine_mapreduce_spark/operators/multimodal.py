@@ -577,6 +577,61 @@ def avi_audio_pcm_features(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def decode_web_image_meta(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL WebP + GIF metadata over a binary column, dispatched by magic
+    bytes (functions/media.decode_webp_meta / decode_gif_meta): dimensions
+    from the public VP8/VP8L/VP8X header layouts, GIF frame counts from
+    the block-structure walk. With JPEG/PNG this covers the whole web
+    image-format triad's routing metadata, zero dependencies."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_gif_meta,
+        decode_webp_meta,
+    )
+
+    out_schema = (
+        f"{id_col} bigint, kind string, width int, height int, "
+        "n_frames bigint, has_alpha boolean, has_animation boolean"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                if blob[:4] == b"GIF8":
+                    g = decode_gif_meta(blob)
+                    rows.append(
+                        (int(i), "gif", g.width, g.height, g.n_frames,
+                         False, g.n_frames > 1)
+                    )
+                else:
+                    m = decode_webp_meta(blob)
+                    rows.append(
+                        (int(i), "webp-" + m.format, m.width, m.height, 0,
+                         m.has_alpha, m.has_animation)
+                    )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "kind", "width", "height", "n_frames",
+                    "has_alpha", "has_animation"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "n_frames": pd.Series(dtype="int64"),
+                    "has_alpha": pd.Series(dtype="bool"),
+                    "has_animation": pd.Series(dtype="bool"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def decode_video_frame_pixels(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:

@@ -986,3 +986,83 @@ def avi_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return avi_audio_pcm_features(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "webp_gif_decode_meta",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 4 AS variant,
+                   CAST(16 + doc_id % 300 AS INT) AS w,
+                   CAST(16 + n_chars % 200 AS INT) AS h,
+                   doc_id % 2 = 0 AS alpha,
+                   doc_id % 3 = 0 AS anim,
+                   1 + doc_id % 6 AS gf
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               (['webp-lossy', 'webp-lossless', 'webp-extended', 'gif'])
+                   [variant + 1] AS kind,
+               w AS width, h AS height,
+               CAST(CASE WHEN variant = 3 THEN gf ELSE 0 END AS BIGINT)
+                   AS n_frames,
+               CASE WHEN variant IN (1, 2) THEN alpha ELSE FALSE END
+                   AS has_alpha,
+               CASE WHEN variant = 2 THEN anim
+                    WHEN variant = 3 THEN gf > 1
+                    ELSE FALSE END AS has_animation
+        FROM base
+    """,
+    description="REAL WebP + GIF metadata through the driver gate: each "
+    "document synthesizes one of the four container layouts (WebP lossy "
+    "VP8 frame tag, lossless VP8L 14-bit dims, extended VP8X with "
+    "alpha/animation flags, or multi-frame GIF89a), and "
+    "operators/multimodal.decode_web_image_meta dispatches on magic "
+    "bytes and walks the public header layouts — dimensions, frame "
+    "counts, alpha/animation flags all recomputed by the oracle from the "
+    "generating formulas. With JPEG and PNG this completes routing "
+    "metadata for the whole web image-format family.",
+    tags=("multimodal", "udf", "image", "webp", "gif"),
+)
+def webp_gif_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import (
+        encode_minimal_gif,
+        encode_minimal_webp,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_web_image_meta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w = 16 + did % 300
+                h = 16 + nc % 200
+                variant = did % 4
+                if variant == 3:
+                    blob = encode_minimal_gif(
+                        w, h, n_frames=1 + did % 6, gce=did % 2 == 0
+                    )
+                else:
+                    blob = encode_minimal_webp(
+                        w, h,
+                        variant=["lossy", "lossless", "extended"][variant],
+                        alpha=did % 2 == 0,
+                        animation=did % 3 == 0,
+                    )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_web_image_meta(blobs, id_col="doc_id", content_col="content")

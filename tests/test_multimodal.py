@@ -634,6 +634,47 @@ def test_decode_video_frame_pixels_color_frames(spark):
     assert (row.px_min, row.px_max) == (min(vals), max(vals))
 
 
+def test_webp_gif_metadata_walks():
+    """WebP (all three variants) and GIF header walks: dimensions, frame
+    counts, flags, rejection of malformed streams."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_gif_meta,
+        decode_webp_meta,
+        encode_minimal_gif,
+        encode_minimal_webp,
+    )
+
+    m = decode_webp_meta(encode_minimal_webp(320, 240))
+    assert (m.width, m.height, m.format) == (320, 240, "lossy")
+    m = decode_webp_meta(encode_minimal_webp(100, 50, "lossless", alpha=True))
+    assert (m.width, m.height, m.format, m.has_alpha) == (
+        100, 50, "lossless", True,
+    )
+    m = decode_webp_meta(
+        encode_minimal_webp(4000, 3000, "extended", animation=True)
+    )
+    assert (m.width, m.height, m.has_animation) == (4000, 3000, True)
+
+    g = decode_gif_meta(encode_minimal_gif(64, 32, n_frames=5, gce=True))
+    assert (g.width, g.height, g.version, g.n_frames, g.has_gce) == (
+        64, 32, "89a", 5, True,
+    )
+    assert decode_gif_meta(encode_minimal_gif(8, 8)).n_frames == 1
+
+    with pytest.raises(MediaFormatError):
+        decode_webp_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(MediaFormatError):
+        decode_gif_meta(b"GIF90a" + b"\x00" * 16)
+    # corrupt VP8 start code
+    bad = bytearray(encode_minimal_webp(10, 10))
+    bad[23] ^= 0xFF
+    with pytest.raises(MediaFormatError):
+        decode_webp_meta(bytes(bad))
+
+
 def test_avi_audio_track_extraction():
     """The auds stream's PCM chunks concatenate to the exact written
     samples; files without an audio stream are rejected."""
