@@ -961,3 +961,110 @@ def encode_minimal_gif(
         out += bytes((0,))          # terminator
     out += bytes((0x3B,))
     return bytes(out)
+
+
+# --- TIFF image metadata ------------------------------------------------------
+#
+# TIFF (the document-scan container) is a linked list of IFDs (pages),
+# each a table of (tag, type, count, value) entries — all public TIFF 6.0
+# layout. The walk yields per-page dimensions, bits/sample and
+# compression plus the page count; pixel decode depends on the per-page
+# compression (often JPEG — which the in-repo codec handles — or
+# CCITT G4, which does not ship here).
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                    10: 8, 11: 4, 12: 8}
+
+
+@dataclass(frozen=True)
+class TiffMeta:
+    byte_order: str        # 'II' (little) or 'MM' (big)
+    n_pages: int
+    width: int             # first page
+    height: int
+    bits_per_sample: int
+    compression: int       # 1=none, 5=LZW, 6/7=JPEG, 4=CCITT G4, ...
+
+
+def decode_tiff_meta(blob: bytes) -> TiffMeta:
+    """Walk the IFD chain: page count + first-page geometry fields."""
+    if blob[:2] == b"II":
+        endian = "<"
+    elif blob[:2] == b"MM":
+        endian = ">"
+    else:
+        raise MediaFormatError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack(endian + "H", blob[2:4])
+    if magic != 42:
+        raise MediaFormatError("bad TIFF magic")
+    (ifd_off,) = struct.unpack(endian + "I", blob[4:8])
+
+    n_pages = 0
+    first: dict[int, int] = {}
+    seen_offsets: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen_offsets:
+            raise MediaFormatError("cyclic IFD chain")
+        seen_offsets.add(ifd_off)
+        if ifd_off + 2 > len(blob):
+            raise MediaFormatError("truncated IFD")
+        (n_entries,) = struct.unpack(
+            endian + "H", blob[ifd_off : ifd_off + 2]
+        )
+        end = ifd_off + 2 + 12 * n_entries
+        if end + 4 > len(blob):
+            raise MediaFormatError("truncated IFD entries")
+        if n_pages == 0:
+            for k in range(n_entries):
+                p = ifd_off + 2 + 12 * k
+                tag, typ = struct.unpack(endian + "HH", blob[p : p + 4])
+                if tag in (256, 257, 258, 259):  # width/height/bits/compr
+                    # SHORT/LONG inline values sit left-justified in the
+                    # 4-byte value field per the byte order
+                    if typ == 3:
+                        (v,) = struct.unpack(endian + "H", blob[p + 8 : p + 10])
+                    else:
+                        (v,) = struct.unpack(endian + "I", blob[p + 8 : p + 12])
+                    first[tag] = v
+        n_pages += 1
+        (ifd_off,) = struct.unpack(endian + "I", blob[end : end + 4])
+    if n_pages == 0 or 256 not in first or 257 not in first:
+        raise MediaFormatError("no IFD with geometry")
+    return TiffMeta(
+        byte_order=blob[:2].decode("ascii"),
+        n_pages=n_pages,
+        width=first[256],
+        height=first[257],
+        bits_per_sample=first.get(258, 1),
+        compression=first.get(259, 1),
+    )
+
+
+def encode_minimal_tiff(
+    width: int, height: int, n_pages: int = 1, compression: int = 1,
+    bits: int = 8, big_endian: bool = False,
+) -> bytes:
+    """Fixture encoder: valid IFD chain, geometry tags only (no strips)."""
+    endian = ">" if big_endian else "<"
+    out = bytearray((b"MM" if big_endian else b"II"))
+    out += struct.pack(endian + "H", 42)
+    out += struct.pack(endian + "I", 8)  # first IFD right after header
+
+    def entry(tag: int, value: int) -> bytes:
+        # type SHORT(3) for small values, left-justified in value field
+        if endian == "<":
+            return struct.pack("<HHIHH", tag, 3, 1, value, 0)
+        return struct.pack(">HHIHH", tag, 3, 1, value, 0)
+
+    pos = 8
+    for page in range(n_pages):
+        entries = (
+            entry(256, width) + entry(257, height)
+            + entry(258, bits) + entry(259, compression)
+        )
+        n = 4
+        next_off = pos + 2 + 12 * n + 4 if page < n_pages - 1 else 0
+        out += struct.pack(endian + "H", n) + entries
+        out += struct.pack(endian + "I", next_off)
+        pos = len(out)
+    return bytes(out)

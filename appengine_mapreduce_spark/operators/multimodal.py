@@ -577,6 +577,50 @@ def avi_audio_pcm_features(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def decode_tiff_pages(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL TIFF metadata over a binary column
+    (functions/media.decode_tiff_meta): IFD-chain walk for page count +
+    first-page geometry/compression — the routing metadata for scanned-
+    document corpora (multi-page TIFF is the document-scan interchange
+    format; per-page pixel decode depends on the embedded compression)."""
+    from appengine_mapreduce_spark.functions.media import decode_tiff_meta
+
+    out_schema = (
+        f"{id_col} bigint, byte_order string, n_pages bigint, width int, "
+        "height int, bits_per_sample int, compression int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                m = decode_tiff_meta(bytes(blob))
+                rows.append(
+                    (int(i), m.byte_order, m.n_pages, m.width, m.height,
+                     m.bits_per_sample, m.compression)
+                )
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "byte_order", "n_pages", "width", "height",
+                    "bits_per_sample", "compression"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "byte_order": pd.Series(dtype="object"),
+                    "n_pages": pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "bits_per_sample": pd.Series(dtype="int32"),
+                    "compression": pd.Series(dtype="int32"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def decode_web_image_meta(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:

@@ -1066,3 +1066,60 @@ def webp_gif_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return decode_web_image_meta(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "tiff_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+               CAST(1 + doc_id % 9 AS BIGINT) AS n_pages,
+               CAST(100 + doc_id % 2000 AS INT) AS width,
+               CAST(100 + n_chars % 1500 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 8 END AS INT)
+                   AS bits_per_sample,
+               CAST(([1, 4, 5, 6])[1 + doc_id % 4] AS INT) AS compression
+        FROM documents WHERE doc_id < 200
+    """,
+    description="REAL TIFF metadata through the driver gate: each "
+    "document synthesizes a multi-page TIFF (IFD chain with geometry "
+    "tags, both byte orders, varying compression tags incl. CCITT G4 and "
+    "JPEG), and operators/multimodal.decode_tiff_pages walks the chain "
+    "for page count + first-page fields the oracle recomputes — the "
+    "routing layer for scanned-document corpora (the reference's own "
+    "document-scan domain).",
+    tags=("multimodal", "udf", "image", "tiff"),
+)
+def tiff_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_minimal_tiff
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_tiff_pages,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+    compressions = [1, 4, 5, 6]
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                blob = encode_minimal_tiff(
+                    width=100 + did % 2000,
+                    height=100 + nc % 1500,
+                    n_pages=1 + did % 9,
+                    compression=compressions[did % 4],
+                    bits=1 if did % 3 == 0 else 8,
+                    big_endian=did % 2 == 1,
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_tiff_pages(blobs, id_col="doc_id", content_col="content")

@@ -634,6 +634,40 @@ def test_decode_video_frame_pixels_color_frames(spark):
     assert (row.px_min, row.px_max) == (min(vals), max(vals))
 
 
+def test_tiff_ifd_chain_walk():
+    """TIFF IFD chain: page counts, both byte orders, geometry fields,
+    cyclic-chain and malformed-header rejection."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_tiff_meta,
+        encode_minimal_tiff,
+    )
+
+    m = decode_tiff_meta(encode_minimal_tiff(800, 600))
+    assert (m.byte_order, m.n_pages, m.width, m.height) == ("II", 1, 800, 600)
+    m = decode_tiff_meta(
+        encode_minimal_tiff(100, 50, n_pages=7, compression=6,
+                            big_endian=True)
+    )
+    assert (m.byte_order, m.n_pages, m.compression) == ("MM", 7, 6)
+
+    with pytest.raises(MediaFormatError):
+        decode_tiff_meta(b"XX\x2a\x00" + b"\x00" * 8)
+    with pytest.raises(MediaFormatError):
+        decode_tiff_meta(b"II\x2b\x00" + b"\x00" * 8)  # BigTIFF magic
+    # cyclic IFD chain must terminate with an error, not loop forever
+    blob = bytearray(encode_minimal_tiff(8, 8))
+    import struct as _st
+
+    n = _st.unpack("<H", blob[8:10])[0]
+    next_at = 10 + 12 * n
+    blob[next_at : next_at + 4] = _st.pack("<I", 8)  # point back at itself
+    with pytest.raises(MediaFormatError):
+        decode_tiff_meta(bytes(blob))
+
+
 def test_webp_gif_metadata_walks():
     """WebP (all three variants) and GIF header walks: dimensions, frame
     counts, flags, rejection of malformed streams."""
