@@ -402,12 +402,14 @@ def decode_mp3_meta(blob: bytes) -> Mp3Meta:
     if blob[:3] == b"ID3":
         if len(blob) < 10:
             raise MediaFormatError("truncated ID3v2 tag")
-        # syncsafe 28-bit size, header excluded
+        # syncsafe 28-bit size, header excluded; the footer flag
+        # (ID3v2.4 §3.1, flag bit 0x10) adds a 10-byte footer that the
+        # size field does NOT count
         size = (
             (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
             | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
         )
-        pos = 10 + size
+        pos = 10 + size + (10 if blob[5] & 0x10 else 0)
     n_frames = 0
     total_samples = 0
     sample_rate = None
@@ -449,19 +451,28 @@ def encode_minimal_mp3(
     channel_mode: int = 0,
     id3_bytes: int = 0,
     vbr_step: int = 0,
+    id3_footer: bool = False,
 ) -> bytes:
     """Fixture encoder: syntactically valid Layer III frame headers with
     zero-filled payloads (header-walk testing needs valid FRAMING, not
     valid audio). ``vbr_step`` bumps the bitrate index every frame to
-    exercise VBR detection; ``id3_bytes`` prepends an ID3v2 tag."""
+    exercise VBR detection; ``id3_bytes`` prepends an ID3v2 tag
+    (``id3_footer`` sets the v2.4 footer flag and appends the 10-byte
+    footer, which the syncsafe size does not count)."""
     out = bytearray()
     if id3_bytes:
         size = id3_bytes
-        out += b"ID3" + bytes((4, 0, 0)) + bytes(
+        flags = 0x10 if id3_footer else 0
+        out += b"ID3" + bytes((4, 0, flags)) + bytes(
             ((size >> 21) & 0x7F, (size >> 14) & 0x7F,
              (size >> 7) & 0x7F, size & 0x7F)
         )
         out += bytes(id3_bytes)
+        if id3_footer:
+            out += b"3DI" + bytes((4, 0, flags)) + bytes(
+                ((size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                 (size >> 7) & 0x7F, size & 0x7F)
+            )
     version_bits = 3 if mpeg1 else 2
     table = _MP3_BITRATES_V1_L3 if mpeg1 else _MP3_BITRATES_V2_L3
     sample_rate = _MP3_SAMPLERATES[version_bits][sr_idx]
@@ -925,6 +936,8 @@ def decode_gif_meta(blob: bytes) -> GifMeta:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension
+            if pos + 2 > len(blob):
+                raise MediaFormatError("truncated GIF extension introducer")
             if blob[pos + 1] == 0xF9:
                 has_gce = True
             pos = skip_subblocks(pos + 2)
@@ -1017,14 +1030,36 @@ def decode_tiff_meta(blob: bytes) -> TiffMeta:
         if n_pages == 0:
             for k in range(n_entries):
                 p = ifd_off + 2 + 12 * k
-                tag, typ = struct.unpack(endian + "HH", blob[p : p + 4])
+                tag, typ, count = struct.unpack(
+                    endian + "HHI", blob[p : p + 8]
+                )
                 if tag in (256, 257, 258, 259):  # width/height/bits/compr
-                    # SHORT/LONG inline values sit left-justified in the
-                    # 4-byte value field per the byte order
-                    if typ == 3:
-                        (v,) = struct.unpack(endian + "H", blob[p + 8 : p + 10])
+                    # TIFF 6.0: when count*sizeof(type) > 4 the value
+                    # field is an offset to the data, not the data —
+                    # e.g. BitsPerSample with count=3 on RGB images.
+                    # Dereference and report the first element.
+                    type_size = 2 if typ == 3 else 4
+                    if count * type_size > 4:
+                        (voff,) = struct.unpack(
+                            endian + "I", blob[p + 8 : p + 12]
+                        )
+                        if voff + type_size > len(blob):
+                            raise MediaFormatError(
+                                "TIFF tag value offset out of range"
+                            )
+                        vp = voff
                     else:
-                        (v,) = struct.unpack(endian + "I", blob[p + 8 : p + 12])
+                        # inline values sit left-justified in the 4-byte
+                        # value field per the byte order
+                        vp = p + 8
+                    if typ == 3:
+                        (v,) = struct.unpack(
+                            endian + "H", blob[vp : vp + 2]
+                        )
+                    else:
+                        (v,) = struct.unpack(
+                            endian + "I", blob[vp : vp + 4]
+                        )
                     first[tag] = v
         n_pages += 1
         (ifd_off,) = struct.unpack(endian + "I", blob[end : end + 4])
@@ -1042,9 +1077,14 @@ def decode_tiff_meta(blob: bytes) -> TiffMeta:
 
 def encode_minimal_tiff(
     width: int, height: int, n_pages: int = 1, compression: int = 1,
-    bits: int = 8, big_endian: bool = False,
+    bits: int = 8, big_endian: bool = False, samples_per_pixel: int = 1,
 ) -> bytes:
-    """Fixture encoder: valid IFD chain, geometry tags only (no strips)."""
+    """Fixture encoder: valid IFD chain, geometry tags only (no strips).
+
+    ``samples_per_pixel > 1`` emits BitsPerSample as a multi-valued SHORT
+    array (count=N) stored out-of-line, the TIFF 6.0 layout real RGB
+    scans use — the value field then holds an offset, not the value.
+    """
     endian = ">" if big_endian else "<"
     out = bytearray((b"MM" if big_endian else b"II"))
     out += struct.pack(endian + "H", 42)
@@ -1057,14 +1097,32 @@ def encode_minimal_tiff(
         return struct.pack(">HHIHH", tag, 3, 1, value, 0)
 
     pos = 8
+    trailers: list[bytes] = []
     for page in range(n_pages):
+        n = 4
+        ifd_size = 2 + 12 * n + 4
+        if samples_per_pixel > 1:
+            # out-of-line SHORT[spp] array placed right after this IFD
+            data_off = pos + ifd_size
+            bps_entry = struct.pack(
+                endian + "HHII", 258, 3, samples_per_pixel, data_off
+            )
+            trailer = struct.pack(
+                endian + f"{samples_per_pixel}H",
+                *([bits] * samples_per_pixel),
+            )
+        else:
+            bps_entry = entry(258, bits)
+            trailer = b""
         entries = (
             entry(256, width) + entry(257, height)
-            + entry(258, bits) + entry(259, compression)
+            + bps_entry + entry(259, compression)
         )
-        n = 4
-        next_off = pos + 2 + 12 * n + 4 if page < n_pages - 1 else 0
+        next_off = (
+            pos + ifd_size + len(trailer) if page < n_pages - 1 else 0
+        )
         out += struct.pack(endian + "H", n) + entries
         out += struct.pack(endian + "I", next_off)
+        out += trailer
         pos = len(out)
     return bytes(out)

@@ -31,16 +31,23 @@ class CompactionStats:
     bytes_total: int
 
 
+_COMPRESSION_EXTS = (".gz", ".bz2", ".zst", ".snappy", ".lz4", ".deflate",
+                     ".zstd", ".br")
+
+
 def _data_files(path: str, suffix: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             # Compressed writers append the codec AFTER the format suffix
             # for text formats (part-*.csv.gz) but BEFORE it for parquet
-            # (part-*.snappy.parquet) — accept both shapes.
-            if (
-                f.endswith(suffix) or (suffix + ".") in f
-            ) and not f.startswith(("_", ".")):
+            # (part-*.snappy.parquet) — accept both shapes, but ONLY
+            # known codec extensions: sidecars like part-0.parquet.crc
+            # or *.parquet.tmp are not data files.
+            name_ok = f.endswith(suffix) or any(
+                f.endswith(suffix + ext) for ext in _COMPRESSION_EXTS
+            )
+            if name_ok and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
     return out
 

@@ -190,24 +190,49 @@ def global_shuffle(
     any engine, independent of input partitioning (RNG-based
     ``orderBy(rand())`` cannot promise that across retries).
 
-    Order key is the salted hash of the row key (ties broken by the key
-    itself, so the permutation is total). At 100 TB: the shard is a pure
-    row-local hash (no shuffle to ASSIGN it); the within-shard position
-    is one window per shard partition — a single hash-partitioned
-    exchange keyed on ``shard``, each shard sorted independently. This is
-    exactly the "shuffle the corpus into N training shards" step before
-    sequence packing; writers partitionBy(shard) downstream.
+    Order key is the salted hash of the row key, tie-broken by the key
+    itself and then by a fingerprint of the WHOLE row — so the ordering
+    is total on row values even when the key column has duplicates
+    (rows that are fully identical are interchangeable, so any order
+    between them yields the same output). NULL keys hash via a sentinel
+    instead of propagating NULL into the shard. For a byte-for-byte
+    pinned permutation prefer a unique non-null key, which makes the
+    fingerprint tie-break dead weight (it never fires).
+
+    At 100 TB: the shard is a pure row-local hash (no shuffle to ASSIGN
+    it); the within-shard position is one window per shard partition — a
+    single hash-partitioned exchange keyed on ``shard``, each shard
+    sorted independently. This is exactly the "shuffle the corpus into N
+    training shards" step before sequence packing; writers
+    partitionBy(shard) downstream.
     """
     from pyspark.sql import Window
 
-    h = stable_hash32(F.col(key).cast("string"), salt=salt)
-    with_shard = df.withColumn("_h", h).withColumn(
-        "shard", (F.col("_h") % n_shards).cast("int")
+    key_str = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    h = stable_hash32(key_str, salt=salt)
+    # Row fingerprint: canonical concat of every column (unit-separator
+    # delimited, NULLs as a sentinel) -> md5. Makes ties between
+    # distinct rows sharing a key value deterministic.
+    row_fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in df.columns
+            ],
+        )
     )
-    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key))
+    with_shard = (
+        df.withColumn("_h", h)
+        .withColumn("_fp", row_fp)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h"), key_str, F.col("_fp")
+    )
     return (
         with_shard.withColumn(
             "position", (F.row_number().over(w) - 1).cast("bigint")
         )
-        .drop("_h")
+        .drop("_h", "_fp")
     )

@@ -13,6 +13,7 @@ guarantee an operator needs before running unbounded.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -22,21 +23,30 @@ from appengine_mapreduce_spark.plans.registry import register
 from appengine_mapreduce_spark.plans.tables import load
 
 
-def _replay(df_stream: DataFrame, output_mode: str) -> DataFrame:
+def _replay(
+    df_stream: DataFrame, output_mode: str, stage_path: str | None = None
+) -> DataFrame:
     """Run a finite streaming query to completion into a memory sink and
-    return the sink table."""
+    return the sink table. The memory sink holds the materialized rows,
+    so the checkpoint dir and the staged source parquet (``stage_path``)
+    are deleted once the replay finishes — repeated plan-audit/bench runs
+    must not leak staged copies of the events table into /tmp."""
     name = "replay_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         df_stream.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if stage_path is not None:
+            shutil.rmtree(stage_path, ignore_errors=True)
     return df_stream.sparkSession.table(name)
 
 
@@ -75,7 +85,10 @@ def streaming_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
-    return _replay(hourly_event_counts(stream, watermark=None), "complete")
+    return _replay(
+        hourly_event_counts(stream, watermark=None), "complete",
+        stage_path=path,
+    )
 
 
 @register(
@@ -104,6 +117,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = _replay(
         streaming_dedup(stream, key_cols=("event_id",), watermark="100 days"),
         "append",
+        stage_path=path,
     )
     return deduped.agg(
         F.count(F.lit(1)).alias("n"),
@@ -166,7 +180,9 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string"
     ).parquet(path)
-    sessions = _replay(session_counts(stream, use_timeout=False), "append")
+    sessions = _replay(
+        session_counts(stream, use_timeout=False), "append", stage_path=path
+    )
     return sessions.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -219,7 +235,7 @@ def streaming_conversion_join_replay(
     joined = conversion_join(
         leads, convs, key="user_id", within="1 hour", watermark="100 days"
     )
-    out = _replay(joined, "append")
+    out = _replay(joined, "append", stage_path=path)
     return out.select(
         "user_id",
         F.unix_micros("lead_ts").alias("lead_us"),

@@ -1000,3 +1000,72 @@ if _HYP:
             encode_progressive_color([(v, v, v)] * (w * h), w, h)
         )
         assert rgb == [(v, v, v)] * (w * h)
+
+
+def test_tiff_multivalued_bits_per_sample():
+    """TIFF 6.0: when count*sizeof(type) > 4 the value field holds an
+    OFFSET to the data — BitsPerSample with count=3 on RGB scans is the
+    canonical case. The walk must dereference, not report the offset."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_tiff_meta,
+        encode_minimal_tiff,
+    )
+
+    for big_endian in (False, True):
+        m = decode_tiff_meta(
+            encode_minimal_tiff(
+                640, 480, bits=8, samples_per_pixel=3,
+                big_endian=big_endian,
+            )
+        )
+        assert (m.width, m.height) == (640, 480)
+        assert m.bits_per_sample == 8  # NOT the raw offset
+    # multi-page RGB: chain must still terminate and count pages
+    m = decode_tiff_meta(
+        encode_minimal_tiff(32, 16, n_pages=3, samples_per_pixel=3)
+    )
+    assert (m.n_pages, m.bits_per_sample) == (3, 8)
+    # out-of-range value offset must raise, not read garbage
+    import struct as _st
+
+    blob = bytearray(encode_minimal_tiff(8, 8, samples_per_pixel=3))
+    # entry 2 (BitsPerSample) value field at 10 + 12*2 + 8
+    p = 10 + 12 * 2 + 8
+    blob[p : p + 4] = _st.pack("<I", len(blob) + 100)
+    with pytest.raises(MediaFormatError):
+        decode_tiff_meta(bytes(blob))
+
+
+def test_mp3_id3v24_footer_flag():
+    """ID3v2.4 footer flag (0x10): the 10-byte footer is NOT counted by
+    the syncsafe size — the frame walk must skip it or it loses sync."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_mp3_meta,
+        encode_minimal_mp3,
+    )
+
+    m = decode_mp3_meta(
+        encode_minimal_mp3(6, id3_bytes=128, id3_footer=True)
+    )
+    assert m.n_frames == 6
+    assert m.sample_rate == 44100
+
+
+def test_gif_truncated_extension_introducer():
+    """A GIF ending right after the 0x21 extension introducer must raise
+    MediaFormatError, not IndexError."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_gif_meta,
+        encode_minimal_gif,
+    )
+
+    good = encode_minimal_gif(8, 8)
+    truncated = good[:-1].rstrip(b"\x3b") + bytes((0x21,))
+    with pytest.raises(MediaFormatError):
+        decode_gif_meta(truncated)

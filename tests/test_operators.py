@@ -609,3 +609,34 @@ def test_bpe_training_deterministic_and_early_stop(spark):
     assert a == b
     # (a,b)=2 qualifies; (c,d)=1 falls under min_pair_count -> early stop
     assert a == [("a", "b", 2)], a
+
+
+def test_global_shuffle_duplicate_and_null_keys(spark):
+    """Duplicate key values and NULL keys: the ordering must stay total
+    on row VALUES (identical output multiset regardless of input
+    partitioning) and NULL keys must land in a real shard, not NULL."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.sampling import global_shuffle
+
+    base = spark.range(0, 300).select(
+        (F.col("id") % 10).alias("k"),          # heavy duplicates
+        F.col("id").alias("payload"),
+    ).unionAll(
+        spark.range(0, 5).select(
+            F.lit(None).cast("long").alias("k"),
+            (F.col("id") + 1000).alias("payload"),
+        )
+    )
+    a = global_shuffle(base.repartition(3), key="k", n_shards=4)
+    b = global_shuffle(base.repartition(13), key="k", n_shards=4)
+    rows_a = {(r.payload): (r.shard, r.position) for r in a.collect()}
+    rows_b = {(r.payload): (r.shard, r.position) for r in b.collect()}
+    assert rows_a == rows_b  # total ordering despite duplicate keys
+    assert len(rows_a) == 305
+    assert all(s is not None and 0 <= s < 4 for s, _ in rows_a.values())
+    per_shard: dict[int, list[int]] = {}
+    for shard, pos in rows_a.values():
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard

@@ -474,3 +474,24 @@ def test_footer_stats_over_many_files_matches_scan(spark, tmp_path):
     assert stats["k"].min_s == "0" and stats["k"].max_s == "4999"
     assert stats["s"].n_nulls == 500
     assert stats["s"].min_s == "v1"  # "v1" < "v10" < ... lexicographically
+
+
+def test_data_files_ignores_sidecars(tmp_path):
+    """Non-hidden sidecar files carrying the format suffix mid-name
+    (part-0.parquet.crc, foo.parquet.tmp) must NOT be counted as data;
+    codec-suffixed files (.csv.gz etc.) must be."""
+    from appengine_mapreduce_spark.operators.compaction import _data_files
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    for name in (
+        "part-0.parquet", "part-1.snappy.parquet",
+        "part-0.parquet.crc", "foo.parquet.tmp", "part-2.parquet.bak",
+        "part-0.csv", "part-1.csv.gz", "part-2.csv.zst",
+        "part-0.csv.crc", "part-1.csv.gz.tmp",
+    ):
+        (d / name).write_bytes(b"x")
+    pq = {p.rsplit("/", 1)[-1] for p in _data_files(str(d), ".parquet")}
+    assert pq == {"part-0.parquet", "part-1.snappy.parquet"}, pq
+    csv = {p.rsplit("/", 1)[-1] for p in _data_files(str(d), ".csv")}
+    assert csv == {"part-0.csv", "part-1.csv.gz", "part-2.csv.zst"}, csv
