@@ -54,44 +54,40 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cosine_topk", "ivf_topk", "dedup_exact", "minhash_lsh_pairs",
     "phrases_demo", "hourly_event_stats", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- 25 rotation slots (round 4): queries that have NEVER had a
-    # CORRECTNESS_r{N} row — previously checked only by the pytest
-    # full-gate twin. Round-5 builder: rotate these slots to the
-    # still-unwitnessed tail — aac_decode_meta,
-    # streaming_conversion_join_replay, global_shuffle_shards,
-    # corpus_filter_pipeline, dedup_clusters (newly oracled),
-    # jpeg_decode_meta / wav_decode_meta / mp4_decode_meta /
-    # wav_pcm_features, q15/q16/q17/q20, sorted_layout_scan,
-    # compaction_roundtrip, orc_roundtrip, customer_balance_quartiles,
-    # token_stats/top_tokens/token_rarity/bpe_token_stats, the
-    # sampling family, ann_sign_lsh/batch_ann/embedding_norms/
-    # label_centroids, signup_purchase_funnel, grouped_values_capped,
-    # line_input_custom_sep, ivf_multiprobe_topk.
-    # TPC-H tail (never driver-witnessed):
-    "q4_order_priority", "q7_nation_volume", "q8_market_share",
-    "q12_late_shipment_priority", "q13_order_count_distribution",
-    "q22_idle_customers",
-    # grand capstone: scrub -> near-dup dedup -> decontaminate -> mix
-    # accounting as ONE oracled plan (q15_top_supplier rotates next round):
-    "corpus_build_pipeline",
-    # live Structured Streaming replays (readStream -> jobs -> memory
-    # sink), oracled against batch SQL:
-    "streaming_hourly_replay", "streaming_dedup_replay",
-    "streaming_sessionize_replay",
-    # dedup capstones + incremental dedup:
-    "semantic_dedup_keepers", "text_dedup_keepers", "dedup_incremental",
-    # storage layout / footer stats:
-    "zorder_layout_scan", "footer_stats_orders",
-    # text fingerprinting + native session windows:
-    "winnow_doc_fingerprints", "session_window_stats",
-    # multimodal metadata/pixel oracles (round-4 NEW operators first —
-    # jpeg_decode_meta / wav_pcm_features / mp4_frame_stats rotate next):
-    "mp3_decode_meta", "jpeg_progressive_color_decode",
-    "avi_mjpeg_frame_decode", "jpeg_progressive_decode",
-    # skew + bucketed join strategies:
-    "salted_join_priority_revenue", "bucketed_join_revenue",
-    # CDC diff + quality gate (fixed this round — fresh evidence wanted):
-    "cdc_snapshot_diff", "data_quality_checks",
+    # ---- 25 rotation slots (round 5): the top-priority slice of the
+    # 45-query tail that has NEVER had a CORRECTNESS_r{N} row (checked
+    # only by the pytest full-gate twin until now). Round-4 slots (TPC-H
+    # q4/q7/q8/q12/q13/q22, corpus_build_pipeline, streaming replays,
+    # dedup capstones, zorder/footer-stats, winnowing, session windows,
+    # mp3/jpeg/avi decode, salted/bucketed joins, CDC, quality gate) all
+    # went green in CORRECTNESS_r04 and rotate out. Round-6 builder:
+    # rotate to the final ~20 — embedding_norms, label_centroids,
+    # ivf_multiprobe_topk, signup_purchase_funnel, grouped_values_capped,
+    # line_input_custom_sep, mp4_frame_stats, avi_audio_features,
+    # webp_gif_decode_meta, tiff_decode_meta, pivot_status_by_priority,
+    # grouping_sets_order_stats, multimodal_decode_stub,
+    # token_budget_packing, profile_orders_table, doc_fingerprints,
+    # plus rows-only random_strings_count / approx_distinct_parts /
+    # kmeans_ivf_clusters / bpe_learned_merges.
+    # TPC-H tail (last four never driver-witnessed):
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_promotion_suppliers",
+    # capstone + graph closure + training-export shuffle:
+    "corpus_filter_pipeline", "dedup_clusters", "global_shuffle_shards",
+    # stream-stream interval join replay (two-sided watermark state):
+    "streaming_conversion_join_replay",
+    # multimodal metadata/feature oracles (round-4 codecs first):
+    "aac_decode_meta", "jpeg_decode_meta", "wav_decode_meta",
+    "mp4_decode_meta", "wav_pcm_features",
+    # storage layout family:
+    "sorted_layout_scan", "compaction_roundtrip", "orc_roundtrip",
+    # token/text-statistics family:
+    "token_stats_corpus", "top_tokens", "token_rarity_scores",
+    "bpe_token_stats",
+    # sampling family (deterministic hash cuts):
+    "stratified_sample_by_lang", "deterministic_sample_10pct",
+    # ANN tail + distribution analytics:
+    "ann_sign_lsh_topk", "batch_ann_topk", "customer_balance_quartiles",
 )
 
 
