@@ -32,6 +32,7 @@ class WavMeta:
     bits_per_sample: int
     n_frames: int          # sample frames in the data chunk
     duration_ms: int
+    audio_format: int = 1  # 1=PCM, 6=A-law, 7=µ-law (G.711)
 
 
 def decode_wav_meta(blob: bytes) -> WavMeta:
@@ -48,9 +49,9 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
         if tag == b"fmt ":
             if len(body) < 16:
                 raise MediaFormatError("truncated fmt chunk")
-            (_audio_format, n_channels, sample_rate, _byte_rate,
+            (audio_format, n_channels, sample_rate, _byte_rate,
              block_align, bits) = struct.unpack("<HHIIHH", body[:16])
-            fmt = (n_channels, sample_rate, bits, block_align)
+            fmt = (n_channels, sample_rate, bits, block_align, audio_format)
         elif tag == b"data" and data_size is None:
             # FIRST data chunk (the one decode_wav_samples reads), with
             # the declared size capped to the bytes actually present so a
@@ -59,7 +60,7 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise MediaFormatError("missing fmt/data chunk")
-    n_channels, sample_rate, bits, block_align = fmt
+    n_channels, sample_rate, bits, block_align, audio_format = fmt
     if block_align == 0 or sample_rate == 0:
         raise MediaFormatError("zero block_align/sample_rate")
     n_frames = data_size // block_align
@@ -69,6 +70,7 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
         bits_per_sample=bits,
         n_frames=n_frames,
         duration_ms=n_frames * 1000 // sample_rate,
+        audio_format=audio_format,
     )
 
 
@@ -222,6 +224,14 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
             payload = blob[pos + 8 : pos + 8 + size]
             break
         pos += 8 + size + (size & 1)
+    if meta.audio_format == WAVE_FORMAT_MULAW:
+        return meta, [mulaw_expand(b) for b in payload]
+    if meta.audio_format == WAVE_FORMAT_ALAW:
+        return meta, [alaw_expand(b) for b in payload]
+    if meta.audio_format != WAVE_FORMAT_PCM:
+        raise MediaFormatError(
+            f"unsupported audio format {meta.audio_format}"
+        )
     if meta.bits_per_sample == 16:
         arr = array.array("h")
         arr.frombytes(payload[: len(payload) - (len(payload) % 2)])
@@ -230,6 +240,117 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
         # WAV 8-bit is unsigned, centered at 128
         return meta, [b - 128 for b in payload]
     raise MediaFormatError(f"unsupported bits_per_sample {meta.bits_per_sample}")
+
+
+# --- G.711 companded audio (µ-law / A-law) ----------------------------------
+#
+# The telephony codecs (ITU-T G.711): logarithmic 8-bit companding of
+# 14/13-bit linear PCM. Pure bit arithmetic — REAL lossy-audio decode
+# with no codec library; the formulas below are the public G.711
+# segment/mantissa expansion. With these, only PERCEPTUAL codecs
+# (MP3/AAC DSP, which need the ISO filterbank tables absent from this
+# container) remain behind DECODERS_AVAILABLE.
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+
+_MULAW_BIAS = 0x84   # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_expand(b: int) -> int:
+    """One µ-law byte -> linear int16 (G.711 segment expansion)."""
+    u = ~b & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return -magnitude if u & 0x80 else magnitude
+
+
+def mulaw_compress(x: int) -> int:
+    """Linear int16 -> one µ-law byte (involution with expand: tested
+    over every byte value)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, _MULAW_CLIP) + _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (x & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def alaw_expand(b: int) -> int:
+    """One A-law byte -> linear int16 (G.711; note A-law's sign bit SET
+    means positive, and the stored byte is XORed with 0x55)."""
+    a = b ^ 0x55
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    if exponent == 0:
+        magnitude = (mantissa << 4) + 8
+    else:
+        magnitude = ((mantissa << 4) + 0x108) << (exponent - 1)
+    return magnitude if a & 0x80 else -magnitude
+
+
+def alaw_compress(x: int) -> int:
+    """Linear int16 -> one A-law byte."""
+    sign = 0x80 if x >= 0 else 0
+    if x < 0:
+        x = -x - 1  # A-law folds negatives as one's complement
+    x = min(x, 0x7FFF)
+    if x < 0x100:
+        exponent = 0
+        mantissa = x >> 4
+    else:
+        exponent = 1
+        while x >= (0x100 << exponent) and exponent < 7:
+            exponent += 1
+        mantissa = (x >> (exponent + 3)) & 0x0F
+    return (sign | (exponent << 4) | mantissa) ^ 0x55
+
+
+def encode_wav_companded(
+    data: bytes, law: str = "mu",
+    n_channels: int = 1, sample_rate: int = 8000,
+) -> bytes:
+    """Fixture encoder: wrap already-companded G.711 bytes in a WAV
+    container (format code 7 for µ-law, 6 for A-law; 8 bits/sample) —
+    lets an oracle pin the exact byte stream without the compressor."""
+    fmt_code = WAVE_FORMAT_MULAW if law == "mu" else WAVE_FORMAT_ALAW
+    block_align = n_channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_g711(
+    samples: "list[int]", law: str = "mu",
+    n_channels: int = 1, sample_rate: int = 8000,
+) -> bytes:
+    """Fixture encoder: compress linear samples to a G.711 WAV (format
+    code 7 for µ-law, 6 for A-law; 8 bits/sample)."""
+    comp = mulaw_compress if law == "mu" else alaw_compress
+    fmt_code = WAVE_FORMAT_MULAW if law == "mu" else WAVE_FORMAT_ALAW
+    data = bytes(comp(int(s)) for s in samples)
+    block_align = n_channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 # --- MP4 sample tables (stbl: stts/stsz) ------------------------------------
@@ -976,6 +1097,256 @@ def encode_minimal_gif(
     return bytes(out)
 
 
+# --- GIF pixel decode (LZW) --------------------------------------------------
+#
+# REAL GIF pixel decode: the GIF variant of LZW (variable-width codes
+# LSB-first, clear/end codes, 12-bit dictionary cap, deferred-clear
+# tolerated) plus palette mapping and 4-pass interlace reordering — all
+# public GIF89a specification, implemented from the algorithm (LZW needs
+# no tables, unlike the perceptual codecs). Inter-frame COMPOSITING
+# (disposal methods) is intentionally out of scope: frames decode
+# standalone, which is what per-frame pixel statistics need.
+
+
+@dataclass(frozen=True)
+class GifFrame:
+    x: int
+    y: int
+    width: int
+    height: int
+    interlaced: bool
+    pixels: list  # palette indices, row-major, de-interlaced
+    palette: list  # [(r, g, b)] — local table if present, else global
+
+
+def gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> "list[int]":
+    """GIF-flavor LZW: variable width starting at min_code_size+1,
+    growing when the table fills the current width, capped at 12 bits
+    (further codes reuse 12-bit width until a clear — 'deferred clear')."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                del table[clear + 2 :]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return list(out)
+            if prev is None:
+                if code >= len(table):
+                    raise MediaFormatError("LZW code before table entry")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise MediaFormatError("LZW code beyond table")
+            out += entry
+            if len(out) > max_pixels:
+                raise MediaFormatError("LZW output exceeds frame size")
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return list(out)
+
+
+def gif_lzw_encode(pixels: "list[int]", min_code_size: int) -> bytes:
+    """Fixture LZW encoder, width-synchronized with the decoder above
+    (emits clear up front, resets the dictionary at 4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for p in pixels:
+        if p >= clear:
+            raise MediaFormatError("pixel index exceeds code space")
+        wc = w + bytes([p])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            # width bump check precedes the insert (canonical GIF rule:
+            # the decoder bumps after the code whose ARRIVAL fills the
+            # current width's capacity — checking post-insert here would
+            # widen one code early and desync every later code)
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            table[wc] = next_code
+            next_code += 1
+        else:  # table full: clear and restart (never defer in fixtures)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([p])
+    if w:
+        emit(table[w])
+    code_size = code_size  # end code uses the current width
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(indices: "list[int]", width: int, height: int) -> "list[int]":
+    rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+    out: list[list[int]] = [[] for _ in range(height)]
+    src = 0
+    for start, step in _GIF_INTERLACE_PASSES:
+        for r in range(start, height, step):
+            out[r] = rows[src]
+            src += 1
+    return [px for row in out for px in row]
+
+
+def decode_gif_frames(blob: bytes) -> "tuple[GifMeta, list[GifFrame]]":
+    """Full block walk + per-frame LZW pixel decode. Frames decode
+    standalone (no disposal compositing); indices map through the local
+    color table when present, else the global one."""
+    meta = decode_gif_meta(blob)  # validates structure first
+    if len(blob) < 13:
+        raise MediaFormatError("truncated GIF header")
+    packed = blob[10]
+    pos = 13
+    global_palette: list = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_palette = [
+            (blob[pos + 3 * i], blob[pos + 3 * i + 1], blob[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    frames: list[GifFrame] = []
+
+    def read_subblocks(p: int) -> "tuple[bytes, int]":
+        chunks = []
+        while p < len(blob):
+            size = blob[p]
+            p += 1
+            if size == 0:
+                return b"".join(chunks), p
+            chunks.append(blob[p : p + size])
+            p += size
+        raise MediaFormatError("unterminated GIF sub-block chain")
+
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            _, pos = read_subblocks(pos + 2)
+        elif b0 == 0x2C:
+            fx, fy, fw, fh = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            local = blob[pos + 9]
+            pos += 10
+            palette = global_palette
+            if local & 0x80:
+                n = 2 << (local & 0x07)
+                palette = [
+                    (blob[pos + 3 * i], blob[pos + 3 * i + 1],
+                     blob[pos + 3 * i + 2])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            mcs = blob[pos]
+            pos += 1
+            data, pos = read_subblocks(pos)
+            indices = gif_lzw_decode(data, mcs, fw * fh)
+            if len(indices) < fw * fh:
+                raise MediaFormatError("LZW stream short of frame size")
+            indices = indices[: fw * fh]
+            interlaced = bool(local & 0x40)
+            if interlaced:
+                indices = _deinterlace(indices, fw, fh)
+            frames.append(GifFrame(fx, fy, fw, fh, interlaced,
+                                   indices, palette))
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{b0:02X} at {pos}")
+    return meta, frames
+
+
+def encode_gif_pixels(
+    frames: "list[list[int]]",
+    width: int,
+    height: int,
+    palette: "list[tuple[int, int, int]]",
+    interlace: bool = False,
+) -> bytes:
+    """Fixture encoder: real LZW-compressed GIF89a from explicit palette
+    indices (one list per frame, row-major)."""
+    n = max(2, len(palette))
+    pal_bits = max(1, (n - 1).bit_length())
+    pal_size = 1 << pal_bits
+    mcs = max(2, pal_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | (pal_bits - 1), 0, 0))
+    for i in range(pal_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    for pixels in frames:
+        if len(pixels) != width * height:
+            raise MediaFormatError("frame pixel count mismatch")
+        if interlace:
+            rows = [pixels[r * width : (r + 1) * width]
+                    for r in range(height)]
+            ordered = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, height, step):
+                    ordered.extend(rows[r])
+            pixels = ordered
+        out += bytes((0x2C,)) + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes((0x40 if interlace else 0x00,))
+        out += bytes((mcs,))
+        data = gif_lzw_encode(pixels, mcs)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += bytes((0,))
+    out += bytes((0x3B,))
+    return bytes(out)
+
+
 # --- TIFF image metadata ------------------------------------------------------
 #
 # TIFF (the document-scan container) is a linked list of IFDs (pages),
@@ -1073,6 +1444,234 @@ def decode_tiff_meta(blob: bytes) -> TiffMeta:
         bits_per_sample=first.get(258, 1),
         compression=first.get(259, 1),
     )
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals, 129..255 (as signed -1..-127) repeats the
+    next byte 1-n times, 128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise MediaFormatError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise MediaFormatError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise MediaFormatError("PackBits output short of expected size")
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Fixture PackBits encoder: greedy runs (repeat runs >= 3 bytes,
+    literals otherwise), max run 128."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        run = 1
+        while (pos + run < n and run < 128
+               and data[pos + run] == data[pos]):
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[pos]))
+            pos += run
+            continue
+        lit_start = pos
+        pos += run
+        while pos < n and pos - lit_start < 128:
+            run = 1
+            while (pos + run < n and run < 128
+                   and data[pos + run] == data[pos]):
+                run += 1
+            if run >= 3:
+                break
+            pos += run
+        chunk = data[lit_start : min(pos, lit_start + 128)]
+        pos = lit_start + len(chunk)
+        out += bytes((len(chunk) - 1,)) + chunk
+    return bytes(out)
+
+
+@dataclass(frozen=True)
+class TiffPixels:
+    width: int
+    height: int
+    samples_per_pixel: int
+    compression: int
+    pixels: bytes  # row-major, sample-interleaved, 8 bits/sample
+
+
+_TIFF_COMP_NONE = 1
+_TIFF_COMP_PACKBITS = 32773
+
+
+def _tiff_first_ifd_tags(blob: bytes) -> "tuple[str, dict[int, list[int]]]":
+    """First-page IFD as {tag: [values]} with full TIFF 6.0 value
+    semantics (count field honored, out-of-line arrays dereferenced)."""
+    if blob[:2] == b"II":
+        endian = "<"
+    elif blob[:2] == b"MM":
+        endian = ">"
+    else:
+        raise MediaFormatError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack(endian + "H", blob[2:4])
+    if magic != 42:
+        raise MediaFormatError("bad TIFF magic")
+    (ifd_off,) = struct.unpack(endian + "I", blob[4:8])
+    if ifd_off + 2 > len(blob):
+        raise MediaFormatError("truncated IFD")
+    (n_entries,) = struct.unpack(endian + "H", blob[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(blob):
+        raise MediaFormatError("truncated IFD entries")
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        p = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(endian + "HHI", blob[p : p + 8])
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None or typ not in (1, 3, 4):
+            continue  # only BYTE/SHORT/LONG matter for strip geometry
+        total = count * size
+        if total > 4:
+            (voff,) = struct.unpack(endian + "I", blob[p + 8 : p + 12])
+        else:
+            voff = p + 8
+        if voff + total > len(blob):
+            raise MediaFormatError("TIFF tag value out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack(endian + f"{count}{fmt}", blob[voff : voff + total])
+        )
+    return endian, tags
+
+
+def decode_tiff_strips(blob: bytes) -> TiffPixels:
+    """REAL TIFF pixel decode for the strip-based baseline layouts:
+    uncompressed (compression=1) and PackBits (32773), 8 bits/sample,
+    grayscale or RGB. These plus the in-repo JPEG codec cover TIFF's
+    common scan layouts; LZW/CCITT G4 compressions raise cleanly."""
+    _, tags = _tiff_first_ifd_tags(blob)
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise MediaFormatError(f"missing strip tag {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise MediaFormatError("only 8 bits/sample strip decode supported")
+    if len(offsets) != len(counts):
+        raise MediaFormatError("StripOffsets/StripByteCounts mismatch")
+    rows_per_strip = tags.get(278, [height])[0]
+    row_bytes = width * spp
+    out = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(blob):
+            raise MediaFormatError("strip outside blob")
+        raw = blob[off : off + cnt]
+        n_rows = min(rows_per_strip, height - i * rows_per_strip)
+        expected = n_rows * row_bytes
+        if compression == _TIFF_COMP_NONE:
+            if len(raw) < expected:
+                raise MediaFormatError("uncompressed strip short")
+            out += raw[:expected]
+        elif compression == _TIFF_COMP_PACKBITS:
+            out += packbits_decode(raw, expected)
+        else:
+            raise MediaFormatError(
+                f"unsupported TIFF compression {compression}"
+            )
+    if len(out) != height * row_bytes:
+        raise MediaFormatError("strip data short of image size")
+    return TiffPixels(width, height, spp, compression, bytes(out))
+
+
+def encode_tiff_strips(
+    pixels: bytes,
+    width: int,
+    height: int,
+    samples_per_pixel: int = 1,
+    compression: int = _TIFF_COMP_NONE,
+    rows_per_strip: int = 8,
+    big_endian: bool = False,
+) -> bytes:
+    """Fixture encoder: strip-based 8-bit TIFF (uncompressed or
+    PackBits), multi-strip, with the full geometry + strip tag set."""
+    if len(pixels) != width * height * samples_per_pixel:
+        raise MediaFormatError("pixel buffer size mismatch")
+    endian = ">" if big_endian else "<"
+    row_bytes = width * samples_per_pixel
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        raw = pixels[r0 * row_bytes : min(r0 + rows_per_strip, height) * row_bytes]
+        strips.append(
+            packbits_encode(raw)
+            if compression == _TIFF_COMP_PACKBITS else raw
+        )
+
+    entries: list[tuple[int, int, int, int]] = []  # tag, typ, count, value
+    n_tags = 9
+    # layout: header(8) + ifd(2 + 12*n + 4) + [bps array] + strip arrays + data
+    pos = 8 + 2 + 12 * n_tags + 4
+    bps_off = pos
+    if samples_per_pixel > 1:
+        pos += 2 * samples_per_pixel
+    offsets_off = pos
+    pos += 4 * len(strips)
+    counts_off = pos
+    pos += 4 * len(strips)
+    data_off = pos
+    strip_offsets = []
+    o = data_off
+    for s in strips:
+        strip_offsets.append(o)
+        o += len(s)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        e = struct.pack(endian + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            return e + struct.pack(endian + "HH", value, 0)
+        return e + struct.pack(endian + "I", value)
+
+    out = bytearray(b"MM" if big_endian else b"II")
+    out += struct.pack(endian + "H", 42) + struct.pack(endian + "I", 8)
+    out += struct.pack(endian + "H", n_tags)
+    out += entry(256, 4, 1, width)
+    out += entry(257, 4, 1, height)
+    if samples_per_pixel > 1:
+        out += entry(258, 3, samples_per_pixel, bps_off)
+    else:
+        out += entry(258, 3, 1, 8)
+    out += entry(259, 3, 1, compression)
+    out += entry(262, 3, 1, 1 if samples_per_pixel == 1 else 2)
+    out += entry(273, 4, len(strips), strip_offsets[0]
+                 if len(strips) == 1 else offsets_off)
+    out += entry(277, 3, 1, samples_per_pixel)
+    out += entry(278, 4, 1, rows_per_strip)
+    out += entry(279, 4, len(strips), len(strips[0])
+                 if len(strips) == 1 else counts_off)
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    if samples_per_pixel > 1:
+        out += struct.pack(endian + f"{samples_per_pixel}H",
+                           *([8] * samples_per_pixel))
+    out += struct.pack(endian + f"{len(strips)}I", *strip_offsets)
+    out += struct.pack(endian + f"{len(strips)}I",
+                       *[len(s) for s in strips])
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 def encode_minimal_tiff(

@@ -32,10 +32,18 @@ register_self(__name__)
 
 
 DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
-# now covers ONLY lossy-audio SAMPLE decode (the MP3 filterbank/MDCT and
-# AAC spectral decode need a DSP stack; their FRAME/HEADER walks are real,
+# now covers ONLY perceptual-audio SAMPLE decode (the MP3 polyphase
+# filterbank/IMDCT and AAC spectral decode need the ISO codebook/window
+# TABLES — data absent from this container, and inventing values would
+# be fake correctness; their FRAME/HEADER walks are real,
 # functions/media.decode_mp3_meta / decode_aac_adts_meta) and
-# INTER-FRAME video codecs (H.264/VP9 need a codec library). Video frame
+# INTER-FRAME video codecs (H.264/VP9 need a codec library). COMPANDED
+# lossy audio decodes for real: G.711 µ-law/A-law are pure bit formulas
+# (functions/media.mulaw_expand/alaw_expand, involution-tested over all
+# 256 byte values) and flow through audio_pcm_features via the WAV
+# format-code dispatch. GIF pixels decode for real (LZW + palette +
+# interlace, decode_gif_pixel_stats below) and TIFF strips decode for
+# real (uncompressed + PackBits, decode_tiff_pixel_stats below). Video frame
 # PIXELS decode for real for the MJPEG/AVI profile: the RIFF container
 # walk extracts per-frame JPEGs which the in-repo T.81 codec fully
 # decodes (decode_video_frame_pixels below). The ENTIRE
@@ -869,6 +877,111 @@ def mp4_frame_stats(
                     "total_bytes": pd.Series(dtype="int64"),
                     "max_sample_bytes": pd.Series(dtype="int64"),
                     "duration_units": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_gif_pixel_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL GIF PIXEL decode over a binary column: full LZW entropy
+    decode (variable-width codes, 12-bit dictionary, deferred clear) +
+    palette mapping + 4-pass de-interlace
+    (functions/media.decode_gif_frames, implemented from the public
+    GIF89a spec — LZW needs no codec tables). Emits per-blob frame count,
+    first-frame geometry, and integer-exact RGB channel statistics over
+    ALL frames. Frames decode standalone (no disposal compositing —
+    documented scope; per-frame stats need none)."""
+    from appengine_mapreduce_spark.functions.media import decode_gif_frames
+
+    out_schema = (
+        f"{id_col} bigint, n_frames int, width int, height int, "
+        "rgb_sum bigint, px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                _meta, frames = decode_gif_frames(bytes(blob))
+                rgb_sum = 0
+                px_min, px_max = 255, 0
+                for fr in frames:
+                    for idx in fr.pixels:
+                        r, g, b = fr.palette[idx]
+                        rgb_sum += r + g + b
+                        lo, hi = min(r, g, b), max(r, g, b)
+                        px_min = lo if lo < px_min else px_min
+                        px_max = hi if hi > px_max else px_max
+                f0 = frames[0] if frames else None
+                rows.append((
+                    int(i), len(frames),
+                    f0.width if f0 else 0, f0.height if f0 else 0,
+                    rgb_sum, px_min if frames else 0,
+                    px_max if frames else 0,
+                ))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_frames", "width", "height",
+                    "rgb_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_frames": pd.Series(dtype="int32"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "rgb_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_tiff_pixel_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL TIFF PIXEL decode over a binary column: strip-based baseline
+    layouts — uncompressed and PackBits RLE, 8 bits/sample, gray or RGB
+    (functions/media.decode_tiff_strips, public TIFF 6.0 + Apple
+    PackBits). The document-scan ingest shape: per-page geometry +
+    integer-exact sample statistics for blank-page/exposure screens."""
+    from appengine_mapreduce_spark.functions.media import decode_tiff_strips
+
+    out_schema = (
+        f"{id_col} bigint, width int, height int, samples_per_pixel int, "
+        "compression int, px_sum bigint, px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                tp = decode_tiff_strips(bytes(blob))
+                rows.append((
+                    int(i), tp.width, tp.height, tp.samples_per_pixel,
+                    tp.compression, sum(tp.pixels),
+                    min(tp.pixels), max(tp.pixels),
+                ))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "width", "height", "samples_per_pixel",
+                    "compression", "px_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "samples_per_pixel": pd.Series(dtype="int32"),
+                    "compression": pd.Series(dtype="int32"),
+                    "px_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
                 })
             )
 

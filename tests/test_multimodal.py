@@ -1069,3 +1069,145 @@ def test_gif_truncated_extension_introducer():
     truncated = good[:-1].rstrip(b"\x3b") + bytes((0x21,))
     with pytest.raises(MediaFormatError):
         decode_gif_meta(truncated)
+
+
+def test_g711_companding_involution_and_wav_path():
+    """G.711 µ-law/A-law: compress(expand(b)) == b for every byte value
+    (µ-law's 0x7F is the known -0 alias of 0xFF), quantization error
+    bounded, and the WAV format-code dispatch routes G.711 data chunks
+    through the expanders."""
+    import random
+
+    from appengine_mapreduce_spark.functions.media import (
+        alaw_compress,
+        alaw_expand,
+        decode_wav_samples,
+        encode_wav_companded,
+        encode_wav_g711,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    assert [b for b in range(256)
+            if mulaw_compress(mulaw_expand(b)) != b] == [0x7F]
+    assert [b for b in range(256)
+            if alaw_compress(alaw_expand(b)) != b] == []
+
+    rng = random.Random(1)
+    for expand, compress in ((mulaw_expand, mulaw_compress),
+                             (alaw_expand, alaw_compress)):
+        for _ in range(5000):
+            x = rng.randint(-32000, 32000)
+            y = expand(compress(x))
+            # logarithmic: absolute error small near zero, relative
+            # error bounded in the loud range
+            if abs(x) < 300:
+                assert abs(y - x) <= 16, (x, y)
+            else:
+                assert abs(y - x) / abs(x) < 0.05, (x, y)
+
+    meta, out = decode_wav_samples(encode_wav_g711([0, 5000, -5000], "mu"))
+    assert meta.audio_format == 7 and out == [0, 5116, -5116]
+    meta, out = decode_wav_samples(encode_wav_g711([0, 5000, -5000], "a"))
+    assert meta.audio_format == 6 and out == [8, 4992, -4992]
+    raw = bytes(range(0, 250, 10))
+    meta, out = decode_wav_samples(encode_wav_companded(raw, "mu"))
+    assert out == [mulaw_expand(b) for b in raw]
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """GIF LZW: variable-width codes survive dictionary growth across
+    every width boundary (random / run-heavy / periodic pixel streams,
+    all min-code-sizes; >4096-entry streams force the clear-reset path)."""
+    import random
+
+    from appengine_mapreduce_spark.functions.media import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    rng = random.Random(42)
+    for trial in range(120):
+        mcs = rng.choice([2, 3, 4, 5, 6, 7, 8])
+        n = rng.randint(1, 8000)
+        alphabet = 1 << mcs
+        style = rng.random()
+        if style < 0.3:
+            px = [rng.randrange(alphabet) for _ in range(n)]
+        elif style < 0.6:
+            px = []
+            while len(px) < n:
+                px.extend([rng.randrange(alphabet)] * rng.randint(1, 200))
+            px = px[:n]
+        else:
+            pat = [rng.randrange(alphabet)
+                   for _ in range(rng.randint(1, 10))]
+            px = (pat * (n // len(pat) + 1))[:n]
+        data = gif_lzw_encode(px, mcs)
+        assert gif_lzw_decode(data, mcs, len(px)) == px, (trial, mcs, n)
+
+
+def test_gif_full_pixel_roundtrip_interlace_and_frames():
+    """encode_gif_pixels -> decode_gif_frames: exact palette-index
+    recovery, multi-frame, plain and 4-pass interlaced row order."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_gif_frames,
+        encode_gif_pixels,
+    )
+
+    pal = [(i, 255 - i, (i * 7) % 256) for i in range(16)]
+    w, h = 23, 17
+    f1 = [(x + y) % 16 for y in range(h) for x in range(w)]
+    f2 = [(x * y) % 16 for y in range(h) for x in range(w)]
+    for inter in (False, True):
+        blob = encode_gif_pixels([f1, f2], w, h, pal, interlace=inter)
+        meta, frames = decode_gif_frames(blob)
+        assert meta.n_frames == 2 and len(frames) == 2
+        assert frames[0].pixels == f1 and frames[1].pixels == f2
+        assert frames[0].palette[:16] == pal
+        assert frames[1].interlaced == inter
+
+
+def test_tiff_strip_pixel_roundtrip():
+    """Strip-based TIFF decode: gray/RGB x uncompressed/PackBits x both
+    byte orders x strip heights — exact pixel recovery; PackBits fuzz."""
+    import random
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_tiff_meta,
+        decode_tiff_strips,
+        encode_tiff_strips,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rng = random.Random(9)
+    for _ in range(100):
+        n = rng.randint(0, 2000)
+        if rng.random() < 0.5:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            b = bytearray()
+            while len(b) < n:
+                b.extend([rng.randrange(256)] * rng.randint(1, 300))
+            data = bytes(b[:n])
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+    for spp in (1, 3):
+        for comp in (1, 32773):
+            for be in (False, True):
+                w, h = 21, 13
+                px = bytes(
+                    (x * spp + s + y * 7) % 256
+                    for y in range(h) for x in range(w) for s in range(spp)
+                )
+                blob = encode_tiff_strips(
+                    px, w, h, samples_per_pixel=spp, compression=comp,
+                    rows_per_strip=3, big_endian=be,
+                )
+                tp = decode_tiff_strips(blob)
+                assert (tp.width, tp.height, tp.samples_per_pixel,
+                        tp.compression) == (w, h, spp, comp)
+                assert tp.pixels == px
+                m = decode_tiff_meta(blob)
+                assert (m.width, m.height, m.compression) == (w, h, comp)
