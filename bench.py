@@ -243,15 +243,23 @@ def _timed(df) -> float:
 def _run_skew() -> dict:
     """Measured skew evidence (VERDICT r4 ask #6): a zipf-keyed join
     (half of all fact rows share ONE key — the hot-key shape that stalls
-    a 1000-executor cluster on one task) timed three ways: sort-merge
-    with AQE skew-split OFF vs ON, and the salted_join operator. Same
-    fixture shape as tests/test_plan_quality.py's plan-level assertion,
-    scaled up so the wall-clock difference is the evidence."""
+    a 1000-executor cluster on one task), timed in both downstream
+    shapes, because they have different remedies:
+
+    - join feeding a GLOBAL aggregate: AQE's skew-split applies (the
+      split doesn't break any downstream partitioning requirement) —
+      OFF vs ON is the wall-clock value of the runtime re-plan.
+    - join feeding a SAME-KEY aggregate: AQE must NOT split (the
+      aggregation needs hash partitioning on the join key; splitting
+      would require re-shuffling), so OFF==ON there — this is the shape
+      where `salted_join` earns its place: the salt balances the JOIN
+      tasks and only the (already partially-aggregated) result
+      re-shuffles for the final agg."""
     from pyspark.sql import functions as F
 
     from appengine_mapreduce_spark.operators.joins import salted_join
 
-    n, hot_share = 6_000_000, 2  # id%2==0 -> key 0: 50% of rows
+    n, hot_share = 24_000_000, 2  # id%2==0 -> key 0: 50% of rows
     spark = get_spark(app_name="bench-skew")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -272,23 +280,30 @@ def _run_skew() -> dict:
                 F.col("id").alias("dk"), (F.col("id") * 10).alias("dv"))
             return big, dim
 
-        def plain_join():
+        def global_agg_join():
+            big, dim = fixture()
+            return big.join(dim, big.k == dim.dk).select(
+                F.sum(F.col("v") + F.col("dv")).alias("s"))
+
+        def keyed_agg_join():
             big, dim = fixture()
             return big.join(dim, big.k == dim.dk).groupBy("k").agg(
                 F.sum(F.col("v") + F.col("dv")).alias("s"))
 
         results: dict[str, float] = {}
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        plain_join().collect()  # warmup (codegen, range JIT)
-        results["smj_skew_off_sec"] = round(_timed(plain_join()), 3)
+        global_agg_join().collect()  # warmup (codegen, range JIT)
+        results["global_agg_skew_off_sec"] = round(_timed(global_agg_join()), 3)
+        results["keyed_agg_skew_off_sec"] = round(_timed(keyed_agg_join()), 3)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        results["smj_skew_on_sec"] = round(_timed(plain_join()), 3)
+        results["global_agg_skew_on_sec"] = round(_timed(global_agg_join()), 3)
+        results["keyed_agg_skew_on_sec"] = round(_timed(keyed_agg_join()), 3)
 
         big, dim = fixture()
         salted = salted_join(big, dim, key="k", build_key="dk").groupBy(
             "k").agg(F.sum(F.col("v") + F.col("dv")).alias("s"))
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        results["salted_join_sec"] = round(_timed(salted), 3)
+        results["keyed_agg_salted_join_sec"] = round(_timed(salted), 3)
         results["rows"] = n
         results["hot_key_share"] = 1.0 / hot_share
         for k, v in results.items():
