@@ -823,6 +823,310 @@ def encode_minimal_avi(
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+# --- DIB / BMP pixel decode --------------------------------------------------
+#
+# The Windows bitmap layouts (public BITMAPINFOHEADER spec): bottom-up
+# rows padded to 4 bytes, BGR order for 24-bit, palette indices for
+# 8-bit, optional RLE8 compression — all algorithmic. Shared between BMP
+# files and raw (uncompressed) AVI video streams.
+
+_BI_RGB = 0
+_BI_RLE8 = 1
+
+
+def _dib_rows_to_rgb(
+    data: bytes, width: int, height: int, bpp: int,
+    palette: "list[tuple[int, int, int]] | None",
+) -> "list[tuple[int, int, int]]":
+    """Bottom-up padded DIB pixel data -> top-down RGB tuples."""
+    bytes_per_px = bpp // 8
+    stride = (width * bytes_per_px + 3) & ~3
+    if len(data) < stride * height:
+        raise MediaFormatError("DIB pixel data short")
+    out: list[tuple[int, int, int]] = []
+    for y in range(height - 1, -1, -1):
+        row = data[y * stride : y * stride + width * bytes_per_px]
+        if bpp == 24:
+            for x in range(width):
+                b, g, r = row[3 * x : 3 * x + 3]
+                out.append((r, g, b))
+        else:  # 8-bit palette
+            assert palette is not None
+            for x in range(width):
+                out.append(palette[row[x]])
+    return out
+
+
+def bmp_rle8_decode(
+    data: bytes, width: int, height: int
+) -> bytes:
+    """BI_RLE8: (count, value) runs, 0-escapes for end-of-line (0,0),
+    end-of-bitmap (0,1), delta (0,2,dx,dy — fills with index 0), and
+    absolute literal runs (0,n>=3, word-aligned). Returns bottom-up
+    UNPADDED rows (stride = width) of palette indices."""
+    rows = [bytearray(width) for _ in range(height)]
+    x = y = 0
+    pos = 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:
+            if x + n > width or y >= height:
+                raise MediaFormatError("RLE8 run overflows row")
+            rows[y][x : x + n] = bytes([v]) * n
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 2 > len(data):
+                raise MediaFormatError("RLE8 delta truncated")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal bytes, word-aligned
+            if pos + v > len(data) or x + v > width or y >= height:
+                raise MediaFormatError("RLE8 absolute run truncated")
+            rows[y][x : x + v] = data[pos : pos + v]
+            x += v
+            pos += v + (v & 1)
+    # bottom-up row order, matching the uncompressed layout
+    return b"".join(bytes(r) for r in rows)
+
+
+def bmp_rle8_encode(indices_bottom_up: bytes, width: int, height: int) -> bytes:
+    """Fixture RLE8 encoder: greedy runs + end-of-line/end-of-bitmap."""
+    out = bytearray()
+    for y in range(height):
+        row = indices_bottom_up[y * width : (y + 1) * width]
+        x = 0
+        while x < width:
+            run = 1
+            while x + run < width and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes((run, row[x]))
+            x += run
+        out += bytes((0, 0))  # end of line
+    out += bytes((0, 1))  # end of bitmap
+    return bytes(out)
+
+
+@dataclass(frozen=True)
+class BmpPixels:
+    width: int
+    height: int
+    bits_per_pixel: int
+    compression: int
+    pixels: list  # [(r, g, b)] top-down row-major
+
+
+def decode_bmp_pixels(blob: bytes) -> BmpPixels:
+    """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BGR
+    and 8-bit palette layouts, BI_RGB and BI_RLE8 compressions."""
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise MediaFormatError("bad BMP signature")
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    if hdr_size < 40 or width <= 0 or height <= 0:
+        raise MediaFormatError("unsupported BMP header")
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", blob[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(blob):
+            raise MediaFormatError("BMP palette truncated")
+        palette = [
+            (blob[pal_off + 4 * i + 2], blob[pal_off + 4 * i + 1],
+             blob[pal_off + 4 * i])
+            for i in range(n_colors)
+        ] + [(0, 0, 0)] * (256 - n_colors)
+    elif bpp != 24:
+        raise MediaFormatError(f"unsupported BMP bpp {bpp}")
+    data = blob[data_off:]
+    if compression == _BI_RLE8:
+        if bpp != 8:
+            raise MediaFormatError("RLE8 requires 8-bit BMP")
+        unpadded = bmp_rle8_decode(data, width, height)
+        # re-pad rows to the DIB stride the shared path expects
+        stride = (width + 3) & ~3
+        data = b"".join(
+            unpadded[y * width : (y + 1) * width].ljust(stride, b"\x00")
+            for y in range(height)
+        )
+    elif compression != _BI_RGB:
+        raise MediaFormatError(f"unsupported BMP compression {compression}")
+    return BmpPixels(
+        width, height, bpp, compression,
+        _dib_rows_to_rgb(data, width, height, bpp, palette),
+    )
+
+
+def encode_bmp(
+    pixels: "list[tuple[int, int, int]]", width: int, height: int,
+    bpp: int = 24, rle: bool = False,
+    palette: "list[tuple[int, int, int]] | None" = None,
+) -> bytes:
+    """Fixture encoder: 24-bit BGR or 8-bit palette BMP (optionally
+    RLE8-compressed). ``pixels`` are top-down RGB tuples; for 8-bit they
+    must all appear in ``palette``."""
+    if len(pixels) != width * height:
+        raise MediaFormatError("pixel count mismatch")
+    if bpp == 24:
+        stride = (width * 3 + 3) & ~3
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = pixels[y * width + x]
+                row += bytes((b, g, r))
+            rows.append(bytes(row).ljust(stride, b"\x00"))
+        data = b"".join(rows)
+        pal_bytes = b""
+        n_colors = 0
+        compression = _BI_RGB
+    else:
+        assert palette is not None
+        lookup = {c: i for i, c in enumerate(palette)}
+        idx_bottom_up = bytearray()
+        for y in range(height - 1, -1, -1):
+            for x in range(width):
+                idx_bottom_up.append(lookup[pixels[y * width + x]])
+        n_colors = len(palette)
+        pal_bytes = b"".join(
+            bytes((b, g, r, 0)) for r, g, b in palette
+        )
+        if rle:
+            data = bmp_rle8_encode(bytes(idx_bottom_up), width, height)
+            compression = _BI_RLE8
+        else:
+            stride = (width + 3) & ~3
+            data = b"".join(
+                bytes(idx_bottom_up[y * width : (y + 1) * width]).ljust(
+                    stride, b"\x00")
+                for y in range(height)
+            )
+            compression = _BI_RGB
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+        len(data), 2835, 2835, n_colors, 0,
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", data_off + len(data), 0, 0, data_off
+    )
+    return header + info + pal_bytes + data
+
+
+def decode_avi_video_frames(
+    blob: bytes,
+) -> "tuple[AviMeta, str, list]":
+    """AVI video frames with codec dispatch: returns (meta, codec,
+    frames) where codec is 'MJPG' (frames = JPEG byte strings — decode
+    via functions/jpeg_pixels) or 'DIB' (frames = top-down RGB tuple
+    lists, decoded here from the raw bottom-up BGR layout). Inter-frame
+    codecs (H.264/VP9) raise — they need a codec library."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise MediaFormatError("bad RIFF/AVI signature")
+    width = height = 0
+    us_per_frame = 0
+    compression_raw: bytes | None = None
+    bpp = 24
+    raw_frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, us_per_frame, compression_raw, bpp
+        for tag, b, e in _riff_chunks(blob, start, end):
+            if tag == b"LIST":
+                walk(b + 4, e)
+            elif tag == b"avih":
+                nonlocal_us, = struct.unpack("<I", blob[b : b + 4])
+                if nonlocal_us:
+                    us_per_frame = nonlocal_us
+                width_, height_ = struct.unpack("<II", blob[b + 32 : b + 40])
+                width, height = width_, height_
+            elif tag == b"strf" and e - b >= 40 and compression_raw is None:
+                bpp, = struct.unpack("<H", blob[b + 14 : b + 16])
+                compression_raw = blob[b + 16 : b + 20]
+            elif tag[2:4] == b"dc":
+                raw_frames.append(blob[b:e])
+
+    walk(12, len(blob))
+    if not width or not height:
+        raise MediaFormatError("missing avih header")
+    if compression_raw in (b"MJPG", b"mjpg"):
+        meta = AviMeta(width=width, height=height,
+                       n_frames=len(raw_frames),
+                       us_per_frame=us_per_frame, codec="MJPG")
+        return meta, "MJPG", raw_frames
+    if compression_raw == b"\x00\x00\x00\x00":  # BI_RGB
+        if bpp != 24:
+            raise MediaFormatError(f"raw AVI bpp {bpp} unsupported")
+        meta = AviMeta(width=width, height=height,
+                       n_frames=len(raw_frames),
+                       us_per_frame=us_per_frame, codec="DIB")
+        decoded = [
+            _dib_rows_to_rgb(f, width, height, 24, None)
+            for f in raw_frames
+        ]
+        return meta, "DIB", decoded
+    raise MediaFormatError(
+        f"codec {compression_raw!r} needs a codec library"
+    )
+
+
+def encode_minimal_avi_raw(
+    frames_rgb: "list[list[tuple[int, int, int]]]",
+    width: int, height: int, fps: int = 25,
+) -> bytes:
+    """Fixture encoder: AVI with an UNCOMPRESSED (BI_RGB) 24-bit video
+    stream — bottom-up BGR rows padded to 4 bytes, the raw capture
+    layout."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    stride = (width * 3 + 3) & ~3
+    dib_frames = []
+    for px in frames_rgb:
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = px[y * width + x]
+                row += bytes((b, g, r))
+            rows.append(bytes(row).ljust(stride, b"\x00"))
+        dib_frames.append(b"".join(rows))
+    us_per_frame = 1_000_000 // max(1, fps)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(dib_frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(dib_frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, _BI_RGB, stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in dib_frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def decode_avi_pcm_audio(blob: bytes) -> "tuple[WavMeta, list[int]]":
     """Extract the PCM16 audio track from an AVI container: walk each
     LIST strl, remember which stream index is the ``auds`` stream and its

@@ -687,19 +687,21 @@ def decode_web_image_meta(
 def decode_video_frame_pixels(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:
-    """REAL VIDEO FRAME PIXEL decode over a binary column for the MJPEG
-    profile: walk the AVI RIFF container (functions/media.decode_avi_mjpeg)
-    and fully decode every ``00dc`` frame — each one a baseline JPEG —
-    through functions/jpeg_pixels, reduced to per-video pixel statistics.
-    This is frame sampling + decode for the classic capture/intermediate
-    video format with no codec library; inter-frame codecs (H.264/VP9)
-    remain behind DECODERS_AVAILABLE."""
+    """REAL VIDEO FRAME PIXEL decode over a binary column with per-blob
+    codec dispatch (functions/media.decode_avi_video_frames): MJPEG
+    frames fully decode through the in-repo T.81 codec
+    (functions/jpeg_pixels) and raw BI_RGB (DIB) frames decode from the
+    bottom-up padded BGR layout — the two capture/intermediate formats
+    that need no codec library. Inter-frame codecs (H.264/VP9) remain
+    behind DECODERS_AVAILABLE."""
     from appengine_mapreduce_spark.functions.jpeg import decode_jpeg_meta
     from appengine_mapreduce_spark.functions.jpeg_pixels import (
         decode_color_auto,
         decode_gray_auto,
     )
-    from appengine_mapreduce_spark.functions.media import decode_avi_mjpeg
+    from appengine_mapreduce_spark.functions.media import (
+        decode_avi_video_frames,
+    )
 
     out_schema = (
         f"{id_col} bigint, n_frames bigint, width int, height int, "
@@ -711,11 +713,13 @@ def decode_video_frame_pixels(
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                meta, frames = decode_avi_mjpeg(bytes(blob))
+                meta, codec, frames = decode_avi_video_frames(bytes(blob))
                 total = 0
                 mn, mx = 255, 0
                 for fr in frames:
-                    if decode_jpeg_meta(fr).n_components == 3:
+                    if codec == "DIB":
+                        px = [v for p in fr for v in p]
+                    elif decode_jpeg_meta(fr).n_components == 3:
                         _w, _h, rgb = decode_color_auto(fr)
                         px = [v for p in rgb for v in p]
                     else:
@@ -980,6 +984,51 @@ def decode_tiff_pixel_stats(
                     "samples_per_pixel": pd.Series(dtype="int32"),
                     "compression": pd.Series(dtype="int32"),
                     "px_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_bmp_pixel_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL BMP pixel decode over a binary column: BITMAPINFOHEADER
+    layouts — 24-bit BGR and 8-bit palette, BI_RGB and BI_RLE8 runs
+    (functions/media.decode_bmp_pixels, all algorithmic). Emits geometry
+    + integer-exact RGB channel statistics."""
+    from appengine_mapreduce_spark.functions.media import decode_bmp_pixels
+
+    out_schema = (
+        f"{id_col} bigint, width int, height int, bits_per_pixel int, "
+        "compression int, rgb_sum bigint, px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                bp = decode_bmp_pixels(bytes(blob))
+                flat = [v for p in bp.pixels for v in p]
+                rows.append((
+                    int(i), bp.width, bp.height, bp.bits_per_pixel,
+                    bp.compression, sum(flat), min(flat), max(flat),
+                ))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "width", "height", "bits_per_pixel",
+                    "compression", "rgb_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "bits_per_pixel": pd.Series(dtype="int32"),
+                    "compression": pd.Series(dtype="int32"),
+                    "rgb_sum": pd.Series(dtype="int64"),
                     "px_min": pd.Series(dtype="int32"),
                     "px_max": pd.Series(dtype="int32"),
                 })

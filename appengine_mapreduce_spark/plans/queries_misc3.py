@@ -465,3 +465,168 @@ def tiff_strip_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_tiff_pixel_stats(
         blobs, id_col="doc_id", content_col="content"
     )
+
+
+@register(
+    "bmp_pixel_decode",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
+                   CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS bpp,
+                   CASE WHEN doc_id % 2 = 1 AND doc_id % 4 = 3
+                        THEN 1 ELSE 0 END AS comp
+            FROM documents WHERE doc_id < 150
+        ),
+        px AS (
+            SELECT doc_id, w, h, bpp, comp,
+                   unnest(generate_series(0, w * h - 1)) AS t
+            FROM params
+        ),
+        chan AS (
+            SELECT doc_id, w, h, bpp, comp,
+                   CASE WHEN bpp = 24 THEN (doc_id + t % w) % 256
+                        ELSE (((t % w) + (t // w) + doc_id) % 16 * 3) % 256
+                   END AS r,
+                   CASE WHEN bpp = 24 THEN (doc_id + (t // w) * 3) % 256
+                        ELSE (((t % w) + (t // w) + doc_id) % 16 * 5) % 256
+                   END AS g,
+                   CASE WHEN bpp = 24 THEN ((t % w) * (t // w) + doc_id) % 251
+                        ELSE (((t % w) + (t // w) + doc_id) % 16 * 7) % 256
+                   END AS b
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(bpp AS INT) AS bits_per_pixel,
+               CAST(comp AS INT) AS compression,
+               CAST(sum(r + g + b) AS BIGINT) AS rgb_sum,
+               CAST(min(least(r, g, b)) AS INT) AS px_min,
+               CAST(max(greatest(r, g, b)) AS INT) AS px_max
+        FROM chan
+        GROUP BY doc_id, w, h, bpp, comp
+    """,
+    description="REAL BMP pixel decode through the driver gate: each "
+    "document synthesizes a BMP (even docs 24-bit BGR, odd docs 8-bit "
+    "palette; every doc_id%4==3 RLE8-compressed), "
+    "operators/multimodal.decode_bmp_pixel_stats walks "
+    "BITMAPFILEHEADER/BITMAPINFOHEADER, inflates RLE8 runs, re-orders "
+    "the bottom-up padded rows and maps the palette; the oracle "
+    "recomputes the RGB statistics from the generating formula — the "
+    "Windows bitmap family (a document-scan staple) decodes for real.",
+    tags=("multimodal", "udf", "image", "bmp"),
+)
+def bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import encode_bmp
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixel_stats,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    palette = [((k * 3) % 256, (k * 5) % 256, (k * 7) % 256)
+               for k in range(16)]
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 12, 4 + did % 9
+                if did % 2 == 0:
+                    px = [((did + x) % 256, (did + y * 3) % 256,
+                           (x * y + did) % 251)
+                          for y in range(h) for x in range(w)]
+                    blob = encode_bmp(px, w, h, bpp=24)
+                else:
+                    px = [palette[(x + y + did) % 16]
+                          for y in range(h) for x in range(w)]
+                    blob = encode_bmp(px, w, h, bpp=8,
+                                      rle=did % 4 == 3, palette=palette)
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_bmp_pixel_stats(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "avi_raw_frame_decode",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 6 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
+                   1 + doc_id % 3 AS nf
+            FROM documents WHERE doc_id < 100
+        ),
+        px AS (
+            SELECT doc_id, w, h, nf,
+                   unnest(generate_series(0, nf * w * h - 1)) AS t
+            FROM params
+        ),
+        chan AS (
+            SELECT doc_id, w, h, nf,
+                   (doc_id + t // (w*h) + (t % (w*h)) % w) % 256 AS r,
+                   (((t % (w*h)) // w) * 2 + t // (w*h)) % 256 AS g,
+                   ((t % (w*h)) % w + (t % (w*h)) // w + doc_id) % 256 AS b
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+               CAST(min(least(r, g, b)) AS INT) AS px_min,
+               CAST(max(greatest(r, g, b)) AS INT) AS px_max
+        FROM chan
+        GROUP BY doc_id, nf, w, h
+    """,
+    description="REAL raw-video frame decode through the driver gate: "
+    "each document synthesizes an AVI with an UNCOMPRESSED BI_RGB video "
+    "stream (bottom-up padded BGR rows — the raw capture layout), "
+    "operators/multimodal.decode_video_frame_pixels dispatches on the "
+    "strf compression field (MJPG -> in-repo T.81 codec, BI_RGB -> DIB "
+    "row decode) and emits per-video pixel statistics the oracle "
+    "recomputes — video frame decode now covers both no-library "
+    "profiles; inter-frame codecs (H.264/VP9) stay stubbed.",
+    tags=("multimodal", "udf", "video", "avi"),
+)
+def avi_raw_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import (
+        encode_minimal_avi_raw,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_video_frame_pixels,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 6 + did % 6, 4 + did % 4, 1 + did % 3
+                frames = [
+                    [((did + f + x) % 256, (y * 2 + f) % 256,
+                      (x + y + did) % 256)
+                     for y in range(h) for x in range(w)]
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_minimal_avi_raw(frames, w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_video_frame_pixels(
+        blobs, id_col="doc_id", content_col="content"
+    )

@@ -1211,3 +1211,76 @@ def test_tiff_strip_pixel_roundtrip():
                 assert tp.pixels == px
                 m = decode_tiff_meta(blob)
                 assert (m.width, m.height, m.compression) == (w, h, comp)
+
+
+def test_bmp_pixel_roundtrip_and_rle8():
+    """BMP decode: 24-bit BGR (odd widths exercise row padding), 8-bit
+    palette plain + RLE8, exact pixel recovery; RLE8 codec fuzz."""
+    import random
+
+    from appengine_mapreduce_spark.functions.media import (
+        bmp_rle8_decode,
+        bmp_rle8_encode,
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = random.Random(5)
+    for w, h in ((7, 5), (16, 9), (33, 2), (1, 1)):
+        px = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(w * h)]
+        bp = decode_bmp_pixels(encode_bmp(px, w, h, bpp=24))
+        assert (bp.width, bp.height, bp.bits_per_pixel) == (w, h, 24)
+        assert bp.pixels == px
+    pal = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(16)]
+    for rle in (False, True):
+        for w, h in ((7, 5), (22, 13)):
+            px = [pal[(x + y) % 16] for y in range(h) for x in range(w)]
+            bp = decode_bmp_pixels(
+                encode_bmp(px, w, h, bpp=8, rle=rle, palette=pal))
+            assert bp.pixels == px
+            assert bp.compression == (1 if rle else 0)
+    for t in range(60):
+        w, h = rng.randint(1, 40), rng.randint(1, 20)
+        idx = bytes(rng.randrange(8) for _ in range(w * h))
+        assert bmp_rle8_decode(bmp_rle8_encode(idx, w, h), w, h) == idx, t
+
+
+def test_avi_raw_dib_frames_and_codec_dispatch():
+    """decode_avi_video_frames: BI_RGB streams decode from the bottom-up
+    padded BGR layout; MJPG streams still hand back JPEG bytes; unknown
+    codecs raise (inter-frame video needs a library)."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.jpeg_pixels import (
+        encode_baseline_color,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_avi_video_frames,
+        encode_minimal_avi,
+        encode_minimal_avi_raw,
+    )
+
+    w, h = 11, 6
+    f1 = [((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+          for y in range(h) for x in range(w)]
+    f2 = [((x + 1) % 256, (y + 2) % 256, 7)
+          for y in range(h) for x in range(w)]
+    meta, codec, frames = decode_avi_video_frames(
+        encode_minimal_avi_raw([f1, f2], w, h, fps=10))
+    assert codec == "DIB" and meta.n_frames == 2
+    assert frames[0] == f1 and frames[1] == f2
+
+    jf = [encode_baseline_color([(v, v, v)] * 64, 8, 8) for v in (10, 200)]
+    meta, codec, frames = decode_avi_video_frames(
+        encode_minimal_avi(jf, 8, 8, fps=5))
+    assert codec == "MJPG" and frames[0] == jf[0]
+
+    h264 = bytearray(encode_minimal_avi(jf, 8, 8))
+    # MJPG appears twice: strh fccHandler then strf biCompression —
+    # the dispatcher reads the latter
+    pos = h264.find(b"MJPG", h264.find(b"MJPG") + 4)
+    h264[pos : pos + 4] = b"H264"
+    with pytest.raises(MediaFormatError):
+        decode_avi_video_frames(bytes(h264))
