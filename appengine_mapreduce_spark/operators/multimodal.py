@@ -41,9 +41,15 @@ DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
 # lossy audio decodes for real: G.711 µ-law/A-law are pure bit formulas
 # (functions/media.mulaw_expand/alaw_expand, involution-tested over all
 # 256 byte values) and flow through audio_pcm_features via the WAV
-# format-code dispatch. GIF pixels decode for real (LZW + palette +
-# interlace, decode_gif_pixel_stats below) and TIFF strips decode for
-# real (uncompressed + PackBits, decode_tiff_pixel_stats below). Video frame
+# format-code dispatch. FLAC lossless-compressed audio decodes for
+# real (functions/flac.py: Rice residuals + fixed/LPC predictors +
+# stereo decorrelation + CRCs — fully algorithmic,
+# decode_flac_audio_features below). GIF pixels decode for real (LZW +
+# palette + interlace, decode_gif_pixel_stats below), TIFF strips
+# decode for real (uncompressed + PackBits, decode_tiff_pixel_stats
+# below), and BMP decodes for real (24-bit/palette/RLE8,
+# decode_bmp_pixel_stats below); raw BI_RGB AVI frames decode through
+# the same DIB path (decode_video_frame_pixels dispatch). Video frame
 # PIXELS decode for real for the MJPEG/AVI profile: the RIFF container
 # walk extracts per-frame JPEGs which the in-repo T.81 codec fully
 # decodes (decode_video_frame_pixels below). The ENTIRE
@@ -1031,6 +1037,51 @@ def decode_bmp_pixel_stats(
                     "rgb_sum": pd.Series(dtype="int64"),
                     "px_min": pd.Series(dtype="int32"),
                     "px_max": pd.Series(dtype="int32"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_flac_audio_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL LOSSLESS-COMPRESSED audio decode over a binary column: full
+    FLAC frame decode — Rice-coded residuals over fixed/LPC predictors,
+    stereo decorrelation, CRC-8/CRC-16 verification
+    (functions/flac.py, implemented from the public spec; FLAC is
+    algorithmic, no codec tables). Emits stream fields + the integer
+    clip features over channel 0 — same shape as the PCM path, so a
+    corpus filter treats WAV and FLAC uniformly."""
+    from appengine_mapreduce_spark.functions.flac import decode_flac
+
+    out_schema = (
+        f"{id_col} bigint, n_channels int, sample_rate int, "
+        "n_samples bigint, sum_sq bigint, peak int, zero_crossings bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                info, channels = decode_flac(bytes(blob))
+                n, sum_sq, peak, zc = _pcm_feature_row(channels[0])
+                rows.append((int(i), info.n_channels, info.sample_rate,
+                             n, sum_sq, peak, zc))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_channels", "sample_rate", "n_samples",
+                    "sum_sq", "peak", "zero_crossings"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_channels": pd.Series(dtype="int32"),
+                    "sample_rate": pd.Series(dtype="int32"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "sum_sq": pd.Series(dtype="int64"),
+                    "peak": pd.Series(dtype="int32"),
+                    "zero_crossings": pd.Series(dtype="int64"),
                 })
             )
 

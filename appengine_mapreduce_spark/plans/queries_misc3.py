@@ -630,3 +630,87 @@ def avi_raw_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frame_pixels(
         blobs, id_col="doc_id", content_col="content"
     )
+
+
+@register(
+    "flac_audio_features",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, 300 + doc_id % 300 AS n
+            FROM documents WHERE doc_id < 120
+        ),
+        samp AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0, n - 1)) AS i,
+                   unnest(list_transform(
+                       generate_series(0, n - 1),
+                       i -> ((doc_id * 37 + i * i) % 7001) - 3500)) AS s
+            FROM base
+        ),
+        lagged AS (
+            SELECT doc_id, n, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samp
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+                   AS n_channels,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND ((s >= 0) <> (prev >= 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id, n
+    """,
+    description="REAL LOSSLESS-COMPRESSED audio decode through the "
+    "driver gate: each document synthesizes a deterministic 16-bit "
+    "waveform, compresses it to a REAL FLAC stream (fixed-predictor "
+    "subframes with Rice-coded residuals; odd docs stereo with mid/side "
+    "decorrelation), and operators/multimodal.decode_flac_audio_features "
+    "entropy-decodes it back — CRC-8/CRC-16 verified — to integer clip "
+    "features the oracle recomputes from the generating formula. "
+    "Losslessness is the contract: any Rice/predictor/stereo bug breaks "
+    "the value hash. FLAC is fully algorithmic (no codec tables), so "
+    "with PCM + G.711 + FLAC real, only perceptual codecs (MP3/AAC) "
+    "remain stubbed.",
+    tags=("multimodal", "udf", "audio", "flac"),
+)
+def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.flac import (
+        CH_MID_SIDE,
+        encode_flac,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        decode_flac_audio_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 300 + did % 300
+                ch0 = [((did * 37 + i * i) % 7001) - 3500 for i in range(n)]
+                if did % 2 == 0:
+                    blob = encode_flac([ch0], block_size=256)
+                else:
+                    ch1 = [v // 3 for v in ch0]
+                    blob = encode_flac([ch0, ch1], block_size=256,
+                                       stereo_mode=CH_MID_SIDE)
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return decode_flac_audio_features(
+        blobs, id_col="doc_id", content_col="content"
+    )
