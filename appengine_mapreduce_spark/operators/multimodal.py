@@ -37,7 +37,9 @@ DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
 # TABLES — data absent from this container, and inventing values would
 # be fake correctness; their FRAME/HEADER walks are real,
 # functions/media.decode_mp3_meta / decode_aac_adts_meta) and
-# INTER-FRAME video codecs (H.264/VP9 need a codec library). COMPANDED
+# MOTION-COMPENSATED video codecs (H.264/VP9 need a codec library;
+# run-length temporal video — MS-RLE delta frames — decodes for real,
+# decode_mrle_video_stats below). COMPANDED
 # lossy audio decodes for real: G.711 µ-law/A-law are pure bit formulas
 # (functions/media.mulaw_expand/alaw_expand, involution-tested over all
 # 256 byte values) and flow through audio_pcm_features via the WAV
@@ -1082,6 +1084,64 @@ def decode_flac_audio_features(
                     "sum_sq": pd.Series(dtype="int64"),
                     "peak": pd.Series(dtype="int32"),
                     "zero_crossings": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_mrle_video_stats(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL INTER-FRAME video decode over a binary column: MS-RLE
+    (BI_RLE8 in AVI) — each frame's RLE stream composites onto the
+    previous frame's canvas, end-of-line/delta escapes skipping
+    unchanged pixels (temporal prediction). The decode proves the
+    compositing chain: per-frame statistics are over the RESOLVED
+    frames, not the wire diffs (functions/media.decode_avi_mrle_frames).
+    Motion-compensated codecs (H.264/VP9) remain behind
+    DECODERS_AVAILABLE; run-length temporal video does not."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_avi_mrle_frames,
+    )
+
+    out_schema = (
+        f"{id_col} bigint, n_frames int, width int, height int, "
+        "rgb_sum bigint, px_min int, px_max int"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                meta, palette, frames = decode_avi_mrle_frames(bytes(blob))
+                rgb_sum = 0
+                mn, mx = 255, 0
+                for fr in frames:
+                    for idx in fr:
+                        r, g, b = palette[idx]
+                        rgb_sum += r + g + b
+                        lo, hi = min(r, g, b), max(r, g, b)
+                        mn = lo if lo < mn else mn
+                        mx = hi if hi > mx else mx
+                rows.append((
+                    int(i), meta.n_frames, meta.width, meta.height,
+                    rgb_sum, mn if frames else 0, mx if frames else 0,
+                ))
+            yield (
+                pd.DataFrame(rows, columns=[
+                    id_col, "n_frames", "width", "height",
+                    "rgb_sum", "px_min", "px_max"])
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "n_frames": pd.Series(dtype="int32"),
+                    "width": pd.Series(dtype="int32"),
+                    "height": pd.Series(dtype="int32"),
+                    "rgb_sum": pd.Series(dtype="int64"),
+                    "px_min": pd.Series(dtype="int32"),
+                    "px_max": pd.Series(dtype="int32"),
                 })
             )
 

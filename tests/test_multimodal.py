@@ -1348,3 +1348,45 @@ def test_flac_lossless_roundtrip_all_subframe_types():
     # compression sanity: a smooth signal must actually compress
     enc = len(encode_flac([sig(3000, "sine")]))
     assert enc < 6000 * 0.6, enc
+
+
+def test_mrle_interframe_compositing():
+    """MS-RLE: the wire format carries a keyframe + temporal delta
+    frames (unchanged rows skipped via delta escapes); decode must
+    composite every frame exactly, and delta frames must actually be
+    smaller than the keyframe."""
+    import random
+    import struct as _st
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_avi_mrle_frames,
+        encode_minimal_avi_mrle,
+    )
+
+    rng = random.Random(7)
+    w, h = 17, 11
+    pal = [(k * 16 % 256, k * 7 % 256, k * 29 % 256) for k in range(16)]
+    f0 = [(x + y) % 16 for y in range(h) for x in range(w)]
+    frames = [f0]
+    cur = list(f0)
+    for _t in range(4):
+        cur = list(cur)
+        for _ in range(2):
+            y = rng.randrange(h)
+            for x in range(w):
+                cur[y * w + x] = rng.randrange(16)
+        frames.append(list(cur))
+    blob = encode_minimal_avi_mrle(frames, w, h, pal, fps=10)
+    meta, palette, dec = decode_avi_mrle_frames(blob)
+    assert meta.codec == "MRLE" and meta.n_frames == 5
+    assert palette[:16] == pal
+    assert dec == frames
+    sizes = []
+    pos = blob.find(b"movi") + 4
+    while pos + 8 < len(blob):
+        tag = blob[pos : pos + 4]
+        (sz,) = _st.unpack("<I", blob[pos + 4 : pos + 8])
+        if tag[2:4] == b"dc":
+            sizes.append(sz)
+        pos += 8 + sz + (sz & 1)
+    assert all(s < sizes[0] for s in sizes[1:]), sizes
