@@ -301,3 +301,125 @@ def sign_lsh_topk(
         F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# --- Product Quantization (PQ) ANN -------------------------------------------
+#
+# The canonical billion-scale ANN compression (Jégou et al., TPAMI'11):
+# split the D dims into M subspaces, k-means each subspace to Ks
+# centroids, store each vector as M small codes (M bytes at Ks<=256 —
+# 64x smaller than float64 at D=64/M=8), and score queries against the
+# codes via an Asymmetric Distance Computation (ADC) lookup table built
+# per query. At 100 TB the stored index is code-sized, the per-query
+# table is M*Ks floats (broadcast by value), and the scan is a pure
+# expression over the code column — the same shape as SQ8 but with the
+# subspace structure that makes recall hold at much higher compression.
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Train M per-subspace codebooks of Ks centroids each via the
+    in-repo Lloyd's (operators/clustering.kmeans) over vector slices.
+    The model is M*Ks*(D/M) = Ks*D doubles — driver-sized; the corpus
+    never leaves the cluster."""
+    from appengine_mapreduce_spark.operators.clustering import kmeans
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = []
+    for mi in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mi * sub + 1, sub).alias(vec_col),
+        )
+        centroids, _ = kmeans(
+            sliced, k=ks, n_iterations=n_iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        codebooks.append(centroids)
+    return codebooks
+
+
+def _sub_dist_sq(vec_col: Column, start: int, centroid: "list[float]") -> Column:
+    expr = F.lit(0.0)
+    for j, c in enumerate(centroid):
+        d = F.element_at(vec_col, start + j + 1) - F.lit(float(c))
+        expr = expr + d * d
+    return expr
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-only encode: per subspace, argmin over the Ks centroid
+    distances → ``pq_code`` array<int>. Stays in whole-stage codegen
+    (unrolled like the SQ8/k-means assignment paths — the codebook is
+    model-sized and inlined as literals)."""
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for mi, book in enumerate(codebooks):
+        dists = F.array(*[
+            _sub_dist_sq(F.col(vec_col), mi * sub, c) for c in book
+        ])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.array(*code_cols).alias("pq_code"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation: one M×Ks table of exact
+    query-to-centroid squared distances (computed driver-side, inlined
+    as literals — broadcast by value), then each row's score is M
+    element_at lookups summed. TakeOrderedAndProject keeps only k rows
+    per partition; the corpus is scanned, never shuffled."""
+    sub = len(codebooks[0][0])
+    score = F.lit(0.0)
+    for mi, book in enumerate(codebooks):
+        q = query_vec[mi * sub : (mi + 1) * sub]
+        table = [
+            float(sum((qj - cj) ** 2 for qj, cj in zip(q, c)))
+            for c in book
+        ]
+        lut = F.array(*[F.lit(t) for t in table])
+        score = score + F.element_at(
+            lut, F.element_at(F.col("pq_code"), mi + 1) + 1
+        )
+    return (
+        encoded.select(
+            F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_reconstruct(
+    codebooks: "list[list[list[float]]]", code: "list[int]"
+) -> "list[float]":
+    """Decode a PQ code back to its centroid approximation (test/debug
+    helper — establishes the ADC identity: adc(q, code) ==
+    ||q - reconstruct(code)||²)."""
+    out: list[float] = []
+    for mi, c in enumerate(code):
+        out.extend(codebooks[mi][c])
+    return out

@@ -247,3 +247,34 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sign_lsh_batch_topk(emb, queries, k=3, num_bits=_BBITS)
+
+
+@register(
+    "pq_ann_topk",
+    oracle=None,  # PQ training is iterative k-means (engine-specific FP
+    # accumulation order) — rows-only check, like kmeans_ivf_clusters;
+    # the ADC identity and recall properties are pytest-verified
+    # (tests/test_operators.py::test_pq_*).
+    description="Product-Quantization ANN (Jégou et al.): 4 subspace "
+    "codebooks of 16 centroids trained with the in-repo Lloyd's, "
+    "expression-only encode to a 4-byte code per vector (16x smaller "
+    "than float64 at 64 dims), and per-query ADC lookup-table scoring — "
+    "the canonical billion-scale method. At 100 TB: the stored index is "
+    "code-sized, the model is Ks*D doubles on the driver, the per-query "
+    "table inlines as literals, and the scan is TakeOrderedAndProject "
+    "(k rows per partition to the driver, no shuffle).",
+    tags=("similarity", "embedding", "ann", "pq"),
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=4, ks=16, n_iterations=2)
+    encoded = pq_encode(emb, books)
+    query = [float(x) for x in
+             emb.orderBy("vec_id").first()["embedding"]]
+    return pq_adc_topk(encoded, books, query, k=10)

@@ -61,12 +61,15 @@ _CURATED_FIRST: tuple[str, ...] = (
     # dedup capstones, zorder/footer-stats, winnowing, session windows,
     # mp3/jpeg/avi decode, salted/bucketed joins, CDC, quality gate) all
     # went green in CORRECTNESS_r04 and rotate out. Round-6 builder:
-    # rotate to the final ~20 — embedding_norms, label_centroids,
+    # rotate to the final tail — embedding_norms, label_centroids,
     # ivf_multiprobe_topk, signup_purchase_funnel, grouped_values_capped,
     # line_input_custom_sep, mp4_frame_stats, avi_audio_features,
     # webp_gif_decode_meta, tiff_decode_meta, pivot_status_by_priority,
     # grouping_sets_order_stats, multimodal_decode_stub,
     # token_budget_packing, profile_orders_table, doc_fingerprints,
+    # the round-5 codec queries (g711_audio_features,
+    # gif_frame_pixel_decode, tiff_strip_pixel_decode, bmp_pixel_decode,
+    # avi_raw_frame_decode, flac_audio_features, mrle_interframe_decode),
     # plus rows-only random_strings_count / approx_distinct_parts /
     # kmeans_ivf_clusters / bpe_learned_merges.
     # TPC-H tail (last four never driver-witnessed):

@@ -450,6 +450,58 @@ def test_aqe_splits_skewed_join_partitions(spark):
         )
 
 
+def test_skew_split_respects_downstream_partitioning(spark):
+    """The two-shape skew finding (SCALING.md round-5): on the same
+    zipf-keyed sort-merge join, AQE's skew-split fires when the join
+    output feeds a GLOBAL aggregate (no partitioning requirement
+    downstream) and must NOT fire when the output feeds a SAME-KEY
+    aggregate — splitting there would break the aggregation's reuse of
+    the join's hash partitioning. Wall-clock consequences are measured
+    in bench.py's skew block; this pins the plan-level behavior."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"),
+        F.repeat(F.lit("x"), 64).alias("pad"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dv")
+    )
+
+    def final_plan(df) -> str:
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    with contextlib.ExitStack() as stack:
+        for key, val in [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+             "64KB"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+            ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"),
+            ("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+             "8KB"),
+        ]:
+            stack.enter_context(_conf(spark, key, val))
+        joined = big.join(dim, big.k == dim.dk)
+        global_shape = joined.select(
+            F.sum(F.col("v") + F.col("dv")).alias("s"))
+        keyed_shape = joined.groupBy("k").agg(
+            F.sum(F.col("v") + F.col("dv")).alias("s"))
+        assert "skew=true" in final_plan(global_shape)
+        assert "skew=true" not in final_plan(keyed_shape)
+
+
 SF1_DIR = "/root/repo/testdata/sf1"
 
 
