@@ -190,3 +190,68 @@ def dedup_groups(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    decimals: int = 9,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count — the first iterative
+    operator here with a full SQL oracle: because N is fixed, the oracle
+    unrolls the recurrence into N chained CTE stages, and per-iteration
+    ``round(decimals)`` pins the floating point so both engines agree
+    bit-for-bit despite different summation orders.
+
+    Proper dangling-mass handling: nodes without out-edges redistribute
+    their rank uniformly each iteration (one scalar aggregate). Per
+    iteration: ONE join (ranks ⨝ edges on src) + ONE groupBy(dst) —
+    both shuffles keyed the same way every round, so at 100 TB the
+    edge table pre-partitioned on src makes the join exchange-free and
+    only the contribution aggregation re-shuffles. ``localCheckpoint``
+    truncates the growing lineage each round (same policy as the CC
+    operators).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), decimals))
+    for _ in range(n_iterations):
+        with_deg = ranks.join(
+            out_deg, ranks.node == out_deg._s, "left"
+        ).select("node", "rank", "_deg")
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col("_s"))
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs._d, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0))
+                       + F.lit(float(dangling) / n)),
+                    decimals,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -806,3 +806,83 @@ def mrle_interframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mrle_video_stats(
         blobs, id_col="doc_id", content_col="content"
     )
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: the fixed iteration count lets plain SQL
+    replay the recurrence as chained CTE stages (no recursive CTE with
+    aggregation needed); round(9) per stage pins the floats."""
+    head = """
+        WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        pr0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank
+                FROM nodes)"""
+    stages = []
+    for i in range(1, n_iter + 1):
+        p = f"pr{i - 1}"
+        stages.append(f""",
+        dang{i} AS (
+            SELECT coalesce(sum(r.rank), 0) AS mass
+            FROM {p} r LEFT JOIN deg ON r.node = deg.s
+            WHERE deg.s IS NULL
+        ),
+        contrib{i} AS (
+            SELECT e.d AS node, sum(r.rank / deg.deg) AS c
+            FROM {p} r
+              JOIN deg ON r.node = deg.s
+              JOIN e ON e.s = r.node
+            GROUP BY e.d
+        ),
+        pr{i} AS (
+            SELECT n.node,
+                   round((1 - {damping}) / (SELECT n FROM nn)
+                         + {damping} * (coalesce(c.c, 0)
+                             + (SELECT mass FROM dang{i})
+                               / (SELECT n FROM nn)), 9) AS rank
+            FROM nodes n LEFT JOIN contrib{i} c ON n.node = c.node
+        )""")
+    return (
+        head + "".join(stages)
+        + f"""
+        SELECT node, rank FROM pr{n_iter}
+        ORDER BY rank DESC, node LIMIT 50
+    """
+    )
+
+
+@register(
+    "pagerank_suppliers",
+    oracle=_pagerank_oracle_sql(),
+    description="PageRank over the customer->supplier purchase graph "
+    "(distinct orders x lineitem pairs; bipartite, so every supplier is "
+    "a dangling node and the uniform dangling-mass redistribution is "
+    "load-bearing, not a corner case). FIVE fixed iterations with "
+    "round(9) per stage — the first ITERATIVE operator with a full "
+    "value-hash oracle: the fixed count unrolls into chained SQL CTEs, "
+    "and per-iteration rounding makes both engines' floats identical "
+    "despite different summation orders. Per iteration the plan is one "
+    "src-keyed join + one dst-keyed aggregation (constant shuffle keys "
+    "across rounds — pre-partition the edges on src at 100 TB and only "
+    "the contribution agg re-shuffles); lineage truncated per round.",
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iterations=5, damping=0.85)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(50)

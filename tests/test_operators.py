@@ -756,3 +756,19 @@ def test_pq_adc_identity_and_recall(spark):
     best = min(exact_rank, key=exact_rank.get)
     assert any(r.vec_id == best for r in top) or exact_rank[
         [r.vec_id for r in top][0]] < per
+
+
+def test_pagerank_mass_conservation_and_hubs(spark):
+    """PageRank invariants: with dangling-mass redistribution the total
+    rank stays ~1.0 every iteration, and a node with strictly more
+    in-links from the same sources outranks its peers."""
+    from appengine_mapreduce_spark.operators.graph import pagerank
+
+    # star + chain: node 100 receives links from 1..5; node 200 from 1
+    edges = [(s, 100) for s in range(1, 6)] + [(1, 200), (100, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(df, n_iterations=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6, sum(ranks.values())
+    # 200 drains the hub's ENTIRE rank (100's only out-link) plus half
+    # of node 1's, so it outranks the hub; both dwarf the leaves
+    assert ranks[200] > ranks[100] > ranks[2]
