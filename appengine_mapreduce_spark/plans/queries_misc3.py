@@ -886,3 +886,98 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, n_iterations=5, damping=0.85)
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(50)
+
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+    """Unrolled Lloyd's oracle (same technique as the PageRank oracle):
+    fixed iterations -> chained CTE stages. Long-format centroids
+    (cluster, dim, val); assignment = row_number over (dist, cluster)
+    so ties break to the lowest cluster exactly like the Spark
+    when-chain; per-iteration round(9) pins the FP means; empty
+    clusters keep the previous centroid (coalesce against the prior
+    stage). Spark's early convergence break is consistent with the
+    fixed unroll because a converged stage is a fixpoint."""
+    head = f"""
+        WITH v AS (
+            SELECT vec_id,
+                   unnest(generate_series(0, {dim - 1})) AS dim,
+                   unnest(list_transform(generate_series(1, {dim}),
+                          i -> CAST(embedding[i] AS DOUBLE))) AS val
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS (
+            -- no rounding: float32 -> double is exact and identical in
+            -- both engines, and Spark's init uses the raw values
+            SELECT i.cluster, v.dim, v.val
+            FROM init i JOIN v USING (vec_id)
+        )"""
+    stages = []
+    for t in range(1, n_iter + 1):
+        p = f"c{t - 1}"
+        stages.append(f""",
+        d{t} AS (
+            SELECT v.vec_id, c.cluster,
+                   sum((v.val - c.val) * (v.val - c.val)) AS dist
+            FROM v JOIN {p} c USING (dim)
+            GROUP BY v.vec_id, c.cluster
+        ),
+        a{t} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        ),
+        m{t} AS (
+            SELECT a.cluster, v.dim, round(avg(v.val), 9) AS val
+            FROM a{t} a JOIN v USING (vec_id)
+            GROUP BY a.cluster, v.dim
+        ),
+        c{t} AS (
+            SELECT p.cluster, p.dim, coalesce(m.val, p.val) AS val
+            FROM {p} p LEFT JOIN m{t} m
+              ON p.cluster = m.cluster AND p.dim = m.dim
+        )""")
+    return (
+        head + "".join(stages)
+        + f"""
+        SELECT CAST(cluster AS INT) AS cluster, CAST(dim AS INT) AS dim,
+               val AS centroid
+        FROM c{n_iter}
+    """
+    )
+
+
+@register(
+    "kmeans_centroids_oracled",
+    oracle=_kmeans_oracle_sql(),
+    description="ITERATIVE ML TRAINING WITH A FULL ORACLE: 3 fixed "
+    "Lloyd's iterations (k=8) over the embeddings table, centroids "
+    "value-hash-compared against an unrolled chained-CTE replay in "
+    "DuckDB — the same fixed-N technique as the PageRank oracle, "
+    "upgrading k-means from a rows-only check to exact cross-engine "
+    "verification. Per-iteration round(9) pins FP means; assignment "
+    "ties break to the lowest cluster in both engines; empty clusters "
+    "keep their previous centroid. The k x dim model (512 doubles) is "
+    "the ONLY thing that crosses to the driver per round — the corpus "
+    "shuffles once per iteration for the dim-keyed mean aggregation.",
+    tags=("clustering", "iterative", "ml"),
+)
+def kmeans_centroids_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, _assign = kmeans(emb, k=8, n_iterations=3)
+    rows = [
+        (ci, di, float(v))
+        for ci, cent in enumerate(centroids)
+        for di, v in enumerate(cent)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, dim int, centroid double"
+    )
