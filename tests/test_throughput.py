@@ -80,3 +80,54 @@ def test_codec_path_throughput():
         decode_png(pblob)
         n += 1
     assert n >= 120, f"PNG decode only {n} img/s/core"
+
+
+def test_round5_codec_throughput_floors():
+    """Conservative single-core floors for the round-5 codecs so a
+    reintroduced quadratic loop fails loudly. Measured on the build box:
+    FLAC ~690k samples/s, GIF LZW ~5-70M px/s (data-dependent), mu-law
+    ~6M samples/s, PackBits ~280 MB/s — floors set 5-10x under."""
+    import math
+    import random
+    import time
+
+    from appengine_mapreduce_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+        mulaw_expand,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    x = [int(8000 * math.sin(i * 0.05)) for i in range(30000)]
+    blob = encode_flac([x], block_size=4096)
+    t0 = time.perf_counter()
+    decode_flac(blob)
+    rate = 30000 / (time.perf_counter() - t0)
+    assert rate >= 100_000, f"FLAC decode {rate:.0f} samples/s"
+
+    rng = random.Random(1)
+    pat = [rng.randrange(64) for _ in range(9)]
+    px = (pat * 8000)[:64000]
+    data = gif_lzw_encode(px, 6)
+    t0 = time.perf_counter()
+    gif_lzw_decode(data, 6, len(px))
+    rate = 64000 / (time.perf_counter() - t0)
+    assert rate >= 2_000_000, f"GIF LZW decode {rate:.0f} px/s"
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        [mulaw_expand(b) for b in range(256)]
+    rate = 20 * 256 / (time.perf_counter() - t0)
+    assert rate >= 500_000, f"mu-law expand {rate:.0f} samples/s"
+
+    raw = bytes((i * 7) % 251 for i in range(100_000))
+    enc = packbits_encode(raw)
+    t0 = time.perf_counter()
+    packbits_decode(enc, len(raw))
+    rate = 100_000 / (time.perf_counter() - t0)
+    assert rate >= 10_000_000, f"PackBits decode {rate:.0f} B/s"
