@@ -19,7 +19,11 @@ import duckdb
 
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.01"
+# default = the driver's gate SF; override to re-prove parity at scale
+# (e.g. SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1)
+import os as _os
+
+SF = _os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 conn = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     conn.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
