@@ -981,3 +981,50 @@ def kmeans_centroids_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cluster int, dim int, centroid double"
     )
+
+
+@register(
+    "mergeable_sketches",
+    oracle=None,  # sketch estimates are engine-specific (Apache
+    # DataSketches registers); rows-only here — exactness-tolerance and
+    # merge-consistency are pytest-pinned
+    # (tests/test_operators.py::test_mergeable_sketches_*).
+    description="Mergeable-sketch pre-aggregation (Apache DataSketches "
+    "via Spark built-ins): per-event-type HLL sketches of distinct "
+    "users + KLL quantile sketches of the value column, merged with "
+    "hll_union_agg / kll_sketch_merge into global estimates WITHOUT "
+    "re-scanning — the store-per-shard-then-merge pattern that makes "
+    "distinct counts and quantiles incrementally maintainable at "
+    "100 TB (a full re-scan per refresh is the alternative). Sketch "
+    "bytes are the only state; merge is associative, so shard "
+    "sketches roll up along any tree.",
+    tags=("sketch", "aggregation", "training-data"),
+)
+def mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.kll_sketch_agg_double(F.col("value").cast("double")).alias("kll"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("hll").alias("distinct_users_est"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias(
+            "median_value_est"),
+    )
+    # hll_union_agg merges HLL sketches across rows; KLL's merge is a
+    # binary scalar, so fold the (group-count-sized) sketch list
+    kll_list = F.collect_list("kll")
+    merged_kll = F.aggregate(
+        F.slice(kll_list, 2, 1_000_000),
+        F.element_at(kll_list, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(
+            "distinct_users_est"),
+        F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)).alias(
+            "median_value_est"),
+    ).select(F.lit("__ALL__").alias("event_type"), "distinct_users_est",
+             "median_value_est")
+    return per_type_est.unionByName(merged).orderBy("event_type")

@@ -183,7 +183,11 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_signals, scrub_signals,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # whole corpus, no doc_id cap: a scrub pass covers every document.
+    # (A leftover <500 cap was invisible at sf0.01 — the corpus IS 500
+    # docs there — and surfaced as a row-count mismatch the first time
+    # the oracle ran at sf0.1; found by the scale parity sweep.)
+    docs = load(spark, sf_dir, "documents")
     # lang + quality come from ONE shared projection (scrub_signals — bit-
     # identical to the component operators, tested); only the repetition
     # signals need a shuffle, joined on the doc key.

@@ -772,3 +772,36 @@ def test_pagerank_mass_conservation_and_hubs(spark):
     # 200 drains the hub's ENTIRE rank (100's only out-link) plus half
     # of node 1's, so it outranks the hub; both dwarf the leaves
     assert ranks[200] > ranks[100] > ranks[2]
+
+
+def test_mergeable_sketches_accuracy_and_merge_consistency(spark):
+    """Sketch contracts: (1) HLL distinct estimates within 2% of exact
+    per group and globally; (2) merging per-group sketches gives the
+    SAME estimate as sketching the whole column directly (union is
+    lossless over the registers); (3) KLL median within the value
+    range and close to the exact median."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.event_type: r for r in
+           all_queries()["mergeable_sketches"].fn(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    exact["__ALL__"] = ev.select("user_id").distinct().count()
+    for et, e in exact.items():
+        est = out[et].distinct_users_est
+        assert abs(est - e) <= max(2, 0.02 * e), (et, est, e)
+
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    ).first()["d"]
+    assert out["__ALL__"].distinct_users_est == direct
+
+    med = ev.approxQuantile("value", [0.5], 0.01)[0]
+    got = out["__ALL__"].median_value_est
+    assert abs(got - med) <= 0.1 * max(1.0, abs(med)), (got, med)
