@@ -813,15 +813,16 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     replay the recurrence as chained CTE stages (no recursive CTE with
     aggregation needed); round(9) per stage pins the floats."""
     head = """
-        WITH e AS (
+        WITH e AS MATERIALIZED (
             SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ),
-        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nodes AS MATERIALIZED (
+            SELECT s AS node FROM e UNION SELECT d FROM e),
         nn AS (SELECT count(*) AS n FROM nodes),
-        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
-        pr0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank
-                FROM nodes)"""
+        deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        pr0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank
+                FROM nodes CROSS JOIN nn)"""
     stages = []
     for i in range(1, n_iter + 1):
         p = f"pr{i - 1}"
@@ -840,11 +841,12 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         ),
         pr{i} AS (
             SELECT n.node,
-                   round((1 - {damping}) / (SELECT n FROM nn)
+                   round((1 - {damping}) / nn.n
                          + {damping} * (coalesce(c.c, 0)
-                             + (SELECT mass FROM dang{i})
-                               / (SELECT n FROM nn)), 9) AS rank
-            FROM nodes n LEFT JOIN contrib{i} c ON n.node = c.node
+                             + dang{i}.mass / nn.n), 9) AS rank
+            FROM nodes n
+              LEFT JOIN contrib{i} c ON n.node = c.node
+              CROSS JOIN nn CROSS JOIN dang{i}
         )""")
     return (
         head + "".join(stages)
@@ -898,7 +900,7 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
     stage). Spark's early convergence break is consistent with the
     fixed unroll because a converged stage is a fixpoint."""
     head = f"""
-        WITH v AS (
+        WITH v AS MATERIALIZED (
             SELECT vec_id,
                    unnest(generate_series(0, {dim - 1})) AS dim,
                    unnest(list_transform(generate_series(1, {dim}),
@@ -909,7 +911,7 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
             SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
             FROM embeddings ORDER BY vec_id LIMIT {k}
         ),
-        c0 AS (
+        c0 AS MATERIALIZED (
             -- no rounding: float32 -> double is exact and identical in
             -- both engines, and Spark's init uses the raw values
             SELECT i.cluster, v.dim, v.val
