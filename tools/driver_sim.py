@@ -7,12 +7,22 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os as _os
+
 from pyspark.sql import SparkSession
 
 # Vanilla session — deliberately NOT appengine_mapreduce_spark.session.get_spark:
 # no UTC pin, no nanosAsLong, default shuffle partitions. The contract must
 # set what it needs at runtime.
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+_builder = SparkSession.builder.master("local[8]").appName("driver-sim")
+# The sf0.01 gate stays VANILLA (default 1g heap — that's the point).
+# Scale sweeps (SPARK_GRAFT_SIM_SF) may opt into a bigger heap via
+# SPARK_GRAFT_SIM_MEM: at sf1 the 4M-edge graph queries need more than
+# the vanilla driver default, which is a harness bound, not an engine one.
+if _os.environ.get("SPARK_GRAFT_SIM_MEM"):
+    _builder = _builder.config(
+        "spark.driver.memory", _os.environ["SPARK_GRAFT_SIM_MEM"])
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import duckdb
@@ -21,8 +31,6 @@ import __spark_entry__ as entrymod
 
 # default = the driver's gate SF; override to re-prove parity at scale
 # (e.g. SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1)
-import os as _os
-
 SF = _os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 conn = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
