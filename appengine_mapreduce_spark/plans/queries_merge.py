@@ -70,7 +70,9 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM orders GROUP BY o_custkey) o
             JOIN customer ON o_custkey = c_custkey
             UNION ALL
-            SELECT c_custkey + 100000, 'NEW', DATE '1998-01-01'
+            -- negated keys: disjoint from real custkeys at ANY scale
+            -- (+100000 collided with sf1's tiled key range)
+            SELECT -c_custkey, 'NEW', DATE '1998-01-01'
             FROM customer WHERE c_custkey % 50 = 0
         ),
         changed AS (
@@ -123,7 +125,7 @@ def scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ud").alias("effective_date"),
     ).unionByName(
         cust.filter(F.col("c_custkey") % 50 == 0).select(
-            (F.col("c_custkey") + 100000).alias("key"),
+            (-F.col("c_custkey")).alias("key"),
             F.lit("NEW").alias("segment"),
             F.lit("1998-01-01").cast("date").alias("effective_date"),
         )
