@@ -270,7 +270,9 @@ def mulaw_expand(b: int) -> int:
 
 def mulaw_compress(x: int) -> int:
     """Linear int16 -> one µ-law byte (involution with expand: tested
-    over every byte value)."""
+    over every byte value EXCEPT 0x7F, µ-law negative zero, which
+    expands to 0 and re-compresses to positive zero 0xFF — the standard
+    G.711 alias; see tests/test_media_codecs.py)."""
     sign = 0x80 if x < 0 else 0
     if x < 0:
         x = -x
@@ -1220,6 +1222,12 @@ def decode_avi_mrle_frames(
     frames = []
     for raw in raw_frames:
         mrle_apply_frame(canvas, raw, width, height)
+        if canvas and palette and max(canvas) >= len(palette):
+            raise MediaFormatError(
+                "MRLE pixel index exceeds palette size"
+            )
+        if not palette:
+            raise MediaFormatError("MRLE stream has no palette")
         # snapshot, re-ordered top-down
         frames.append([
             canvas[y * width + x]
@@ -1789,6 +1797,12 @@ def decode_gif_frames(blob: bytes) -> "tuple[GifMeta, list[GifFrame]]":
             if len(indices) < fw * fh:
                 raise MediaFormatError("LZW stream short of frame size")
             indices = indices[: fw * fh]
+            if palette and max(indices) >= len(palette):
+                raise MediaFormatError(
+                    "GIF pixel index exceeds color table size"
+                )
+            if not palette:
+                raise MediaFormatError("GIF frame has no color table")
             interlaced = bool(local & 0x40)
             if interlaced:
                 indices = _deinterlace(indices, fw, fh)

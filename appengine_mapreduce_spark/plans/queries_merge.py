@@ -21,7 +21,9 @@ from appengine_mapreduce_spark.plans.tables import load
             SELECT c_custkey, 'PREMIUM' AS c_mktsegment, c_nationkey
             FROM customer WHERE c_custkey % 7 = 0
             UNION ALL
-            SELECT c_custkey + 200000, 'NEWSEG', CAST(99 AS INT)
+            -- negated keys: disjoint from real custkeys at ANY scale
+            -- (an additive offset collides once SF tiling reaches it)
+            SELECT -c_custkey, 'NEWSEG', CAST(99 AS INT)
             FROM customer WHERE c_custkey % 100 = 0
         )
         SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
@@ -46,7 +48,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.lit("PREMIUM").alias("c_mktsegment"), "c_nationkey"
     ).unionByName(
         cust.filter(F.col("c_custkey") % 100 == 0).select(
-            (F.col("c_custkey") + 200000).alias("c_custkey"),
+            (-F.col("c_custkey")).alias("c_custkey"),
             F.lit("NEWSEG").alias("c_mktsegment"),
             F.lit(99).cast("int").alias("c_nationkey"),
         )

@@ -1071,6 +1071,52 @@ def test_gif_truncated_extension_introducer():
         decode_gif_meta(truncated)
 
 
+def test_gif_pixel_index_beyond_palette_raises():
+    """A frame whose LZW stream emits an index >= the color-table size
+    must raise MediaFormatError (the malformed-input contract every
+    decoder follows), not IndexError at stats time. Hand-built GIF:
+    2-entry global table, mcs=2 so literal code 3 is legal LZW but
+    out of palette range."""
+    import struct as _struct
+
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_gif_frames,
+    )
+
+    blob = bytearray(b"GIF89a")
+    blob += _struct.pack("<HH", 2, 1)          # logical screen 2x1
+    blob += bytes((0x80, 0, 0))                # global table, 2 entries
+    blob += bytes((0, 0, 0, 255, 255, 255))    # the 2-entry palette
+    blob += bytes((0x2C,)) + _struct.pack("<HHHH", 0, 0, 2, 1)
+    blob += bytes((0x00, 0x02))                # no local table; mcs=2
+    # LZW codes [clear=4, literal 3, literal 0, end=5] @3 bits LSB-first
+    packed = 4 | (3 << 3) | (0 << 6) | (5 << 9)
+    blob += bytes((0x02, packed & 0xFF, packed >> 8, 0x00, 0x3B))
+    with pytest.raises(MediaFormatError, match="color table"):
+        decode_gif_frames(bytes(blob))
+
+
+def test_mrle_pixel_index_beyond_palette_raises():
+    """Same contract for MS-RLE AVI: a composited canvas index past the
+    strf palette raises MediaFormatError, not IndexError."""
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_avi_mrle_frames,
+        encode_minimal_avi_mrle,
+    )
+
+    bad = encode_minimal_avi_mrle(
+        [[3, 0, 1, 0]], 2, 2, [(0, 0, 0), (255, 255, 255)]
+    )
+    with pytest.raises(MediaFormatError, match="palette"):
+        decode_avi_mrle_frames(bad)
+
+
 def test_g711_companding_involution_and_wav_path():
     """G.711 µ-law/A-law: compress(expand(b)) == b for every byte value
     (µ-law's 0x7F is the known -0 alias of 0xFF), quantization error
