@@ -33,6 +33,41 @@ sys.path.insert(0, REPO)
 DEFAULT_SF1 = os.path.join(REPO, "testdata", "sf1")
 
 
+def _wide_probes(spark, sf_dir: str) -> "dict[str, object]":
+    """Deliberately memory-wide plans (VERDICT r5 ask #3): each one's
+    working set at sf1 exceeds a small heap's execution-memory share, so
+    a green run REQUIRES the external (spilling) code path — evidence
+    that more than one operator class survives memory pressure:
+
+    - full-payload global sort: range exchange + UnsafeExternalSorter
+      over every lineitem column (the training-export ORDER BY shape);
+    - unbounded collect_list: full-payload struct lists over 1.5M
+      groups — past the 128-group fallback threshold
+      ObjectHashAggregate switches to sort-based aggregation, whose
+      external sorter spills its runs (a 3-group variant instead OOMs
+      any heap: one group's FINAL array must materialize in one task —
+      that shape is a genuine anti-pattern, not a spill case);
+    - wide join + re-sort: full-payload lineitem⋈orders, then a sort on
+      a non-join key so both the SMJ sides and the final sort run
+      through external sorters.
+    """
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return {
+        "probe_global_sort_full_payload":
+            li.orderBy("l_shipdate", "l_orderkey", "l_linenumber"),
+        "probe_collect_list_unbounded":
+            li.groupBy("l_orderkey").agg(
+                F.collect_list(F.struct(*li.columns)).alias("rows_blob"))
+            .select("l_orderkey", F.size("rows_blob").alias("n")),
+        "probe_join_wide_payload":
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .orderBy(F.desc("o_orderdate"), "l_partkey"),
+    }
+
+
 def _child(sf_dir: str) -> dict:
     from appengine_mapreduce_spark.core.runtime_metrics import stage_totals
     from appengine_mapreduce_spark.plans import bench_queries
@@ -42,11 +77,20 @@ def _child(sf_dir: str) -> dict:
     heap = spark.sparkContext._conf.get("spark.driver.memory")
     results: dict[str, dict] = {}
     before = stage_totals(spark)
-    for name, spec in sorted(bench_queries().items()):
+    bench_fns = {n: s.fn for n, s in bench_queries().items()}
+    wide = {n: (lambda sp, sd, df=df: df)
+            for n, df in _wide_probes(spark, sf_dir).items()}
+    todo = {**bench_fns, **wide}
+    only = os.environ.get("SPILL_PROBE_ONLY")  # comma-sep substring filter
+    if only:
+        subs = [s for s in only.split(",") if s]
+        todo = {n: f for n, f in todo.items()
+                if any(s in n for s in subs)}
+    for name, spec in sorted(todo.items()):
         t0 = time.perf_counter()
         err = None
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode(
+            spec(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
         except Exception as exc:  # record, keep probing
             err = f"{type(exc).__name__}: {exc}"[:200]
