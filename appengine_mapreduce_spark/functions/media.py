@@ -214,16 +214,27 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
     import array
 
     meta = decode_wav_meta(blob)
-    # locate the data chunk again (decode_wav_meta validated structure)
+    # locate the data chunk again (decode_wav_meta validated structure);
+    # keep fmt's block_align on the way (the ADPCM block size)
     pos = 12
     payload = b""
+    block_align = 0
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if tag == b"fmt " and size >= 16:
+            (block_align,) = struct.unpack(
+                "<H", blob[pos + 8 + 12 : pos + 8 + 14])
         if tag == b"data":
             payload = blob[pos + 8 : pos + 8 + size]
             break
         pos += 8 + size + (size & 1)
+    if meta.audio_format == WAVE_FORMAT_IMA_ADPCM:
+        if meta.n_channels != 1:
+            raise MediaFormatError(
+                "only mono IMA ADPCM supported (stereo interleaves "
+                "4-byte words per channel — out of fixture scope)")
+        return meta, _decode_wav_adpcm_payload(payload, block_align)
     if meta.audio_format == WAVE_FORMAT_MULAW:
         return meta, [mulaw_expand(b) for b in payload]
     if meta.audio_format == WAVE_FORMAT_ALAW:
@@ -353,6 +364,201 @@ def encode_wav_g711(
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --- IMA ADPCM (DVI4; WAV format 0x11) --------------------------------------
+#
+# PREDICTIVE lossy audio: 4-bit differential coding with an adaptive
+# step size — the third codec family after companded (G.711) and
+# transform-free lossless (FLAC). Unlike the perceptual codecs, the IMA
+# algorithm is fully public arithmetic (the 1992 IMA Digital Audio
+# Focus Group spec; also RFC 3551's DVI4) and — decisively for the
+# honesty bar — the step/index tables below are CROSS-VALIDATED against
+# an INDEPENDENT in-container implementation: CPython's stdlib
+# ``audioop`` ships its own copy of IMA ADPCM, so
+# tests/test_multimodal.py asserts byte-exact agreement of this decoder
+# with ``audioop.adpcm2lin`` over random streams. A transcription error
+# in either table cannot pass that test. (MP3/AAC stay stubbed for the
+# same reason inverted: their ISO tables have NO in-container source to
+# transcribe from or validate against — see operators/multimodal.py:34.)
+
+WAVE_FORMAT_IMA_ADPCM = 0x11
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_decode_nibbles(
+    nibbles: "list[int]", predictor: int = 0, index: int = 0,
+) -> "list[int]":
+    """Decode a 4-bit IMA ADPCM nibble stream to linear int16 samples.
+
+    The reconstruction recurrence (diff accumulates step>>3 plus the
+    step halvings selected by the nibble's magnitude bits; bit 3 is the
+    sign; the step index walks _IMA_INDEX_TABLE clamped to [0, 88]) is
+    the published IMA algorithm verbatim — byte-exact vs stdlib
+    ``audioop.adpcm2lin``."""
+    if not 0 <= index <= 88:
+        raise MediaFormatError(f"ADPCM step index {index} out of range")
+    out = []
+    for n in nibbles:
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+        out.append(predictor)
+    return out
+
+
+def ima_adpcm_encode_nibbles(
+    samples: "list[int]", predictor: int = 0, index: int = 0,
+) -> "tuple[list[int], int, int]":
+    """Encode linear int16 samples to IMA nibbles; returns
+    (nibbles, final_predictor, final_index). The encoder tracks the
+    DECODER's reconstruction (standard closed-loop DPCM) so error never
+    accumulates past one step."""
+    nibbles = []
+    for s in samples:
+        step = _IMA_STEP_TABLE[index]
+        delta = int(s) - predictor
+        n = 0
+        if delta < 0:
+            n = 8
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+        nibbles.append(n)
+    return nibbles, predictor, index
+
+
+def _ima_wav_header(
+    sample_rate: int, block_align: int, samples_per_block: int,
+) -> bytes:
+    """fmt chunk for a mono format-0x11 WAV (cbSize=2 extension carries
+    samplesPerBlock, per the public Microsoft WAVE registry entry)."""
+    byte_rate = sample_rate * block_align // max(1, samples_per_block)
+    return struct.pack(
+        "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, 1, sample_rate, byte_rate,
+        block_align, 4, 2, samples_per_block,
+    )
+
+
+def encode_wav_adpcm_nibbles(
+    nibbles: "list[int]", predictor: int = 0, index: int = 0,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Fixture encoder: pin an EXACT nibble stream (plus initial block
+    header state) inside a one-block mono IMA ADPCM WAV — the analog of
+    encode_wav_companded for G.711: the oracle can replay the identical
+    stream without running a compressor. Odd nibble counts are padded
+    with a trailing 0 nibble (which decodes to one extra sample, as in
+    any fact-chunk-less ADPCM WAV — fixture callers use even counts)."""
+    if not 0 <= index <= 88:
+        raise MediaFormatError(f"ADPCM step index {index} out of range")
+    body = bytearray(struct.pack("<hBB", predictor, index, 0))
+    padded = list(nibbles) + ([0] if len(nibbles) % 2 else [])
+    for lo, hi in zip(padded[0::2], padded[1::2]):
+        body.append((lo & 0x0F) | ((hi & 0x0F) << 4))
+    block_align = len(body)
+    samples_per_block = (block_align - 4) * 2 + 1
+    fmt = _ima_wav_header(sample_rate, block_align, samples_per_block)
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_adpcm(
+    samples: "list[int]", sample_rate: int = 8000,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Compress linear int16 samples into a mono multi-block IMA ADPCM
+    WAV: each block header stores the block's first sample VERBATIM plus
+    the running step index (so blocks are independently seekable — the
+    format's design point); the remaining samples_per_block-1 samples
+    are closed-loop-encoded nibbles, low nibble first."""
+    if samples_per_block < 2 or samples_per_block % 2 == 0:
+        raise MediaFormatError("samples_per_block must be odd and >= 3")
+    block_align = 4 + (samples_per_block - 1) // 2
+    data = bytearray()
+    index = 0
+    pos = 0
+    while pos < len(samples):
+        chunk = samples[pos : pos + samples_per_block]
+        first = int(chunk[0])
+        nibs, _pred, index_out = ima_adpcm_encode_nibbles(
+            chunk[1:], predictor=first, index=index)
+        body = bytearray(struct.pack("<hBB", first, index, 0))
+        padded = nibs + [0] * ((samples_per_block - 1) - len(nibs))
+        for lo, hi in zip(padded[0::2], padded[1::2]):
+            body.append((lo & 0x0F) | ((hi & 0x0F) << 4))
+        data += body
+        index = index_out
+        pos += samples_per_block
+    fmt = _ima_wav_header(sample_rate, block_align, samples_per_block)
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _decode_wav_adpcm_payload(
+    payload: bytes, block_align: int,
+) -> "list[int]":
+    """Block walk for format-0x11 data: each block = 4-byte header
+    (int16 first sample, uint8 step index, reserved) + packed nibbles,
+    low nibble first. A trailing partial block decodes if it has at
+    least a header."""
+    if block_align < 5:
+        raise MediaFormatError("ADPCM block_align too small")
+    samples: list[int] = []
+    for off in range(0, len(payload), block_align):
+        block = payload[off : off + block_align]
+        if len(block) < 4:
+            break  # trailing sub-header fragment: no samples to recover
+        pred, idx, _res = struct.unpack("<hBB", block[:4])
+        if idx > 88:
+            raise MediaFormatError(f"ADPCM step index {idx} out of range")
+        samples.append(pred)
+        nibbles: list[int] = []
+        for b in block[4:]:
+            nibbles.append(b & 0x0F)
+            nibbles.append(b >> 4)
+        samples.extend(ima_adpcm_decode_nibbles(nibbles, pred, idx))
+    return samples
 
 
 # --- MP4 sample tables (stbl: stts/stsz) ------------------------------------

@@ -43,8 +43,12 @@ DECODERS_AVAILABLE = False  # flip when librosa/pyav exist in the image —
 # lossy audio decodes for real: G.711 µ-law/A-law are pure bit formulas
 # (functions/media.mulaw_expand/alaw_expand, involution-tested over all
 # 256 byte values) and flow through audio_pcm_features via the WAV
-# format-code dispatch. FLAC lossless-compressed audio decodes for
-# real (functions/flac.py: Rice residuals + fixed/LPC predictors +
+# format-code dispatch. PREDICTIVE lossy audio decodes for real: IMA
+# ADPCM (DVI4 / WAV format 0x11, functions/media.ima_adpcm_decode_nibbles)
+# — its step/index tables are cross-validated byte-exact against stdlib
+# audioop's independent implementation, the bar the ISO perceptual
+# tables cannot meet in this container. FLAC lossless-compressed audio
+# decodes for real (functions/flac.py: Rice residuals + fixed/LPC predictors +
 # stereo decorrelation + CRCs — fully algorithmic,
 # decode_flac_audio_features below). GIF pixels decode for real (LZW +
 # palette + interlace, decode_gif_pixel_stats below), TIFF strips

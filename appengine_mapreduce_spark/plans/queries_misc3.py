@@ -1030,3 +1030,105 @@ def mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("__ALL__").alias("event_type"), "distinct_users_est",
              "median_value_est")
     return per_type_est.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "adpcm_audio_features",
+    oracle="""
+        WITH RECURSIVE params AS (
+            SELECT doc_id, 33 + 2 * (doc_id % 24) AS n,
+                   ((doc_id * 97) % 2048) - 1024 AS pred0,
+                   doc_id % 89 AS idx0
+            FROM documents WHERE doc_id < 200
+        ),
+        dec AS (
+            SELECT doc_id, n, 0 AS i,
+                   CAST(pred0 AS INT) AS pred, CAST(idx0 AS INT) AS idx
+            FROM params
+            UNION ALL
+            SELECT doc_id, n, i + 1,
+                   CAST(LEAST(32767, GREATEST(-32768,
+                       CASE WHEN nib >= 8 THEN pred - diff
+                            ELSE pred + diff END)) AS INT),
+                   CAST(LEAST(88, GREATEST(0,
+                       idx + [-1,-1,-1,-1,2,4,6,8][(nib % 8) + 1])) AS INT)
+            FROM (
+                SELECT doc_id, n, i, pred, idx, nib,
+                       step // 8
+                       + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                       + CASE WHEN (nib // 2) % 2 = 1
+                              THEN step // 2 ELSE 0 END
+                       + CASE WHEN (nib // 4) % 2 = 1
+                              THEN step ELSE 0 END AS diff
+                FROM (
+                    SELECT d.*,
+                           (doc_id * 13 + i * 5 + (i * i) % 16) % 16
+                               AS nib,
+                           [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx + 1] AS step
+                    FROM dec d WHERE i < n - 1
+                )
+            )
+        ),
+        lagged AS (
+            SELECT doc_id, pred AS s,
+                   lag(pred) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM dec
+        )
+        SELECT doc_id, count(*) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND ((s >= 0) <> (prev >= 0))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+        FROM lagged GROUP BY doc_id
+    """,
+    description="REAL PREDICTIVE-audio sample decode through the driver "
+    "gate: IMA ADPCM (DVI4; WAV format 0x11) — 4-bit differential coding "
+    "with adaptive step size, the third lossy-codec family after "
+    "companded G.711 and transform-free FLAC. Deterministic nibble "
+    "streams + per-doc initial (predictor, step-index) block headers are "
+    "pinned by the fixture encoder "
+    "(functions/media.encode_wav_adpcm_nibbles), decoded via the "
+    "published IMA recurrence (ima_adpcm_decode_nibbles, byte-exact "
+    "cross-validated against CPython stdlib audioop's INDEPENDENT "
+    "implementation), then integer-exact clip features. The oracle "
+    "replays the decoder STATE MACHINE in a recursive CTE — step table, "
+    "clamps, index walk and all — so the MATCH proves the sequential "
+    "codec arithmetic itself, engine-vs-engine. (Reference analog: "
+    "map-side blob processing, python/src/mapreduce/input_readers.py "
+    "BlobstoreZipInputReader-style per-blob decode fan-out.)",
+    tags=("multimodal", "udf", "audio", "adpcm"),
+)
+def adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import (
+        encode_wav_adpcm_nibbles,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 33 + 2 * (did % 24)
+                nibs = [(did * 13 + i * 5 + (i * i) % 16) % 16
+                        for i in range(n - 1)]
+                pred0 = ((did * 97) % 2048) - 1024
+                idx0 = did % 89
+                rows.append(
+                    (did, encode_wav_adpcm_nibbles(nibs, pred0, idx0)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return audio_pcm_features(blobs, id_col="doc_id", content_col="content")

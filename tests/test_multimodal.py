@@ -1436,3 +1436,102 @@ def test_mrle_interframe_compositing():
             sizes.append(sz)
         pos += 8 + sz + (sz & 1)
     assert all(s < sizes[0] for s in sizes[1:]), sizes
+
+
+def test_ima_adpcm_cross_validated_against_audioop():
+    """THE honesty anchor for the ADPCM tables: CPython's stdlib
+    audioop ships an INDEPENDENT IMA ADPCM implementation with its own
+    copy of the step/index tables. Byte-exact agreement over random
+    streams means a transcription error in _IMA_STEP_TABLE or
+    _IMA_INDEX_TABLE cannot survive this test. (audioop packs the first
+    sample of each byte in the HIGH nibble; the WAV layout is low-first
+    — the core decoder takes an explicit nibble list so both orders
+    share it.)"""
+    import array
+    import random
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from appengine_mapreduce_spark.functions.media import (
+        ima_adpcm_decode_nibbles,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        pcm = [rng.randint(-32768, 32767) for _ in range(1200)]
+        adpcm, _state = audioop.lin2adpcm(
+            array.array("h", pcm).tobytes(), 2, None)
+        ref = array.array("h")
+        ref.frombytes(audioop.adpcm2lin(adpcm, 2, None)[0])
+        nibs = []
+        for b in adpcm:
+            nibs += [b >> 4, b & 0x0F]
+        assert ima_adpcm_decode_nibbles(nibs, 0, 0) == ref.tolist()
+
+
+def test_ima_adpcm_wav_roundtrip_and_blocks():
+    """Closed-loop encoder tracks the decoder: multi-block WAV decode
+    recovers the signal within the adaptive step's error bound, block
+    headers re-seed state exactly (first sample of each block is stored
+    verbatim), and the pinned-nibble fixture reproduces a chosen stream
+    bit-exactly."""
+    import math
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav_adpcm,
+        encode_wav_adpcm_nibbles,
+        ima_adpcm_decode_nibbles,
+    )
+
+    sig = [int(6000 * math.sin(i / 9)) for i in range(1503)]
+    wav = encode_wav_adpcm(sig, samples_per_block=501)
+    meta, out = decode_wav_samples(wav)
+    assert meta.audio_format == 0x11
+    assert len(out) >= len(sig)
+    # every block's first sample is verbatim
+    for b0 in range(0, len(sig), 501):
+        assert out[b0] == sig[b0]
+    err = [abs(a - b) for a, b in zip(sig, out)]
+    assert max(err) < 4000 and sum(err) / len(err) < 200
+    # pinned-nibble fixture is exact
+    nibs = [(i * 7 + 5) % 16 for i in range(60)]
+    m2, s2 = decode_wav_samples(
+        encode_wav_adpcm_nibbles(nibs, predictor=-321, index=42))
+    assert s2 == [-321] + ima_adpcm_decode_nibbles(nibs, -321, 42)
+
+
+def test_ima_adpcm_malformed_contract():
+    """Out-of-range step index in a block header raises MediaFormatError
+    (the uniform malformed-input contract), as does a stereo format-0x11
+    claim (documented out of scope)."""
+    import struct as _struct
+
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        encode_wav_adpcm_nibbles,
+    )
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+    )
+
+    good = encode_wav_adpcm_nibbles([1, 2, 3, 4], 0, 0)
+    # corrupt the block header's step index (data chunk body offset 2)
+    data_pos = good.index(b"data") + 8
+    bad = bytearray(good)
+    bad[data_pos + 2] = 99
+    with pytest.raises(MediaFormatError, match="step index"):
+        decode_wav_samples(bytes(bad))
+    with pytest.raises(MediaFormatError):
+        encode_wav_adpcm_nibbles([1], 0, index=89)
+    # stereo claim: patch n_channels in fmt
+    fmt_pos = good.index(b"fmt ") + 8
+    st = bytearray(good)
+    st[fmt_pos + 2 : fmt_pos + 4] = _struct.pack("<H", 2)
+    with pytest.raises(MediaFormatError, match="mono"):
+        decode_wav_samples(bytes(st))
