@@ -405,6 +405,60 @@ def ngram_contamination(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / training-prep
+    staple: split each document into ``chunk_tokens``-token windows that
+    overlap by ``overlap`` tokens, keeping provenance (doc id, chunk
+    ordinal, token offset). Output: (id, chunk_id, start_token, n_tokens,
+    chunk_text); empty documents produce no chunks; the final window may
+    be short (no padding — consumers see true lengths); a window whose
+    tokens would ALL fall inside the previous window's overlap region is
+    suppressed (start > 0 requires start + overlap < n), so no chunk is
+    pure repetition.
+
+    Scale shape: a NARROW transform end to end — split, ``sequence`` of
+    window starts, ``explode``, ``slice``, ``array_join`` are all JVM
+    expressions inside one whole-stage-codegen span; no shuffle, no UDF,
+    no driver participation. Fan-out per row is ceil(n_tokens/stride),
+    bounded by document length, so 100 TB chunks exactly as it scans.
+    (Reference analog: map-only fan-out via NoReducer,
+    python/src/mapreduce/mapper_pipeline.py:1 — one input record to many
+    output records with no shuffle.)"""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = ensure_parallelism(df.select(id_col, text_col))
+    toks = nonempty_tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("start_token"),
+    ).filter(
+        (F.size("_toks") > 0)
+        & (
+            (F.col("start_token") == 0)
+            | (F.col("start_token") + overlap < F.size("_toks"))
+        )
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start_token") / stride).cast("int").alias("chunk_id"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -117,3 +117,45 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+@register(
+    "document_chunks",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0, CAST(len(t) - 1 AS INT), 48)) AS s
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               -- filter mirrors the operator: suppress pure-overlap tails
+               CAST(s // 48 AS INT) AS chunk_id,
+               CAST(s AS INT) AS start_token,
+               CAST(len(t[s + 1 : s + 64]) AS INT) AS n_tokens,
+               array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+        FROM starts
+        WHERE s = 0 OR s + 16 < len(t)
+    """,
+    description="Sliding-window document chunking "
+    "(operators/text_analysis.chunk_documents): 64-token windows, "
+    "16-token overlap, with provenance (chunk ordinal, token offset, "
+    "true final-window length) — the RAG-indexing / training-prep "
+    "fan-out. Narrow plan: split/sequence/explode/slice/array_join in "
+    "one codegen span, zero shuffles, zero UDFs. The oracle replays the "
+    "same windows with DuckDB list slicing.",
+    tags=("text", "training-data", "chunking"),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)

@@ -805,3 +805,56 @@ def test_mergeable_sketches_accuracy_and_merge_consistency(spark):
     med = ev.approxQuantile("value", [0.5], 0.01)[0]
     got = out["__ALL__"].median_value_est
     assert abs(got - med) <= 0.1 * max(1.0, abs(med)), (got, med)
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    """Sliding-window chunking invariants: consecutive chunks of one doc
+    share exactly `overlap` tokens (when the earlier chunk is full
+    width); concatenating each chunk's first `stride` tokens
+    reconstructs the document; final window reports its true (short)
+    length; empty docs emit nothing; and the plan is narrow — zero
+    exchanges."""
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(150))),  # multi-chunk
+        (2, "a b c"),                                # single short chunk
+        (3, ""),                                     # empty -> no chunks
+        (4, " ".join(f"x{i}" for i in range(64))),   # exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for chunks in got.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+
+    assert 3 not in got
+    assert [r.n_tokens for r in got[2]] == [3]
+    stride = 48
+    # doc 1 (150 tokens): starts 0,48,96; 144 is suppressed (144+16>=150
+    # would be pure overlap of window 96's coverage)
+    assert [r.start_token for r in got[1]] == [0, 48, 96]
+    assert [r.n_tokens for r in got[1]] == [64, 64, 54]
+    toks1 = [f"w{i}" for i in range(150)]
+    # overlap: chunk k's first 16 tokens == chunk k-1's tokens 48..63
+    for prev, cur in zip(got[1], got[1][1:]):
+        ptoks = prev.chunk_text.split(" ")
+        ctoks = cur.chunk_text.split(" ")
+        if len(ptoks) == 64:
+            assert ptoks[stride:] == ctoks[: len(ptoks) - stride]
+    # coverage: union of windows == the whole document, in order
+    covered = got[1][0].chunk_text.split(" ")
+    for r in got[1][1:]:
+        covered.extend(r.chunk_text.split(" ")[16:])
+    assert covered == toks1
+    # doc 4 (exactly 64 tokens): one window only — the would-be start-48
+    # window is all overlap and is suppressed
+    assert [r.start_token for r in got[4]] == [0]
+    assert [r.n_tokens for r in got[4]] == [64]
+    # narrow plan: no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
