@@ -1460,16 +1460,22 @@ def test_ima_adpcm_cross_validated_against_audioop():
     )
 
     rng = random.Random(20260814)
-    for trial in range(5):
+    # zero state and RANDOM initial (predictor, step-index) states — the
+    # latter exercise the whole step table, not just the low indices a
+    # zero-state walk reaches quickly
+    states = [(0, 0)] + [
+        (rng.randint(-30000, 30000), rng.randint(0, 88)) for _ in range(8)
+    ]
+    for pred, idx in states:
         pcm = [rng.randint(-32768, 32767) for _ in range(1200)]
         adpcm, _state = audioop.lin2adpcm(
-            array.array("h", pcm).tobytes(), 2, None)
+            array.array("h", pcm).tobytes(), 2, (pred, idx))
         ref = array.array("h")
-        ref.frombytes(audioop.adpcm2lin(adpcm, 2, None)[0])
+        ref.frombytes(audioop.adpcm2lin(adpcm, 2, (pred, idx))[0])
         nibs = []
         for b in adpcm:
             nibs += [b >> 4, b & 0x0F]
-        assert ima_adpcm_decode_nibbles(nibs, 0, 0) == ref.tolist()
+        assert ima_adpcm_decode_nibbles(nibs, pred, idx) == ref.tolist()
 
 
 def test_ima_adpcm_wav_roundtrip_and_blocks():
