@@ -278,10 +278,34 @@ def union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "random_strings_count",
-    oracle=None,  # seeded RNG is engine-specific — driver does rows-only check
+    oracle="""
+        WITH ids AS (SELECT unnest(generate_series(0, 9999)) AS id),
+        h AS (SELECT id, md5('42:' || id) AS hx FROM ids),
+        s AS (
+          SELECT id, array_to_string(list_transform(generate_series(0, 7),
+              i -> chr(CAST(97 +
+                  ((strpos('0123456789abcdef', substr(hx, i*2+1, 1))-1)*16
+                 + (strpos('0123456789abcdef', substr(hx, i*2+2, 1))-1))
+                  % 26 AS INT))),
+              '') AS value
+          FROM h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+               CAST(min(length(value)) AS INT) AS min_len,
+               CAST(max(length(value)) AS INT) AS max_len,
+               min(value) AS first_string,
+               max(value) AS last_string
+        FROM s
+    """,
     description="RandomStringInputReader generator (reference: "
-    "input_readers.py:1834-1926): count × fixed-length seeded random strings; "
-    "deterministic per seed within Spark.",
+    "input_readers.py:1834-1926): count × fixed-length seeded random "
+    "strings. The generator is counter-based (char j of string i derives "
+    "from md5(seed:i) — sources/generators.py:42), NOT engine RNG, so it "
+    "replays exactly in DuckDB: upgraded round 6 from a rows-only check "
+    "to a FULL value-hash oracle that regenerates the identical 10k "
+    "strings from the same md5 recurrence and pins content (lexicographic "
+    "min/max) as well as counts.",
     tags=("mr-parity", "generator"),
 )
 def random_strings_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +317,8 @@ def random_strings_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("value").alias("n_distinct"),
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
+        F.min("value").alias("first_string"),
+        F.max("value").alias("last_string"),
     )
 
 

@@ -84,8 +84,11 @@ _CURATED_FIRST: tuple[str, ...] = (
     "grouping_sets_order_stats", "profile_orders_table",
     # text / tokenizer tail:
     "token_budget_packing", "doc_fingerprints",
+    # formerly rows-only, upgraded to a full oracle in round 6 (the
+    # md5-counter generator replays in DuckDB):
+    "random_strings_count",
     # rows-only set (no SQL oracle; driver records rows-only checks):
-    "random_strings_count", "approx_distinct_parts", "mergeable_sketches",
+    "approx_distinct_parts", "mergeable_sketches",
     "pq_ann_topk", "kmeans_ivf_clusters", "bpe_learned_merges",
 )
 
