@@ -42,6 +42,7 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
     pos = 12
     fmt = None
     data_size = None
+    fact_frames = None
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
@@ -52,6 +53,11 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
             (audio_format, n_channels, sample_rate, _byte_rate,
              block_align, bits) = struct.unpack("<HHIIHH", body[:16])
             fmt = (n_channels, sample_rate, bits, block_align, audio_format)
+        elif tag == b"fact" and len(body) >= 4:
+            # dwSampleLength: the TRUE per-channel frame count — the WAV
+            # spec's answer to compressed formats whose data-chunk size
+            # no longer implies it (block padding, variable rate)
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif tag == b"data" and data_size is None:
             # FIRST data chunk (the one decode_wav_samples reads), with
             # the declared size capped to the bytes actually present so a
@@ -64,6 +70,8 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
     if block_align == 0 or sample_rate == 0:
         raise MediaFormatError("zero block_align/sample_rate")
     n_frames = data_size // block_align
+    if audio_format != WAVE_FORMAT_PCM and fact_frames is not None:
+        n_frames = fact_frames
     return WavMeta(
         n_channels=n_channels,
         sample_rate=sample_rate,
@@ -219,12 +227,16 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
     pos = 12
     payload = b""
     block_align = 0
+    fact_frames = None
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         if tag == b"fmt " and size >= 16:
             (block_align,) = struct.unpack(
                 "<H", blob[pos + 8 + 12 : pos + 8 + 14])
+        if tag == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack(
+                "<I", blob[pos + 8 : pos + 12])
         if tag == b"data":
             payload = blob[pos + 8 : pos + 8 + size]
             break
@@ -234,7 +246,13 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
             raise MediaFormatError(
                 "only mono IMA ADPCM supported (stereo interleaves "
                 "4-byte words per channel — out of fixture scope)")
-        return meta, _decode_wav_adpcm_payload(payload, block_align)
+        samples = _decode_wav_adpcm_payload(payload, block_align)
+        # the fact chunk's dwSampleLength is the true count — drop the
+        # final block's nibble-padding samples (absent fact: keep all,
+        # the standard fact-less behavior)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return meta, samples
     if meta.audio_format == WAVE_FORMAT_MULAW:
         return meta, [mulaw_expand(b) for b in payload]
     if meta.audio_format == WAVE_FORMAT_ALAW:
@@ -483,9 +501,10 @@ def encode_wav_adpcm_nibbles(
     """Fixture encoder: pin an EXACT nibble stream (plus initial block
     header state) inside a one-block mono IMA ADPCM WAV — the analog of
     encode_wav_companded for G.711: the oracle can replay the identical
-    stream without running a compressor. Odd nibble counts are padded
-    with a trailing 0 nibble (which decodes to one extra sample, as in
-    any fact-chunk-less ADPCM WAV — fixture callers use even counts)."""
+    stream without running a compressor. Odd nibble counts pad the last
+    byte's high nibble with 0; the fact chunk records the TRUE sample
+    count (1 + len(nibbles)) so decode drops the padding sample, per
+    the WAV spec's compressed-format contract."""
     if not 0 <= index <= 88:
         raise MediaFormatError(f"ADPCM step index {index} out of range")
     body = bytearray(struct.pack("<hBB", predictor, index, 0))
@@ -497,6 +516,7 @@ def encode_wav_adpcm_nibbles(
     fmt = _ima_wav_header(sample_rate, block_align, samples_per_block)
     chunks = b"WAVE"
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, 1 + len(nibbles))
     chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
@@ -531,6 +551,7 @@ def encode_wav_adpcm(
     fmt = _ima_wav_header(sample_rate, block_align, samples_per_block)
     chunks = b"WAVE"
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, len(samples))
     chunks += b"data" + struct.pack("<I", len(data)) + bytes(data)
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
