@@ -92,6 +92,53 @@ def as_of_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with the same
+    ``key`` and ``start_ts <= point_ts < end_ts``. The third temporal
+    join Spark lacks natively (after as-of above and the stream-stream
+    interval join in streaming/): sessions, campaign windows, incident
+    impact, slowly-changing validity ranges.
+
+    The naive formulation — equi-join on key plus a range predicate —
+    degenerates per key into an all-pairs filter (and without a key into
+    BroadcastNestedLoopJoin), quadratic in the hot key's rows. This is
+    the standard BUCKETIZED strategy instead: points map to the single
+    time bucket containing them; intervals EXPLODE to every bucket they
+    overlap; the join becomes a plain equi-join on (key, bucket) with an
+    exact containment filter behind it. Each (point, interval) pair
+    meets in exactly one bucket — the point's — so no dedup is needed.
+
+    Scale: fan-out per interval is len/bucket_seconds + 1 (pick
+    ``bucket_seconds`` near the TYPICAL interval length: too small
+    explodes the interval side, too large degrades toward per-bucket
+    all-pairs); one shuffle per side on (key, bucket); skewed keys
+    split further by bucket, which is exactly the salting dimension a
+    hot key needs. Timestamps compare at microsecond precision
+    (cast("double") is exact there — sub-µs would need epoch longs).
+    """
+    overlap = (set(points.columns) & set(intervals.columns)) - {key}
+    if overlap:
+        raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+    p_bkt = F.floor(F.col(point_ts).cast("double") / bucket_seconds)
+    i_lo = F.floor(F.col(start_ts).cast("double") / bucket_seconds)
+    i_hi = F.floor(F.col(end_ts).cast("double") / bucket_seconds)
+    pb = points.withColumn("_bkt", p_bkt)
+    ib = intervals.withColumn("_bkt", F.explode(F.sequence(i_lo, i_hi)))
+    joined = pb.join(ib, [key, "_bkt"]).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bkt")
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

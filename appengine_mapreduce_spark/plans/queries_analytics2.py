@@ -371,3 +371,53 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "incident_click_attribution",
+    oracle="""
+        WITH err AS (
+            SELECT user_id, event_id AS error_id, ts AS t0,
+                   ts + INTERVAL 2 HOUR AS t1
+            FROM events WHERE event_type = 'error'
+        ),
+        clk AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT c.user_id, c.click_id, e.error_id
+        FROM clk c JOIN err e
+          ON c.user_id = e.user_id
+         AND c.click_ts >= e.t0 AND c.click_ts < e.t1
+    """,
+    description="Point-in-interval (RANGE) join via the bucketized "
+    "strategy (operators/joins.interval_join): every click inside the "
+    "2-hour incident window opened by an error event of the same user — "
+    "incident impact attribution. Points hash to their one time bucket, "
+    "intervals explode to <=3 buckets (2h window / 1h buckets), and the "
+    "range join becomes an equi-join on (user, bucket) + containment "
+    "filter: never BroadcastNestedLoopJoin, never per-key all-pairs. "
+    "The oracle runs the plain non-equi join (exact at gate SF).",
+    tags=("analytics", "join", "range"),
+)
+def incident_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        clicks, errors, key="user_id",
+        point_ts="click_ts", start_ts="t0", end_ts="t1",
+        bucket_seconds=3600,
+    )
+    return joined.select("user_id", "click_id", "error_id")

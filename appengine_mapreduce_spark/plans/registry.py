@@ -47,10 +47,10 @@ _CURATED_FIRST: tuple[str, ...] = (
     # each already has 5 green CORRECTNESS_r{1..5} rows) so the ENTIRE
     # 31-query never-witnessed tail fits the 50-slot window this round.
     # Round-7 builder: restore those six anchors here — after r06 the
-    # only registry entries without a driver CORRECTNESS row are the two
-    # round-6 additions (adpcm_audio_features, document_chunks); give
-    # them two of the freed rotation slots and the ledger closes at the
-    # full registry. Bench comparability is unaffected: the bench set is
+    # only registry entries without a driver CORRECTNESS row are the
+    # round-6 additions (adpcm_audio_features, document_chunks,
+    # incident_click_attribution); give them three of the freed rotation
+    # slots and the ledger closes at the full registry. Bench comparability is unaffected: the bench set is
     # frozen in bench_queries() via the ``bench=True`` flag, independent
     # of this correctness ordering.
     "mapreduce_api_wordcount", "mapreduce_api_eventfilter",

@@ -858,3 +858,50 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     # narrow plan: no shuffle anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Bucketized range join: containment is [start, end); pairs meeting
+    across bucket boundaries are found; keys isolate; result equals the
+    naive non-equi join on a randomized fixture; and the plan is an
+    EQUI-join — no BroadcastNestedLoopJoin, no CartesianProduct."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    rng = random.Random(7)
+    points = [(i % 5, float(rng.randrange(0, 100_000)), i)
+              for i in range(400)]
+    ivals = []
+    for j in range(120):
+        s = float(rng.randrange(0, 100_000))
+        ivals.append((j % 5, s, s + rng.randrange(1, 15_000), j))
+    pdf = spark.createDataFrame(
+        points, "k bigint, ts double, pid bigint")
+    idf = spark.createDataFrame(
+        ivals, "k bigint, s double, e double, iid bigint")
+
+    out = interval_join(pdf, idf, key="k", point_ts="ts",
+                        start_ts="s", end_ts="e", bucket_seconds=3600)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    naive = {
+        (p[2], v[3])
+        for p in points for v in ivals
+        if p[0] == v[0] and v[1] <= p[1] < v[2]
+    }
+    assert got == naive and naive  # non-empty and exactly equal
+
+    # boundary: start inclusive, end exclusive
+    p2 = spark.createDataFrame([(1, 100.0, 0), (1, 200.0, 1)],
+                               "k bigint, ts double, pid bigint")
+    i2 = spark.createDataFrame([(1, 100.0, 200.0, 0)],
+                               "k bigint, s double, e double, iid bigint")
+    pairs = {(r.pid, r.iid) for r in interval_join(
+        p2, i2, "k", "ts", "s", "e", bucket_seconds=50).collect()}
+    assert pairs == {(0, 0)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -4,6 +4,11 @@ run the frozen 25-headliner bench suite at an sf2 fixture
 (tools/gen_sf.py --mult 20) and report per-query sf1→sf2 exponents
 (log2 ratio over the 2× data growth, so 1.0 = linear, 0.0 = flat).
 
+Each suite runs in its OWN subprocess: a shared JVM measured sf1-then-
+sf2 inflated the sf2 numbers ~15% with 2× run-to-run spread (accumulated
+context state), which first read as a fake super-linear q3 — process
+isolation is what makes the exponents attributable to the data growth.
+
 Deliberately a SEPARATE tool: bench.py's payload shape is frozen for
 round-over-round comparability, so the extra decade is additive
 evidence committed as BENCH_SF2_r{N}.json, not a change to the driver's
@@ -17,12 +22,83 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench  # noqa: E402  (reuses the frozen suite + calibration)
+_CHILD_CODE = """
+import sys, json
+sys.path.insert(0, {repo!r})
+import bench
+out = bench._run_suite({sf_dir!r}, 2, {label!r})
+print("@@RESULT@@" + json.dumps(out))
+"""
+
+# The suite times `collect()` (the bench contract — unchanged for
+# comparability). For queries whose RESULT cardinality scales with SF,
+# that conflates the DISTRIBUTED plan with DRIVER-SIDE row
+# materialization: at sf2 the as-of join's 4M-row collect dominated,
+# jittered 2-3x run-to-run (driver GC), and read as a fake 1.7-3.1
+# exponent while the plan itself was flat. This second pass times
+# exactly those queries through the noop sink — full execution, zero
+# driver buffers — yielding plan-only exponents. Small-result queries
+# (top-k, scalar aggregates) are NOT noop-timed: their collect cost is
+# negligible, and for ORDER BY + LIMIT plans a write changes the
+# physical strategy (global sort + limit instead of
+# TakeOrderedAndProject — measured 3x slower on q21), so noop would
+# measure a plan the user never runs.
+_NOOP_QUERIES = (
+    # result rows scale with SF (sf2 counts in parens), no final top-k
+    "asof_join_latest_order",     # 2M in == 2M out
+    "mapreduce_api_eventfilter",  # 402k
+    "scd2_upsert",                # 396k
+    "q18_large_orders",           # 302k
+    "minhash_lsh_pairs",          # 280k
+    "phrases_demo",               # 197k
+    "simhash_fingerprints",       # 100k (one per doc)
+    "repetition_signals",         # 100k
+    "quality_scores",             # 100k
+    "dedup_exact",                # 97k
+    "hourly_event_stats",         # 72k
+    "sessionize_users",           # 30k
+)
+_NOOP_CODE = """
+import sys, json, time, statistics
+sys.path.insert(0, {repo!r})
+from appengine_mapreduce_spark.session import get_spark
+from appengine_mapreduce_spark.plans import bench_queries
+spark = get_spark(app_name={label!r})
+spark.sparkContext.setLogLevel("ERROR")
+specs = bench_queries()
+out = {{}}
+for name in {noop_queries!r}:
+    runs = []
+    for rnd in range(3):  # round 0 = warmup, discarded
+        t0 = time.perf_counter()
+        specs[name].fn(spark, {sf_dir!r}).write.format("noop").mode(
+            "overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    out[name] = round(statistics.median(runs[1:]), 4)
+print("@@RESULT@@" + json.dumps(out))
+"""
+
+
+def _child(code_tmpl: str, sf_dir: str, label: str) -> dict:
+    code = code_tmpl.format(repo=REPO, sf_dir=sf_dir, label=label,
+                            noop_queries=_NOOP_QUERIES)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, timeout=3600)
+    proc.check_returncode()
+    for line in proc.stdout.decode().splitlines():
+        if line.startswith("@@RESULT@@"):
+            return json.loads(line[len("@@RESULT@@"):])
+    raise RuntimeError(f"no result line from {label} child")
+
+
+def _suite(sf_dir: str, label: str) -> dict:
+    return _child(_CHILD_CODE, sf_dir, label)
 
 
 def main() -> None:
@@ -33,13 +109,21 @@ def main() -> None:
     if not os.path.isdir(sf2_dir):
         raise SystemExit(f"missing sf2 fixture {sf2_dir} — run "
                          "tools/gen_sf.py --mult 20 first")
-    sf1 = bench._run_suite(sf1_dir, 2, "sf1")
-    sf2 = bench._run_suite(sf2_dir, 2, "sf2")
+    import bench  # for _round_number only — no session in this process
+
+    sf1 = _suite(sf1_dir, "sf1")
+    sf2 = _suite(sf2_dir, "sf2")
+    noop1 = _child(_NOOP_CODE, sf1_dir, "noop-sf1")
+    noop2 = _child(_NOOP_CODE, sf2_dir, "noop-sf2")
     exponents = {
         n: round(
             math.log2(max(sf2["queries"][n], 1e-4)
                       / max(sf1["queries"][n], 1e-4)), 2)
         for n in sf1["queries"]
+    }
+    noop_exponents = {
+        n: round(math.log2(max(noop2[n], 1e-4) / max(noop1[n], 1e-4)), 2)
+        for n in noop1
     }
     out = {
         "metric": "sf2_sweep",
@@ -47,8 +131,14 @@ def main() -> None:
         "sf2_total": sf2["value"],
         "sf1_queries": sf1["queries"],
         "sf2_queries": sf2["queries"],
+        "sf1_spread": sf1["spread"],
+        "sf2_spread": sf2["spread"],
         "scaling_exponent_sf1_to_sf2_log2": exponents,
         "worst_exponent": max(exponents.values()),
+        "sf1_noop_queries": noop1,
+        "sf2_noop_queries": noop2,
+        "noop_exponent_sf1_to_sf2_log2": noop_exponents,
+        "worst_noop_exponent": max(noop_exponents.values()),
         "calibration_sec_sf1": sf1["calibration_sec"],
         "calibration_sec_sf2": sf2["calibration_sec"],
     }
@@ -57,7 +147,8 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"# written to {dest}", file=sys.stderr)
     print(json.dumps({k: out[k] for k in (
-        "sf1_total", "sf2_total", "worst_exponent")}))
+        "sf1_total", "sf2_total", "worst_exponent",
+        "worst_noop_exponent")}))
 
 
 if __name__ == "__main__":
