@@ -41,34 +41,36 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # follows in registration order and is still covered by the pytest
 # full-gate twin (tests/test_oracle_parity.py) and tools/driver_sim.py.
 _CURATED_FIRST: tuple[str, ...] = (
-    # ---- 19 anchors (round 6): the frozen bench headliner set minus six
-    # anchors temporarily rotated out (wordcount, q1_pricing_summary,
-    # q3_top_orders, q5_region_revenue, q6_revenue_delta, dedup_exact —
-    # each already has 5 green CORRECTNESS_r{1..5} rows) so the ENTIRE
-    # 31-query never-witnessed tail fits the 50-slot window this round.
-    # Round-7 builder: restore those six anchors here — after r06 the
-    # only registry entries without a driver CORRECTNESS row are the
-    # round-6 additions (adpcm_audio_features, document_chunks,
-    # incident_click_attribution); give them three of the freed rotation
-    # slots and the ledger closes at the full registry. Bench comparability is unaffected: the bench set is
-    # frozen in bench_queries() via the ``bench=True`` flag, independent
-    # of this correctness ordering.
+    # ---- 16 anchors (round 6): the frozen bench headliner set minus
+    # nine anchors temporarily rotated out (wordcount,
+    # q1_pricing_summary, q3_top_orders, q5_region_revenue,
+    # q6_revenue_delta, dedup_exact, sessionize_users,
+    # asof_join_latest_order — 5 green CORRECTNESS rows each — and
+    # hourly_event_stats with 4) so the window holds the ENTIRE
+    # never-witnessed set this round: the 31-query tail PLUS the three
+    # round-6 additions. If CORRECTNESS_r06 comes back green, the
+    # driver-witness ledger closes at the FULL registry. Round-7
+    # builder: restore all nine anchors here; every remaining slot is
+    # then free for whatever round 7 adds. Bench comparability is
+    # unaffected: the bench set is frozen in bench_queries() via the
+    # ``bench=True`` flag, independent of this correctness ordering.
     "mapreduce_api_wordcount", "mapreduce_api_eventfilter",
     "sq8_ann_topk", "scd2_upsert",
-    "sessionize_users", "asof_join_latest_order",
     "q21_waiting_suppliers", "q2_min_cost_supplier", "q9_profit_by_nation",
     "quality_scores", "repetition_signals",
     "cosine_topk", "ivf_topk", "minhash_lsh_pairs",
-    "phrases_demo", "hourly_event_stats", "q18_large_orders",
+    "phrases_demo", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- 31 rotation slots (round 6): the complete remaining tail of
-    # queries that have NEVER had a CORRECTNESS_r{N} row (all green in
-    # the pytest full-gate twin; this round gives each its independent
-    # driver witness). Round-5 slots (TPC-H q15/q16/q17/q20, capstone,
-    # dedup_clusters, global_shuffle_shards, stream-stream join replay,
-    # aac/jpeg/wav/mp4 metadata, wav_pcm_features, storage layout,
-    # token stats, sampling, ANN tail, window analytics) all went green
-    # in CORRECTNESS_r05 and rotate out.
+    # ---- 34 rotation slots (round 6): every query that has NEVER had a
+    # CORRECTNESS_r{N} row (all green in the pytest full-gate twin and
+    # this session's three parity sweeps; this round gives each its
+    # independent driver witness). Round-5 slots (TPC-H q15/q16/q17/q20,
+    # capstone, dedup_clusters, global_shuffle_shards, stream-stream
+    # join replay, aac/jpeg/wav/mp4 metadata, wav_pcm_features, storage
+    # layout, token stats, sampling, ANN tail, window analytics) all
+    # went green in CORRECTNESS_r05 and rotate out.
+    # The three round-6 additions:
+    "adpcm_audio_features", "document_chunks", "incident_click_attribution",
     # Iterative-ML oracles first (the judge's priority #5):
     "pagerank_suppliers", "kmeans_centroids_oracled",
     # round-5 codec queries (all full value-hash oracles):
