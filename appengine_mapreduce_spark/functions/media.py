@@ -43,6 +43,7 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
     fmt = None
     data_size = None
     fact_frames = None
+    samples_per_block = None
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
@@ -53,6 +54,8 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
             (audio_format, n_channels, sample_rate, _byte_rate,
              block_align, bits) = struct.unpack("<HHIIHH", body[:16])
             fmt = (n_channels, sample_rate, bits, block_align, audio_format)
+            if audio_format == WAVE_FORMAT_IMA_ADPCM and len(body) >= 20:
+                (samples_per_block,) = struct.unpack("<H", body[18:20])
         elif tag == b"fact" and len(body) >= 4:
             # dwSampleLength: the TRUE per-channel frame count — the WAV
             # spec's answer to compressed formats whose data-chunk size
@@ -70,6 +73,10 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
     if block_align == 0 or sample_rate == 0:
         raise MediaFormatError("zero block_align/sample_rate")
     n_frames = data_size // block_align
+    if audio_format == WAVE_FORMAT_IMA_ADPCM and samples_per_block:
+        # fact-less compressed files: estimate from whole blocks — the
+        # data-chunk size counts BLOCKS here, not sample frames
+        n_frames = (data_size // block_align) * samples_per_block
     if audio_format != WAVE_FORMAT_PCM and fact_frames is not None:
         n_frames = fact_frames
     return WavMeta(
@@ -225,9 +232,11 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
     # locate the data chunk again (decode_wav_meta validated structure);
     # keep fmt's block_align on the way (the ADPCM block size)
     pos = 12
-    payload = b""
+    payload = None
     block_align = 0
     fact_frames = None
+    # full walk — RIFF does not mandate chunk order, so fact may follow
+    # data; keep the FIRST data chunk (decode_wav_meta's convention)
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
@@ -237,10 +246,10 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
         if tag == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack(
                 "<I", blob[pos + 8 : pos + 12])
-        if tag == b"data":
+        if tag == b"data" and payload is None:
             payload = blob[pos + 8 : pos + 8 + size]
-            break
         pos += 8 + size + (size & 1)
+    payload = payload or b""
     if meta.audio_format == WAVE_FORMAT_IMA_ADPCM:
         if meta.n_channels != 1:
             raise MediaFormatError(
@@ -253,10 +262,14 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
         if fact_frames is not None:
             samples = samples[:fact_frames]
         return meta, samples
-    if meta.audio_format == WAVE_FORMAT_MULAW:
-        return meta, [mulaw_expand(b) for b in payload]
-    if meta.audio_format == WAVE_FORMAT_ALAW:
-        return meta, [alaw_expand(b) for b in payload]
+    if meta.audio_format in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+        # honor a fact chunk here too, so meta.n_frames (which prefers
+        # fact for non-PCM formats) always agrees with len(samples)
+        if fact_frames is not None:
+            payload = payload[: fact_frames * max(1, meta.n_channels)]
+        expand = (mulaw_expand if meta.audio_format == WAVE_FORMAT_MULAW
+                  else alaw_expand)
+        return meta, [expand(b) for b in payload]
     if meta.audio_format != WAVE_FORMAT_PCM:
         raise MediaFormatError(
             f"unsupported audio format {meta.audio_format}"
@@ -1445,16 +1458,16 @@ def decode_avi_mrle_frames(
     (comp_int,) = struct.unpack("<I", compression_raw or b"\xff\xff\xff\xff")
     if comp_int != _BI_RLE8:
         raise MediaFormatError(f"not an MS-RLE stream ({compression_raw!r})")
+    if not palette:
+        raise MediaFormatError("MRLE stream has no palette")
     canvas = bytearray(width * height)  # bottom-up indices
     frames = []
     for raw in raw_frames:
         mrle_apply_frame(canvas, raw, width, height)
-        if canvas and palette and max(canvas) >= len(palette):
+        if canvas and max(canvas) >= len(palette):
             raise MediaFormatError(
                 "MRLE pixel index exceeds palette size"
             )
-        if not palette:
-            raise MediaFormatError("MRLE stream has no palette")
         # snapshot, re-ordered top-down
         frames.append([
             canvas[y * width + x]
@@ -2024,12 +2037,12 @@ def decode_gif_frames(blob: bytes) -> "tuple[GifMeta, list[GifFrame]]":
             if len(indices) < fw * fh:
                 raise MediaFormatError("LZW stream short of frame size")
             indices = indices[: fw * fh]
-            if palette and max(indices) >= len(palette):
+            if not palette:
+                raise MediaFormatError("GIF frame has no color table")
+            if indices and max(indices) >= len(palette):
                 raise MediaFormatError(
                     "GIF pixel index exceeds color table size"
                 )
-            if not palette:
-                raise MediaFormatError("GIF frame has no color table")
             interlaced = bool(local & 0x40)
             if interlaced:
                 indices = _deinterlace(indices, fw, fh)

@@ -127,6 +127,8 @@ def interval_join(
     overlap = (set(points.columns) & set(intervals.columns)) - {key}
     if overlap:
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+    if "_bkt" in points.columns or "_bkt" in intervals.columns:
+        raise ValueError("'_bkt' is reserved by interval_join")
     p_bkt = F.floor(F.col(point_ts).cast("double") / bucket_seconds)
     i_lo = F.floor(F.col(start_ts).cast("double") / bucket_seconds)
     i_hi = F.floor(F.col(end_ts).cast("double") / bucket_seconds)

@@ -1541,3 +1541,88 @@ def test_ima_adpcm_malformed_contract():
     st[fmt_pos + 2 : fmt_pos + 4] = _struct.pack("<H", 2)
     with pytest.raises(MediaFormatError, match="mono"):
         decode_wav_samples(bytes(st))
+
+
+def test_wav_fact_chunk_edge_cases():
+    """Code-review round-6 findings: (a) fact-less ADPCM meta estimates
+    frames from blocks x samples_per_block (not raw block count);
+    (b) a fact chunk AFTER the data chunk is still honored by
+    decode_wav_samples (RIFF mandates no order); (c) a G.711 WAV with a
+    fact chunk truncates samples so meta.n_frames == len(samples);
+    (d) a zero-size GIF frame raises MediaFormatError cleanly, not
+    ValueError, when the palette check sees no pixels."""
+    import math
+    import struct as _struct
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_meta,
+        decode_wav_samples,
+        encode_wav_adpcm,
+        encode_wav_g711,
+    )
+
+    sig = [int(5000 * math.sin(i / 7)) for i in range(1503)]
+    wav = encode_wav_adpcm(sig, samples_per_block=501)
+
+    # (a) strip the fact chunk -> meta estimates blocks * spb
+    fact_at = wav.index(b"fact")
+    factless = wav[:fact_at] + wav[fact_at + 12:]
+    m = decode_wav_meta(factless)
+    assert m.n_frames == 3 * 501  # 3 whole blocks
+    _, s = decode_wav_samples(factless)
+    assert len(s) == 3 * 501
+
+    # (b) move fact AFTER data -> still truncates to the true count
+    fact_chunk = wav[fact_at : fact_at + 12]
+    reordered = wav[:fact_at] + wav[fact_at + 12:] + fact_chunk
+    # fix RIFF size (we appended 12 bytes at the end)
+    reordered = (reordered[:4]
+                 + _struct.pack("<I", len(reordered) - 8)
+                 + reordered[8:])
+    m2 = decode_wav_meta(reordered)
+    _, s2 = decode_wav_samples(reordered)
+    assert m2.n_frames == len(sig) == len(s2)
+
+    # (c) G.711 with an injected fact chunk: meta and samples agree
+    g = encode_wav_g711(sig[:100], law="mu")
+    data_at = g.index(b"data")
+    with_fact = (g[:data_at]
+                 + b"fact" + _struct.pack("<II", 4, 60)
+                 + g[data_at:])
+    with_fact = (with_fact[:4]
+                 + _struct.pack("<I", len(with_fact) - 8)
+                 + with_fact[8:])
+    m3 = decode_wav_meta(with_fact)
+    _, s3 = decode_wav_samples(with_fact)
+    assert m3.n_frames == 60 == len(s3)
+
+
+def test_gif_zero_size_frame_and_mrle_no_palette():
+    import struct as _struct
+
+    import pytest
+
+    from appengine_mapreduce_spark.functions.media import (
+        MediaFormatError,
+        decode_avi_mrle_frames,
+        decode_gif_frames,
+        encode_minimal_avi_mrle,
+    )
+
+    # GIF with a 0x0 image descriptor: empty pixel list must not trip a
+    # bare ValueError in the palette bound check
+    blob = bytearray(b"GIF89a")
+    blob += _struct.pack("<HH", 2, 1)
+    blob += bytes((0x80, 0, 0))
+    blob += bytes((0, 0, 0, 255, 255, 255))
+    blob += bytes((0x2C,)) + _struct.pack("<HHHH", 0, 0, 0, 0)
+    blob += bytes((0x00, 0x02))
+    packed = 4 | (5 << 3)  # clear, end — zero pixels
+    blob += bytes((0x02, packed & 0xFF, packed >> 8, 0x00, 0x3B))
+    meta, frames = decode_gif_frames(bytes(blob))
+    assert frames[0].pixels == []
+
+    # MRLE with an empty palette raises even with zero decoded frames
+    bad = encode_minimal_avi_mrle([[0, 0, 0, 0]], 2, 2, [])
+    with pytest.raises(MediaFormatError, match="palette"):
+        decode_avi_mrle_frames(bad)

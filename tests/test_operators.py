@@ -905,3 +905,16 @@ def test_interval_join_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_reserved_column_name(spark):
+    import pytest
+
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    pdf = spark.createDataFrame([(1, 1.0, 5)],
+                                "k bigint, ts double, _bkt bigint")
+    idf = spark.createDataFrame([(1, 0.0, 2.0)],
+                                "k bigint, s double, e double")
+    with pytest.raises(ValueError, match="_bkt"):
+        interval_join(pdf, idf, "k", "ts", "s", "e")
