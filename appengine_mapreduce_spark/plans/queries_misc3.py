@@ -890,15 +890,19 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(50)
 
 
-def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
-    """Unrolled Lloyd's oracle (same technique as the PageRank oracle):
-    fixed iterations -> chained CTE stages. Long-format centroids
-    (cluster, dim, val); assignment = row_number over (dist, cluster)
-    so ties break to the lowest cluster exactly like the Spark
-    when-chain; per-iteration round(9) pins the FP means; empty
-    clusters keep the previous centroid (coalesce against the prior
-    stage). Spark's early convergence break is consistent with the
-    fixed unroll because a converged stage is a fixpoint."""
+def kmeans_cte_chain(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+    """Unrolled Lloyd's CTE chain (same technique as the PageRank
+    oracle): fixed iterations -> chained CTE stages, ending at
+    ``c{n_iter}`` = (cluster, dim, val) final centroids, with ``v`` =
+    (vec_id, dim, val) still in scope. Long-format centroids;
+    assignment = row_number over (dist, cluster) so ties break to the
+    lowest cluster exactly like the Spark when-chain; per-iteration
+    round(9) pins the FP means; empty clusters keep the previous
+    centroid (coalesce against the prior stage). Spark's early
+    convergence break is consistent with the fixed unroll because a
+    converged stage is a fixpoint. Shared by the centroid oracle below
+    and the cluster-profile oracle in queries_text2 (which appends a
+    final assignment stage)."""
     head = f"""
         WITH v AS MATERIALIZED (
             SELECT vec_id,
@@ -945,8 +949,12 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
             FROM {p} p LEFT JOIN m{t} m
               ON p.cluster = m.cluster AND p.dim = m.dim
         )""")
+    return head + "".join(stages)
+
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
     return (
-        head + "".join(stages)
+        kmeans_cte_chain(k, dim, n_iter)
         + f"""
         SELECT CAST(cluster AS INT) AS cluster, CAST(dim AS INT) AS dim,
                val AS centroid

@@ -249,12 +249,102 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_batch_topk(emb, queries, k=3, num_bits=_BBITS)
 
 
+def _pq_oracle_sql(
+    m: int = 4, ks: int = 16, dim: int = 64, n_iter: int = 2, k: int = 10
+) -> str:
+    """Full-oracle upgrade (round 7; was rows-only through round 6):
+    replay the ENTIRE PQ pipeline in DuckDB — training, encode, and ADC
+    scoring — with one compound-key unrolled Lloyd's chain. pq_train
+    runs the in-repo kmeans once per subspace over vector slices; since
+    every subspace shares the same init rule (k smallest vec_ids) and
+    iteration count, all M trainings collapse into ONE chain keyed by
+    (sub, cluster): ``vs`` is the long-form corpus split as
+    sub = pos // sub_dim, dim = pos % sub_dim. Per-iteration round(9)
+    pins the FP means (the technique proven by
+    kmeans_centroids_oracled); encode = final-centroid argmin with ties
+    to the lowest cluster (row_number == Spark's
+    array_position(array_min)); the ADC score rounds to 6dp BEFORE the
+    top-k sort, so ordering ties break identically in both engines."""
+    sub = dim // m
+    head = f"""
+        WITH vs AS MATERIALIZED (
+            SELECT vec_id,
+                   unnest(generate_series(0, {dim - 1})) // {sub} AS sub,
+                   unnest(generate_series(0, {dim - 1})) % {sub} AS dim,
+                   unnest(list_transform(generate_series(1, {dim}),
+                          i -> CAST(embedding[i] AS DOUBLE))) AS val
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT {ks}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT s.sub, i.cluster, s.dim, s.val
+            FROM init i JOIN vs s USING (vec_id)
+        )"""
+    stages = []
+    for t in range(1, n_iter + 1):
+        p = f"c{t - 1}"
+        stages.append(f""",
+        d{t} AS (
+            SELECT s.vec_id, s.sub, c.cluster,
+                   sum((s.val - c.val) * (s.val - c.val)) AS dist
+            FROM vs s JOIN {p} c ON s.sub = c.sub AND s.dim = c.dim
+            GROUP BY s.vec_id, s.sub, c.cluster
+        ),
+        a{t} AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cluster) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        ),
+        m{t} AS (
+            SELECT a.sub, a.cluster, s.dim, round(avg(s.val), 9) AS val
+            FROM a{t} a JOIN vs s ON a.vec_id = s.vec_id AND a.sub = s.sub
+            GROUP BY a.sub, a.cluster, s.dim
+        ),
+        c{t} AS (
+            SELECT p.sub, p.cluster, p.dim, coalesce(m.val, p.val) AS val
+            FROM {p} p LEFT JOIN m{t} m
+              ON p.sub = m.sub AND p.cluster = m.cluster AND p.dim = m.dim
+        )""")
+    tail = f""",
+        denc AS (
+            SELECT s.vec_id, s.sub, c.cluster,
+                   sum((s.val - c.val) * (s.val - c.val)) AS dist
+            FROM vs s JOIN c{n_iter} c ON s.sub = c.sub AND s.dim = c.dim
+            GROUP BY s.vec_id, s.sub, c.cluster
+        ),
+        enc AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cluster) AS rn
+                FROM denc
+            ) WHERE rn = 1
+        ),
+        qv AS (SELECT sub, dim, val FROM vs WHERE vec_id = 0),
+        lut AS (
+            SELECT c.sub, c.cluster,
+                   sum((q.val - c.val) * (q.val - c.val)) AS d
+            FROM c{n_iter} c JOIN qv q ON c.sub = q.sub AND c.dim = q.dim
+            GROUP BY c.sub, c.cluster
+        )
+        SELECT vec_id, round(sum(l.d), 6) AS adc_dist
+        FROM enc e JOIN lut l ON e.sub = l.sub AND e.cluster = l.cluster
+        GROUP BY vec_id
+        ORDER BY adc_dist, vec_id
+        LIMIT {k}
+    """
+    return head + "".join(stages) + tail
+
+
 @register(
     "pq_ann_topk",
-    oracle=None,  # PQ training is iterative k-means (engine-specific FP
-    # accumulation order) — rows-only check, like kmeans_ivf_clusters;
-    # the ADC identity and recall properties are pytest-verified
-    # (tests/test_operators.py::test_pq_*).
+    oracle=_pq_oracle_sql(),
     description="Product-Quantization ANN (Jégou et al.): 4 subspace "
     "codebooks of 16 centroids trained with the in-repo Lloyd's, "
     "expression-only encode to a 4-byte code per vector (16x smaller "
@@ -262,7 +352,9 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the canonical billion-scale method. At 100 TB: the stored index is "
     "code-sized, the model is Ks*D doubles on the driver, the per-query "
     "table inlines as literals, and the scan is TakeOrderedAndProject "
-    "(k rows per partition to the driver, no shuffle).",
+    "(k rows per partition to the driver, no shuffle). FULL ORACLE "
+    "since round 7: training + encode + ADC replayed end-to-end in "
+    "DuckDB via one compound-key (sub, cluster) unrolled Lloyd's chain.",
     tags=("similarity", "embedding", "ann", "pq"),
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

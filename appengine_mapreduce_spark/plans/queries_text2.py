@@ -195,15 +195,54 @@ def cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(edges)
 
 
+def _kmeans_ivf_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+    """Full-oracle upgrade (round 7; was rows-only through round 6):
+    reuse the unrolled Lloyd's CTE chain proven by
+    ``kmeans_centroids_oracled`` and append the FINAL assignment pass —
+    distance of every vector to the converged centroids, argmin with
+    ties to the lowest cluster (row_number ORDER BY dist, cluster ==
+    Spark's when-chain), then the per-cluster profile. Spark rounds each
+    dist_sq to 6dp before averaging (clustering.kmeans's ``final``
+    select), so the oracle averages round(dist, 6) too; round(…, 6) on
+    the mean absorbs summation-order ulps."""
+    from appengine_mapreduce_spark.plans.queries_misc3 import kmeans_cte_chain
+
+    return (
+        kmeans_cte_chain(k, dim, n_iter)
+        + f""",
+        dfin AS (
+            SELECT v.vec_id, c.cluster,
+                   sum((v.val - c.val) * (v.val - c.val)) AS dist
+            FROM v JOIN c{n_iter} c USING (dim)
+            GROUP BY v.vec_id, c.cluster
+        ),
+        afin AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT vec_id, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM dfin
+            ) WHERE rn = 1
+        )
+        SELECT CAST(cluster AS INT) AS cluster,
+               COUNT(*) AS n_vectors,
+               round(avg(round(dist, 6)), 6) AS mean_dist_sq
+        FROM afin GROUP BY cluster
+    """
+    )
+
+
 @register(
     "kmeans_ivf_clusters",
-    oracle=None,  # iterative Lloyd's — not SQL-expressible; convergence,
-    # determinism and blob separation asserted in tests/test_clustering.py
+    oracle=_kmeans_ivf_oracle_sql(),
     description="Distributed k-means (Lloyd's, 3 iterations, k=8) over the "
     "embeddings table: statically-unrolled JVM distance expressions for "
     "assignment, posexplode+avg for the update, model on the driver — the "
     "real IVF list builder. Returns per-cluster sizes and mean squared "
-    "distance.",
+    "distance. FULL ORACLE since round 7: the unrolled chained-CTE "
+    "Lloyd's replay (shared with kmeans_centroids_oracled) plus a final "
+    "assignment stage reproduces sizes and mean dist_sq exactly in "
+    "DuckDB.",
     tags=("similarity", "ivf", "iterative", "clustering"),
 )
 def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
