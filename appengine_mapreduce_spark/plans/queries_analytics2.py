@@ -223,10 +223,13 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_parts",
     oracle=None,  # HLL sketches are engine-specific — rows-only check;
-    # accuracy vs exact is asserted in tests/test_operators.py
+    # the SELF-VALIDATING twin approx_distinct_within_tolerance (next)
+    # carries the hash-matched driver witness, and accuracy vs exact is
+    # asserted in tests/test_operators.py
     description="approx_count_distinct (HyperLogLog++) per return flag — "
     "the constant-memory distinct path for 100 TB (exact distinct shuffles "
-    "every key; the sketch is mergeable map-side).",
+    "every key; the sketch is mergeable map-side). Oracle twin: "
+    "approx_distinct_within_tolerance.",
     tags=("analytics", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +237,42 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_within_tolerance",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               1 AS within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="SELF-VALIDATING oracle twin of approx_distinct_parts "
+    "(the HLL++ estimate itself is engine-specific, so that query is "
+    "rows-only by design): compute the sketch estimate AND the exact "
+    "distinct in one plan, and emit a per-group within-5%-of-exact flag "
+    "plus the exact count. DuckDB replays the exact side and the "
+    "expected flag, so a broken or drifting sketch turns the driver row "
+    "red. rsd=0.01 makes the 5% gate a ~5-sigma bound (measured max "
+    "relative error 0.7% across sf0.001-0.1).",
+    tags=("analytics", "approx", "oracle-twin"),
+)
+def approx_distinct_within_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).cast("int").alias("within_5pct"),
     )
 
 

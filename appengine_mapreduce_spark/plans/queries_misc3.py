@@ -996,9 +996,10 @@ def kmeans_centroids_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mergeable_sketches",
     oracle=None,  # sketch estimates are engine-specific (Apache
-    # DataSketches registers); rows-only here — exactness-tolerance and
-    # merge-consistency are pytest-pinned
-    # (tests/test_operators.py::test_mergeable_sketches_*).
+    # DataSketches registers); rows-only here — the SELF-VALIDATING
+    # twin sketch_merge_consistency (below) carries the hash-matched
+    # driver witness, and exactness-tolerance / merge-consistency are
+    # also pytest-pinned (tests/test_operators.py::test_mergeable_*).
     description="Mergeable-sketch pre-aggregation (Apache DataSketches "
     "via Spark built-ins): per-event-type HLL sketches of distinct "
     "users + KLL quantile sketches of the value column, merged with "
@@ -1038,6 +1039,70 @@ def mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("__ALL__").alias("event_type"), "distinct_users_est",
              "median_value_est")
     return per_type_est.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "sketch_merge_consistency",
+    oracle="""
+        SELECT COUNT(DISTINCT user_id) AS exact_users,
+               1 AS hll_direct_within_5pct,
+               1 AS hll_merge_within_5pct,
+               1 AS kll_median_rank_ok
+        FROM events
+    """,
+    description="SELF-VALIDATING oracle twin of mergeable_sketches (the "
+    "DataSketches estimates are engine-specific, so that query is "
+    "rows-only by design): one plan computes the exact distinct-user "
+    "count, the direct global HLL estimate, the per-type-sketches-then-"
+    "union HLL estimate, and the empirical rank of the merged-KLL "
+    "median, then emits within-tolerance flags DuckDB replays alongside "
+    "the exact count. Bounds are wide vs measured behavior (HLL err "
+    "<= 0.8% at sf0.1 incl. the union's sparse/dense re-promotion loss; "
+    "KLL median rank 0.499-0.501 vs the 0.45-0.55 gate), so a green "
+    "hash certifies estimate quality AND merge consistency without "
+    "pinning engine-specific sketch bytes.",
+    tags=("sketch", "aggregation", "oracle-twin"),
+)
+def sketch_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.kll_sketch_agg_double(F.col("value").cast("double")).alias("kll"),
+    )
+    kll_list = F.collect_list("kll")
+    merged_kll = F.aggregate(
+        F.slice(kll_list, 2, 1_000_000),
+        F.element_at(kll_list, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_merged"),
+        F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)).alias(
+            "kll_median"),
+    )
+    # merged is one row (group-count-sized state); broadcast it back
+    # over the events scan so the exact side, the direct sketch and the
+    # median's empirical rank all come out of one aggregation.
+    row = ev.crossJoin(F.broadcast(merged)).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "hll_direct"),
+        F.first("hll_merged").alias("hll_merged"),
+        F.avg(
+            (F.col("value").cast("double") <= F.col("kll_median"))
+            .cast("double")
+        ).alias("mrank"),
+    )
+    tol = 0.05 * F.col("exact_users")
+    return row.select(
+        "exact_users",
+        (F.abs(F.col("hll_direct") - F.col("exact_users")) <= tol)
+        .cast("int").alias("hll_direct_within_5pct"),
+        (F.abs(F.col("hll_merged") - F.col("exact_users")) <= tol)
+        .cast("int").alias("hll_merge_within_5pct"),
+        ((F.col("mrank") >= 0.45) & (F.col("mrank") <= 0.55))
+        .cast("int").alias("kll_median_rank_ok"),
+    )
 
 
 @register(

@@ -41,19 +41,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # follows in registration order and is still covered by the pytest
 # full-gate twin (tests/test_oracle_parity.py) and tools/driver_sim.py.
 _CURATED_FIRST: tuple[str, ...] = (
-    # ---- 16 anchors (round 6): the frozen bench headliner set minus
-    # nine anchors temporarily rotated out (wordcount,
-    # q1_pricing_summary, q3_top_orders, q5_region_revenue,
-    # q6_revenue_delta, dedup_exact, sessionize_users,
-    # asof_join_latest_order — 5 green CORRECTNESS rows each — and
-    # hourly_event_stats with 4) so the window holds the ENTIRE
-    # never-witnessed set this round: the 31-query tail PLUS the three
-    # round-6 additions. If CORRECTNESS_r06 comes back green, the
-    # driver-witness ledger closes at the FULL registry. Round-7
-    # builder: restore all nine anchors here; every remaining slot is
-    # then free for whatever round 7 adds. Bench comparability is
-    # unaffected: the bench set is frozen in bench_queries() via the
-    # ``bench=True`` flag, independent of this correctness ordering.
+    # Window policy (round 7 onward, ledger closed): the driver-witness
+    # union over rounds 1-6 covers EVERY oracled registry query
+    # (161/161 green, CORRECTNESS_r01-r06), so the window now holds the
+    # 25 frozen bench anchors (all nine round-6 rotations restored, per
+    # the round-6 note) followed by the newest queries — each round's
+    # additions and upgrades get their independent driver witness
+    # first, then previously-witnessed queries flow in registration
+    # order. Bench comparability is unaffected: the bench set is frozen
+    # in bench_queries() via the ``bench=True`` flag, independent of
+    # this correctness ordering.
+    # ---- the 25 frozen bench anchors:
+    "wordcount", "q1_pricing_summary", "q3_top_orders",
+    "q5_region_revenue", "q6_revenue_delta", "dedup_exact",
+    "sessionize_users", "asof_join_latest_order", "hourly_event_stats",
     "mapreduce_api_wordcount", "mapreduce_api_eventfilter",
     "sq8_ann_topk", "scd2_upsert",
     "q21_waiting_suppliers", "q2_min_cost_supplier", "q9_profit_by_nation",
@@ -61,39 +62,17 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cosine_topk", "ivf_topk", "minhash_lsh_pairs",
     "phrases_demo", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- 34 rotation slots (round 6): every query that has NEVER had a
-    # CORRECTNESS_r{N} row (all green in the pytest full-gate twin and
-    # this session's three parity sweeps; this round gives each its
-    # independent driver witness). Round-5 slots (TPC-H q15/q16/q17/q20,
-    # capstone, dedup_clusters, global_shuffle_shards, stream-stream
-    # join replay, aac/jpeg/wav/mp4 metadata, wav_pcm_features, storage
-    # layout, token stats, sampling, ANN tail, window analytics) all
-    # went green in CORRECTNESS_r05 and rotate out.
-    # The three round-6 additions:
-    "adpcm_audio_features", "document_chunks", "incident_click_attribution",
-    # Iterative-ML oracles first (the judge's priority #5):
-    "pagerank_suppliers", "kmeans_centroids_oracled",
-    # round-5 codec queries (all full value-hash oracles):
-    "g711_audio_features", "gif_frame_pixel_decode",
-    "tiff_strip_pixel_decode", "bmp_pixel_decode", "avi_raw_frame_decode",
-    "flac_audio_features", "mrle_interframe_decode",
-    # multimodal metadata tail:
-    "mp4_frame_stats", "avi_audio_features", "webp_gif_decode_meta",
-    "tiff_decode_meta", "multimodal_decode_stub",
-    # ANN / embedding tail:
-    "ivf_multiprobe_topk", "embedding_norms", "label_centroids",
-    # analytics / profiling tail:
-    "signup_purchase_funnel", "grouped_values_capped",
-    "line_input_custom_sep", "pivot_status_by_priority",
-    "grouping_sets_order_stats", "profile_orders_table",
-    # text / tokenizer tail:
-    "token_budget_packing", "doc_fingerprints",
-    # formerly rows-only, upgraded to a full oracle in round 6 (the
-    # md5-counter generator replays in DuckDB):
-    "random_strings_count",
-    # rows-only set (no SQL oracle; driver records rows-only checks):
+    # ---- round 7: the former rows-only set, now driver-checkable.
+    # Three upgraded IN PLACE to full value-hash oracles (unrolled-CTE
+    # replays of the iterative training loops):
+    "kmeans_ivf_clusters", "pq_ann_topk", "bpe_learned_merges",
+    # Two genuinely engine-specific sketch ops stay rows-only but get
+    # SELF-VALIDATING oracle twins (exact side + within-tolerance flags
+    # replayed by DuckDB):
+    "approx_distinct_within_tolerance", "sketch_merge_consistency",
+    # and the rows-only originals keep their driver rows-only rows,
+    # each description pointing at its witness:
     "approx_distinct_parts", "mergeable_sketches",
-    "pq_ann_topk", "kmeans_ivf_clusters", "bpe_learned_merges",
 )
 
 
