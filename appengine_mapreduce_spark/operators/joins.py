@@ -20,6 +20,8 @@ large-scale pipelines and aren't built in:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -99,7 +101,7 @@ def interval_join(
     point_ts: str,
     start_ts: str,
     end_ts: str,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Point-in-interval join: every (point, interval) pair with the same
     ``key`` and ``start_ts <= point_ts < end_ts``. The third temporal
@@ -119,21 +121,67 @@ def interval_join(
     Scale: fan-out per interval is len/bucket_seconds + 1 (pick
     ``bucket_seconds`` near the TYPICAL interval length: too small
     explodes the interval side, too large degrades toward per-bucket
-    all-pairs); one shuffle per side on (key, bucket); skewed keys
+    all-pairs). When ``bucket_seconds`` is None (the default), it is
+    derived from the MEDIAN observed interval length — one cheap
+    aggregation over the intervals side, a model-sized scalar collect.
+    Fan-out is additionally CLAMPED to the points side's observed
+    bucket range (min/max bucket, two scalars collected once and
+    inlined as literals): an open-ended
+    validity row with a far-future sentinel end (e.g. 9999-12-31)
+    would otherwise explode to tens of millions of buckets, while no
+    point can ever meet it outside [min(point), max(point)] — so
+    intervals are prefiltered to that range and their explode is
+    cropped to it. One shuffle per side on (key, bucket); skewed keys
     split further by bucket, which is exactly the salting dimension a
     hot key needs. Timestamps compare at microsecond precision
     (cast("double") is exact there — sub-µs would need epoch longs).
     """
+    if bucket_seconds is not None and bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     overlap = (set(points.columns) & set(intervals.columns)) - {key}
     if overlap:
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
     if "_bkt" in points.columns or "_bkt" in intervals.columns:
         raise ValueError("'_bkt' is reserved by interval_join")
+    if bucket_seconds is None:
+        med = intervals.agg(
+            F.percentile_approx(
+                F.col(end_ts).cast("double") - F.col(start_ts).cast("double"),
+                0.5,
+            ).alias("m")
+        ).first()["m"]
+        bucket_seconds = max(1, int(math.ceil(med))) if med else 3600
     p_bkt = F.floor(F.col(point_ts).cast("double") / bucket_seconds)
     i_lo = F.floor(F.col(start_ts).cast("double") / bucket_seconds)
     i_hi = F.floor(F.col(end_ts).cast("double") / bucket_seconds)
+    # Clamp bounds: min/max point bucket, collected as two scalars (a
+    # model-sized collect, like the adaptive-bucket percentile above —
+    # the min/max agg is a column-pruned scan with map-side partials).
+    # Inlining them as literals keeps the join plan a pure equi-join;
+    # joining the 1-row aggregate back in instead gets its trivial
+    # equi-key constant-folded away by Catalyst and degrades the
+    # prefilter to a BroadcastNestedLoopJoin.
+    brow = points.agg(
+        F.min(p_bkt).alias("lo"), F.max(p_bkt).alias("hi")
+    ).first()
+    pmin = int(brow["lo"]) if brow["lo"] is not None else 0
+    pmax = int(brow["hi"]) if brow["hi"] is not None else 0
     pb = points.withColumn("_bkt", p_bkt)
-    ib = intervals.withColumn("_bkt", F.explode(F.sequence(i_lo, i_hi)))
+    ib = (
+        # correctness-preserving prefilter: an interval wholly outside
+        # the points' bucket range can never produce a match, and
+        # dropping it keeps the clamped sequence ascending and bounded
+        intervals.filter((i_hi >= pmin) & (i_lo <= pmax))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.greatest(i_lo, F.lit(pmin)),
+                    F.least(i_hi, F.lit(pmax)),
+                )
+            ),
+        )
+    )
     joined = pb.join(ib, [key, "_bkt"]).filter(
         (F.col(point_ts) >= F.col(start_ts))
         & (F.col(point_ts) < F.col(end_ts))

@@ -460,3 +460,55 @@ def incident_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=3600,
     )
     return joined.select("user_id", "click_id", "error_id")
+
+
+@register(
+    "incident_click_attribution_adaptive",
+    oracle="""
+        WITH err AS (
+            SELECT user_id, event_id AS error_id, ts AS t0,
+                   ts + INTERVAL 2 HOUR AS t1
+            FROM events WHERE event_type = 'error'
+        ),
+        clk AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT c.user_id, c.click_id, e.error_id
+        FROM clk c JOIN err e
+          ON c.user_id = e.user_id
+         AND c.click_ts >= e.t0 AND c.click_ts < e.t1
+    """,
+    description="incident_click_attribution with the round-7 ADAPTIVE "
+    "bucket default: interval_join derives bucket_seconds from the "
+    "median observed interval length (one scalar agg over the intervals "
+    "side) instead of a caller constant, and clamps interval fan-out to "
+    "the points side's observed bucket range — the foot-gun removal for "
+    "heterogeneous interval lengths and far-future sentinel ends. Same "
+    "oracle as the explicit-bucket query because the join result is "
+    "bucket-invariant; a hash match certifies the adaptive path end to "
+    "end.",
+    tags=("analytics", "join", "range"),
+)
+def incident_click_attribution_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        clicks, errors, key="user_id",
+        point_ts="click_ts", start_ts="t0", end_ts="t1",
+    )
+    return joined.select("user_id", "click_id", "error_id")

@@ -73,6 +73,8 @@ _CURATED_FIRST: tuple[str, ...] = (
     # and the rows-only originals keep their driver rows-only rows,
     # each description pointing at its witness:
     "approx_distinct_parts", "mergeable_sketches",
+    # ---- round-7 additions (new operators this round):
+    "incident_click_attribution_adaptive",
 )
 
 

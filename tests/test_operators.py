@@ -918,3 +918,85 @@ def test_interval_join_reserved_column_name(spark):
                                 "k bigint, s double, e double")
     with pytest.raises(ValueError, match="_bkt"):
         interval_join(pdf, idf, "k", "ts", "s", "e")
+
+
+def test_interval_join_rejects_nonpositive_bucket(spark):
+    import pytest
+
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    pdf = spark.createDataFrame([(1, 1.0, 0)], "k bigint, ts double, pid int")
+    idf = spark.createDataFrame([(1, 0.0, 2.0, 0)],
+                                "k bigint, s double, e double, iid int")
+    for bad in (0, -3600):
+        with pytest.raises(ValueError, match="positive"):
+            interval_join(pdf, idf, "k", "ts", "s", "e", bucket_seconds=bad)
+
+
+def test_interval_join_sentinel_end_is_clamped(spark):
+    """Open-ended validity rows with a far-future sentinel end must NOT
+    explode: fan-out is clamped to the points side's observed bucket
+    range. With bucket_seconds=1 an unclamped explode of the sentinel
+    interval would generate ~2.5e11 sequence elements (year-9999 end);
+    completing at all proves the clamp, and the results must equal the
+    naive join. Intervals wholly outside the points range (before and
+    after) must survive prefiltering without corrupting results."""
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    sentinel = 253402300800.0  # 9999-12-31T00:00:00Z as epoch seconds
+    points = [(1, 100.0, 0), (1, 5000.0, 1), (2, 300.0, 2)]
+    ivals = [
+        (1, 50.0, sentinel, 0),       # open-ended: matches pids 0 and 1
+        (1, 4000.0, 4500.0, 1),       # closed, no points inside
+        (1, -500.0, -100.0, 2),       # wholly before all points
+        (2, 6000.0, sentinel, 3),     # wholly after key-2's points
+        (2, 0.0, 400.0, 4),           # matches pid 2
+    ]
+    pdf = spark.createDataFrame(points, "k bigint, ts double, pid int")
+    idf = spark.createDataFrame(ivals, "k bigint, s double, e double, iid int")
+    out = interval_join(pdf, idf, key="k", point_ts="ts",
+                        start_ts="s", end_ts="e", bucket_seconds=1)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(0, 0), (1, 0), (2, 4)}
+
+
+def test_interval_join_adaptive_bucket_default(spark):
+    """bucket_seconds=None derives the bucket from the median interval
+    length (one scalar agg). Results must equal the explicit-bucket run
+    on a mixed short/long interval fixture, and the fan-out stays
+    bounded even with one sentinel-end row in the mix."""
+    import random
+
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    rng = random.Random(23)
+    points = [(i % 4, float(rng.randrange(0, 50_000)), i) for i in range(300)]
+    ivals = []
+    for j in range(80):
+        s = float(rng.randrange(0, 50_000))
+        length = rng.choice([30, 60, 120, 40_000])  # mixed short/long
+        ivals.append((j % 4, s, s + length, j))
+    ivals.append((0, 10.0, 253402300800.0, 80))  # sentinel end
+    pdf = spark.createDataFrame(points, "k bigint, ts double, pid int")
+    idf = spark.createDataFrame(ivals, "k bigint, s double, e double, iid int")
+
+    adaptive = {(r.pid, r.iid) for r in interval_join(
+        pdf, idf, "k", "ts", "s", "e").collect()}
+    explicit = {(r.pid, r.iid) for r in interval_join(
+        pdf, idf, "k", "ts", "s", "e", bucket_seconds=500).collect()}
+    naive = {
+        (p[2], v[3])
+        for p in points for v in ivals
+        if p[0] == v[0] and v[1] <= p[1] < v[2]
+    }
+    assert adaptive == explicit == naive and naive
+
+
+def test_interval_join_empty_points_side(spark):
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    pdf = spark.createDataFrame([], "k bigint, ts double, pid int")
+    idf = spark.createDataFrame([(1, 0.0, 2.0, 0)],
+                                "k bigint, s double, e double, iid int")
+    assert interval_join(pdf, idf, "k", "ts", "s", "e",
+                         bucket_seconds=10).count() == 0
