@@ -74,11 +74,25 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
         raise MediaFormatError("zero block_align/sample_rate")
     n_frames = data_size // block_align
     if audio_format == WAVE_FORMAT_IMA_ADPCM and samples_per_block:
-        # fact-less compressed files: estimate from whole blocks — the
-        # data-chunk size counts BLOCKS here, not sample frames
+        # fact-less compressed files: whole blocks at samples_per_block
+        # each, PLUS the trailing partial block decode_wav_samples also
+        # decodes (header -> 1 frame, then 2 nibble frames per byte) —
+        # so meta and samples agree for truncated fact-less files too
         n_frames = (data_size // block_align) * samples_per_block
+        rem = data_size % block_align
+        if rem >= 4:
+            n_frames += 1 + 2 * (rem - 4)
     if audio_format != WAVE_FORMAT_PCM and fact_frames is not None:
-        n_frames = fact_frames
+        # the fact chunk's dwSampleLength is authoritative, but cap it
+        # at what the payload can actually decode: a corrupt fact that
+        # OVERSTATES the sample count must not leave meta.n_frames
+        # disagreeing with len(samples)
+        cap = None
+        if audio_format in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+            cap = data_size // max(1, n_channels)
+        elif audio_format == WAVE_FORMAT_IMA_ADPCM and samples_per_block:
+            cap = n_frames  # the payload-derived estimate above
+        n_frames = fact_frames if cap is None else min(fact_frames, cap)
     return WavMeta(
         n_channels=n_channels,
         sample_rate=sample_rate,

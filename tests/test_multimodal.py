@@ -1446,14 +1446,16 @@ def test_ima_adpcm_cross_validated_against_audioop():
     _IMA_INDEX_TABLE cannot survive this test. (audioop packs the first
     sample of each byte in the HIGH nibble; the WAV layout is low-first
     — the core decoder takes an explicit nibble list so both orders
-    share it.)"""
+    share it.) Pinned-environment dependency: audioop left the stdlib
+    in Python 3.13 (PEP 594), so off this container's interpreter the
+    test degrades to a skip, not a collection error."""
     import array
     import random
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     from appengine_mapreduce_spark.functions.media import (
         ima_adpcm_decode_nibbles,
@@ -1595,6 +1597,59 @@ def test_wav_fact_chunk_edge_cases():
     m3 = decode_wav_meta(with_fact)
     _, s3 = decode_wav_samples(with_fact)
     assert m3.n_frames == 60 == len(s3)
+
+
+def test_wav_fact_partial_block_and_overstated_fact():
+    """Advice round-7 findings: (a) a fact-less ADPCM file whose data
+    chunk ends mid-block still has meta.n_frames == len(samples) — the
+    estimate now counts the trailing partial block the decoder decodes
+    (header -> 1 frame, then 2 frames per nibble byte); (b) a fact
+    chunk that OVERSTATES the sample count is capped at the decodable
+    payload in both the ADPCM and G.711 paths, keeping meta and samples
+    in agreement for that corrupt case too."""
+    import math
+    import struct as _struct
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_meta,
+        decode_wav_samples,
+        encode_wav_adpcm,
+        encode_wav_g711,
+    )
+
+    sig = [int(5000 * math.sin(i / 7)) for i in range(1503)]
+    wav = encode_wav_adpcm(sig, samples_per_block=501)  # block_align 254
+    fact_at = wav.index(b"fact")
+    factless = wav[:fact_at] + wav[fact_at + 12:]
+
+    # (a) chop 100 bytes off the data chunk: 2 whole blocks + a
+    # 154-byte partial block -> 2*501 + (1 + 2*150) frames
+    cut = 100
+    data_at = factless.index(b"data")
+    (dsize,) = _struct.unpack("<I", factless[data_at + 4 : data_at + 8])
+    trunc = bytearray(factless[:-cut])
+    trunc[4:8] = _struct.pack("<I", len(trunc) - 8)
+    trunc[data_at + 4 : data_at + 8] = _struct.pack("<I", dsize - cut)
+    m, s = decode_wav_samples(bytes(trunc))
+    assert m.n_frames == 2 * 501 + 1 + 2 * 150 == len(s)
+
+    # (b1) overstated fact on ADPCM: capped at the decodable estimate
+    over = bytearray(wav)
+    over[fact_at + 8 : fact_at + 12] = _struct.pack("<I", 10**6)
+    m2, s2 = decode_wav_samples(bytes(over))
+    assert m2.n_frames == len(s2) == len(sig)
+
+    # (b2) overstated fact on G.711: capped at payload bytes / channels
+    g = encode_wav_g711(sig[:100], law="mu")
+    g_data = g.index(b"data")
+    with_fact = (g[:g_data]
+                 + b"fact" + _struct.pack("<II", 4, 200)
+                 + g[g_data:])
+    with_fact = (with_fact[:4]
+                 + _struct.pack("<I", len(with_fact) - 8)
+                 + with_fact[8:])
+    m3, s3 = decode_wav_samples(with_fact)
+    assert m3.n_frames == 100 == len(s3)
 
 
 def test_gif_zero_size_frame_and_mrle_no_palette():
