@@ -76,12 +76,18 @@ def decode_wav_meta(blob: bytes) -> WavMeta:
     if audio_format == WAVE_FORMAT_IMA_ADPCM and samples_per_block:
         # fact-less compressed files: whole blocks at samples_per_block
         # each, PLUS the trailing partial block decode_wav_samples also
-        # decodes (header -> 1 frame, then 2 nibble frames per byte) —
+        # decodes (headers -> 1 frame, then 2 nibble frames per byte;
+        # multi-channel blocks interleave 4-byte words per channel, so
+        # the shortest channel — the last — bounds the frame count) —
         # so meta and samples agree for truncated fact-less files too
         n_frames = (data_size // block_align) * samples_per_block
         rem = data_size % block_align
-        if rem >= 4:
-            n_frames += 1 + 2 * (rem - 4)
+        hdr = 4 * max(1, n_channels)
+        if rem >= hdr:
+            g, leftover = divmod(rem - hdr, hdr)
+            last_ch_bytes = g * 4 + min(
+                4, max(0, leftover - 4 * (max(1, n_channels) - 1)))
+            n_frames += 1 + 2 * last_ch_bytes
     if audio_format != WAVE_FORMAT_PCM and fact_frames is not None:
         # the fact chunk's dwSampleLength is authoritative, but cap it
         # at what the payload can actually decode: a corrupt fact that
@@ -265,16 +271,13 @@ def decode_wav_samples(blob: bytes) -> "tuple[WavMeta, list[int]]":
         pos += 8 + size + (size & 1)
     payload = payload or b""
     if meta.audio_format == WAVE_FORMAT_IMA_ADPCM:
-        if meta.n_channels != 1:
-            raise MediaFormatError(
-                "only mono IMA ADPCM supported (stereo interleaves "
-                "4-byte words per channel — out of fixture scope)")
-        samples = _decode_wav_adpcm_payload(payload, block_align)
-        # the fact chunk's dwSampleLength is the true count — drop the
-        # final block's nibble-padding samples (absent fact: keep all,
-        # the standard fact-less behavior)
+        samples = _decode_wav_adpcm_payload(
+            payload, block_align, meta.n_channels)
+        # the fact chunk's dwSampleLength is the true PER-CHANNEL count
+        # — drop the final block's nibble-padding samples (absent fact:
+        # keep all, the standard fact-less behavior)
         if fact_frames is not None:
-            samples = samples[:fact_frames]
+            samples = samples[: fact_frames * meta.n_channels]
         return meta, samples
     if meta.audio_format in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
         # honor a fact chunk here too, so meta.n_frames (which prefers
@@ -511,13 +514,14 @@ def ima_adpcm_encode_nibbles(
 
 def _ima_wav_header(
     sample_rate: int, block_align: int, samples_per_block: int,
+    n_channels: int = 1,
 ) -> bytes:
-    """fmt chunk for a mono format-0x11 WAV (cbSize=2 extension carries
+    """fmt chunk for a format-0x11 WAV (cbSize=2 extension carries
     samplesPerBlock, per the public Microsoft WAVE registry entry)."""
     byte_rate = sample_rate * block_align // max(1, samples_per_block)
     return struct.pack(
-        "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, 1, sample_rate, byte_rate,
-        block_align, 4, 2, samples_per_block,
+        "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, n_channels, sample_rate,
+        byte_rate, block_align, 4, 2, samples_per_block,
     )
 
 
@@ -583,30 +587,158 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def encode_wav_adpcm_nibbles_multi(
+    nibbles: "list[list[int]]",
+    predictors: "list[int]",
+    indices: "list[int]",
+    sample_rate: int = 8000,
+) -> bytes:
+    """Fixture encoder: pin EXACT per-channel nibble streams (plus each
+    channel's initial block-header state) inside a ONE-block
+    multi-channel IMA ADPCM WAV — the stereo analog of
+    encode_wav_adpcm_nibbles, so an oracle can replay the identical
+    per-channel streams without running a compressor. Each channel's
+    nibble count must be a multiple of 8 (whole interleave words) and
+    equal across channels."""
+    n_ch = len(nibbles)
+    if n_ch < 1 or len(predictors) != n_ch or len(indices) != n_ch:
+        raise MediaFormatError("need matching nibbles/predictors/indices")
+    n = len(nibbles[0])
+    if any(len(x) != n for x in nibbles) or n % 8 or n == 0:
+        raise MediaFormatError(
+            "per-channel nibble counts must be equal, nonzero and "
+            "multiples of 8 (whole interleave words)")
+    for idx in indices:
+        if not 0 <= idx <= 88:
+            raise MediaFormatError(f"ADPCM step index {idx} out of range")
+    body = bytearray()
+    for ch in range(n_ch):
+        body += struct.pack("<hBB", predictors[ch], indices[ch], 0)
+    packed = [
+        [
+            (lo & 0x0F) | ((hi & 0x0F) << 4)
+            for lo, hi in zip(nibbles[ch][0::2], nibbles[ch][1::2])
+        ]
+        for ch in range(n_ch)
+    ]
+    for w in range(n // 8):
+        for ch in range(n_ch):
+            body += bytes(packed[ch][w * 4 : w * 4 + 4])
+    block_align = len(body)
+    samples_per_block = 1 + n
+    fmt = _ima_wav_header(
+        sample_rate, block_align, samples_per_block, n_ch)
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, samples_per_block)
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_adpcm_multi(
+    channels: "list[list[int]]", sample_rate: int = 8000,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Compress N channels of linear int16 samples into an interleaved
+    multi-channel IMA ADPCM WAV (round-7 stereo upgrade; mono stays on
+    encode_wav_adpcm). Block layout per the registered WAVE format:
+    one 4-byte header per channel (first sample verbatim + running step
+    index), then the channels' closed-loop nibble streams interleaved
+    in 4-byte words. samples_per_block must be ≡ 1 (mod 8) so every
+    channel's samples_per_block-1 nibbles fill whole words; a short
+    final block zero-pads its nibbles and the fact chunk records the
+    true per-channel frame count so decode drops the padding."""
+    if not channels or not channels[0]:
+        raise MediaFormatError("need at least one channel with samples")
+    n_ch = len(channels)
+    n_frames = len(channels[0])
+    if any(len(c) != n_frames for c in channels):
+        raise MediaFormatError("channels must be equal length")
+    if samples_per_block < 9 or (samples_per_block - 1) % 8:
+        raise MediaFormatError(
+            "samples_per_block must be 1 mod 8 and >= 9 for "
+            "word-interleaved multi-channel blocks")
+    words_per_ch = (samples_per_block - 1) // 8
+    block_align = 4 * n_ch + words_per_ch * 4 * n_ch
+    data = bytearray()
+    indices = [0] * n_ch
+    pos = 0
+    while pos < n_frames:
+        take = min(samples_per_block, n_frames - pos)
+        headers = bytearray()
+        words: "list[list[int]]" = []  # per channel: packed bytes
+        for ch in range(n_ch):
+            chunk = channels[ch][pos : pos + take]
+            first = int(chunk[0])
+            nibs, _pred, idx_out = ima_adpcm_encode_nibbles(
+                chunk[1:], predictor=first, index=indices[ch])
+            headers += struct.pack("<hBB", first, indices[ch], 0)
+            indices[ch] = idx_out
+            padded = nibs + [0] * ((samples_per_block - 1) - len(nibs))
+            packed = [
+                (lo & 0x0F) | ((hi & 0x0F) << 4)
+                for lo, hi in zip(padded[0::2], padded[1::2])
+            ]
+            words.append(packed)
+        data += headers
+        for w in range(words_per_ch):
+            for ch in range(n_ch):
+                data += bytes(words[ch][w * 4 : w * 4 + 4])
+        pos += take
+    fmt = _ima_wav_header(
+        sample_rate, block_align, samples_per_block, n_ch)
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n_frames)
+    chunks += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def _decode_wav_adpcm_payload(
-    payload: bytes, block_align: int,
+    payload: bytes, block_align: int, n_channels: int = 1,
 ) -> "list[int]":
-    """Block walk for format-0x11 data: each block = 4-byte header
-    (int16 first sample, uint8 step index, reserved) + packed nibbles,
-    low nibble first. A trailing partial block decodes if it has at
-    least a header."""
-    if block_align < 4:
-        # 4 bytes = header-only block (one verbatim sample) — legal
+    """Block walk for format-0x11 data: each block = one 4-byte header
+    PER CHANNEL (int16 first sample, uint8 step index, reserved), then
+    the channels' nibble streams interleaved in 4-byte words (ch0 word,
+    ch1 word, ..., repeat), low nibble first within each byte — the
+    registered WAVE layout. Output frames are interleaved
+    (ch0, ch1, ...). A trailing partial block decodes if it has at
+    least its headers; within it, each channel decodes the bytes it
+    actually received and the block emits only COMPLETE frames (the
+    shortest channel bounds it)."""
+    if n_channels < 1:
+        raise MediaFormatError("ADPCM needs at least one channel")
+    hdr = 4 * n_channels
+    if block_align < hdr:
+        # headers only = one verbatim frame — legal
         raise MediaFormatError("ADPCM block_align too small")
     samples: list[int] = []
     for off in range(0, len(payload), block_align):
         block = payload[off : off + block_align]
-        if len(block) < 4:
+        if len(block) < hdr:
             break  # trailing sub-header fragment: no samples to recover
-        pred, idx, _res = struct.unpack("<hBB", block[:4])
-        if idx > 88:
-            raise MediaFormatError(f"ADPCM step index {idx} out of range")
-        samples.append(pred)
-        nibbles: list[int] = []
-        for b in block[4:]:
-            nibbles.append(b & 0x0F)
-            nibbles.append(b >> 4)
-        samples.extend(ima_adpcm_decode_nibbles(nibbles, pred, idx))
+        preds: list[int] = []
+        idxs: list[int] = []
+        for ch in range(n_channels):
+            pred, idx, _res = struct.unpack(
+                "<hBB", block[4 * ch : 4 * ch + 4])
+            if idx > 88:
+                raise MediaFormatError(
+                    f"ADPCM step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+        samples.extend(preds)
+        nibbles: list[list[int]] = [[] for _ in range(n_channels)]
+        for p, b in enumerate(block[hdr:]):
+            ch = (p // 4) % n_channels
+            nibbles[ch].append(b & 0x0F)
+            nibbles[ch].append(b >> 4)
+        decoded = [
+            ima_adpcm_decode_nibbles(nibbles[ch], preds[ch], idxs[ch])
+            for ch in range(n_channels)
+        ]
+        for f in range(min(len(d) for d in decoded)):
+            samples.extend(decoded[ch][f] for ch in range(n_channels))
     return samples
 
 

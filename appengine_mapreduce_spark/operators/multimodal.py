@@ -464,6 +464,51 @@ def audio_pcm_features(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def audio_pcm_features_per_channel(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """audio_pcm_features, one row per (clip, channel): the decoded
+    frame stream de-interleaves by meta.n_channels and each channel gets
+    its own integer-exact feature row — the shape a stereo/multi-track
+    corpus screen needs (a silent or clipped channel hides inside
+    whole-clip stats). Same Arrow-batched mapInPandas seam; rows fan out
+    n_channels x, still clip-bounded."""
+    from appengine_mapreduce_spark.functions.media import decode_wav_samples
+
+    out_schema = (
+        f"{id_col} bigint, channel int, n_samples bigint, sum_sq bigint, "
+        "peak int, zero_crossings bigint"
+    )
+    df = ensure_parallelism(df.select(id_col, content_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "channel", "n_samples", "sum_sq", "peak",
+                "zero_crossings"]
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                meta, samples = decode_wav_samples(bytes(blob))
+                for ch in range(meta.n_channels):
+                    rows.append((
+                        int(i), ch,
+                        *_pcm_feature_row(samples[ch::meta.n_channels]),
+                    ))
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({
+                    id_col: pd.Series(dtype="int64"),
+                    "channel": pd.Series(dtype="int32"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "sum_sq": pd.Series(dtype="int64"),
+                    "peak": pd.Series(dtype="int32"),
+                    "zero_crossings": pd.Series(dtype="int64"),
+                })
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def decode_jpeg_pixel_stats(
     df: DataFrame, id_col: str = "id", content_col: str = "content"
 ) -> DataFrame:

@@ -1205,3 +1205,113 @@ def adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
     return audio_pcm_features(blobs, id_col="doc_id", content_col="content")
+
+
+@register(
+    "adpcm_stereo_features",
+    oracle="""
+        WITH RECURSIVE params AS (
+            SELECT doc_id, ch, 1 + 8 * (2 + doc_id % 12) AS n,
+                   ((doc_id * 97 + ch * 501) % 2048) - 1024 AS pred0,
+                   (doc_id + 17 * ch) % 89 AS idx0
+            FROM documents, (SELECT unnest([0, 1]) AS ch)
+            WHERE doc_id < 150
+        ),
+        dec AS (
+            SELECT doc_id, ch, n, 0 AS i,
+                   CAST(pred0 AS INT) AS pred, CAST(idx0 AS INT) AS idx
+            FROM params
+            UNION ALL
+            SELECT doc_id, ch, n, i + 1,
+                   CAST(LEAST(32767, GREATEST(-32768,
+                       CASE WHEN nib >= 8 THEN pred - diff
+                            ELSE pred + diff END)) AS INT),
+                   CAST(LEAST(88, GREATEST(0,
+                       idx + [-1,-1,-1,-1,2,4,6,8][(nib % 8) + 1])) AS INT)
+            FROM (
+                SELECT doc_id, ch, n, i, pred, idx, nib,
+                       step // 8
+                       + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                       + CASE WHEN (nib // 2) % 2 = 1
+                              THEN step // 2 ELSE 0 END
+                       + CASE WHEN (nib // 4) % 2 = 1
+                              THEN step ELSE 0 END AS diff
+                FROM (
+                    SELECT d.*,
+                           (doc_id * 13 + ch * 7 + i * 5 + (i * i) % 16)
+                               % 16 AS nib,
+                           [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx + 1] AS step
+                    FROM dec d WHERE i < n - 1
+                )
+            )
+        ),
+        lagged AS (
+            SELECT doc_id, ch, pred AS s,
+                   lag(pred) OVER (PARTITION BY doc_id, ch ORDER BY i)
+                       AS prev
+            FROM dec
+        )
+        SELECT doc_id, CAST(ch AS INT) AS channel,
+               count(*) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND ((s >= 0) <> (prev >= 0))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+        FROM lagged GROUP BY doc_id, ch
+    """,
+    description="STEREO IMA ADPCM sample decode (round-7 upgrade "
+    "closing the round-6 mono-only gap): the WAV 0x11 multi-channel "
+    "layout — per-channel block headers + 4-byte nibble words "
+    "interleaved per channel. Per-channel pinned nibble streams and "
+    "initial (predictor, step-index) states come from the stereo "
+    "fixture encoder (functions/media.encode_wav_adpcm_nibbles_multi), "
+    "decode runs the shared channel-independent IMA recurrence "
+    "(audioop-cross-validated; the interleave layout is pinned by the "
+    "stereo==per-channel-mono equivalence pytest), and features are "
+    "per-CHANNEL integer-exact clip stats via "
+    "operators/multimodal.audio_pcm_features_per_channel — a silent or "
+    "clipped channel cannot hide inside whole-clip aggregates. The "
+    "oracle replays BOTH channels' decoder state machines in one "
+    "recursive CTE keyed by (doc_id, ch).",
+    tags=("multimodal", "udf", "audio", "adpcm"),
+)
+def adpcm_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from appengine_mapreduce_spark.functions.media import (
+        encode_wav_adpcm_nibbles_multi,
+    )
+    from appengine_mapreduce_spark.operators.multimodal import (
+        audio_pcm_features_per_channel,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 8 * (2 + did % 12)
+                nibs = [
+                    [(did * 13 + ch * 7 + i * 5 + (i * i) % 16) % 16
+                     for i in range(n)]
+                    for ch in (0, 1)
+                ]
+                preds = [((did * 97 + ch * 501) % 2048) - 1024
+                         for ch in (0, 1)]
+                idxs = [(did + 17 * ch) % 89 for ch in (0, 1)]
+                rows.append(
+                    (did,
+                     encode_wav_adpcm_nibbles_multi(nibs, preds, idxs)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(encode, schema="doc_id bigint, content binary")
+    return audio_pcm_features_per_channel(
+        blobs, id_col="doc_id", content_col="content")

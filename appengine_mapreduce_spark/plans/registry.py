@@ -74,7 +74,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     # each description pointing at its witness:
     "approx_distinct_parts", "mergeable_sketches",
     # ---- round-7 additions (new operators this round):
-    "incident_click_attribution_adaptive",
+    "incident_click_attribution_adaptive", "adpcm_stereo_features",
 )
 
 

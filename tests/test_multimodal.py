@@ -1512,10 +1512,73 @@ def test_ima_adpcm_wav_roundtrip_and_blocks():
     assert s2 == [-321] + ima_adpcm_decode_nibbles(nibs, -321, 42)
 
 
+def test_ima_adpcm_stereo_roundtrip_channel_equivalence():
+    """Round-7 stereo upgrade. The WAV 0x11 stereo layout interleaves
+    per-channel 4-byte nibble words after per-channel block headers;
+    each channel's codec state is INDEPENDENT, so de-interleaving a
+    stereo decode must reproduce exactly the mono encode/decode of each
+    channel with the same samples_per_block (header-verbatim firsts and
+    step-index carry included). That pins the interleave layout against
+    the already-audioop-cross-validated mono path."""
+    import math
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav_adpcm,
+        encode_wav_adpcm_multi,
+    )
+
+    left = [int(6000 * math.sin(i / 9)) for i in range(1503)]
+    right = [int(4000 * math.cos(i / 5)) - 700 for i in range(1503)]
+    wav = encode_wav_adpcm_multi([left, right], samples_per_block=505)
+    meta, inter = decode_wav_samples(wav)
+    assert meta.n_channels == 2 and meta.audio_format == 0x11
+    assert meta.n_frames == 1503 and len(inter) == 2 * 1503
+    got_l, got_r = inter[0::2], inter[1::2]
+    for ch_sig, got in ((left, got_l), (right, got_r)):
+        _m, mono = decode_wav_samples(
+            encode_wav_adpcm(ch_sig, samples_per_block=505))
+        assert got == mono
+        # block-leading samples are verbatim
+        for b0 in range(0, len(ch_sig), 505):
+            assert got[b0] == ch_sig[b0]
+
+
+def test_ima_adpcm_stereo_truncated_factless_agreement():
+    """Stereo meta/samples agreement on a truncated fact-less file: the
+    partial final block emits only complete frames (the shortest — last
+    — channel bounds it), and the meta estimate replicates that word-
+    interleave arithmetic."""
+    import math
+    import struct as _struct
+
+    from appengine_mapreduce_spark.functions.media import (
+        decode_wav_samples,
+        encode_wav_adpcm_multi,
+    )
+
+    left = [int(3000 * math.sin(i / 4)) for i in range(1203)]
+    right = [int(2000 * math.sin(i / 11)) for i in range(1203)]
+    wav = encode_wav_adpcm_multi([left, right], samples_per_block=401)
+    fact_at = wav.index(b"fact")
+    factless = wav[:fact_at] + wav[fact_at + 12:]
+    data_at = factless.index(b"data")
+    (dsize,) = _struct.unpack(
+        "<I", factless[data_at + 4 : data_at + 8])
+    for cut in (0, 3, 6, 11, 100, 207):
+        trunc = bytearray(factless[: len(factless) - cut])
+        trunc[4:8] = _struct.pack("<I", len(trunc) - 8)
+        trunc[data_at + 4 : data_at + 8] = _struct.pack("<I", dsize - cut)
+        m, s = decode_wav_samples(bytes(trunc))
+        assert len(s) % 2 == 0
+        assert m.n_frames == len(s) // 2, (cut, m.n_frames, len(s))
+
+
 def test_ima_adpcm_malformed_contract():
     """Out-of-range step index in a block header raises MediaFormatError
-    (the uniform malformed-input contract), as does a stereo format-0x11
-    claim (documented out of scope)."""
+    (the uniform malformed-input contract), as does a channel count the
+    block structure cannot hold (block_align smaller than the per-channel
+    headers) and a zero channel count."""
     import struct as _struct
 
     import pytest
@@ -1537,12 +1600,18 @@ def test_ima_adpcm_malformed_contract():
         decode_wav_samples(bytes(bad))
     with pytest.raises(MediaFormatError):
         encode_wav_adpcm_nibbles([1], 0, index=89)
-    # stereo claim: patch n_channels in fmt
+    # stereo claim on a block too small for two headers: the one-block
+    # nibble fixture's block_align is 6 < 8 bytes of headers
     fmt_pos = good.index(b"fmt ") + 8
     st = bytearray(good)
     st[fmt_pos + 2 : fmt_pos + 4] = _struct.pack("<H", 2)
-    with pytest.raises(MediaFormatError, match="mono"):
+    with pytest.raises(MediaFormatError, match="block_align"):
         decode_wav_samples(bytes(st))
+    # zero channels
+    z = bytearray(good)
+    z[fmt_pos + 2 : fmt_pos + 4] = _struct.pack("<H", 0)
+    with pytest.raises(MediaFormatError, match="channel"):
+        decode_wav_samples(bytes(z))
 
 
 def test_wav_fact_chunk_edge_cases():
