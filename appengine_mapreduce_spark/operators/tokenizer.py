@@ -65,6 +65,53 @@ def _apply_merge(sym: Column, left: str, right: str) -> Column:
     )
 
 
+def bpe_apply_merges(
+    words: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    sym_col: str = "sym",
+) -> DataFrame:
+    """Apply a learned merge list IN TRAINING ORDER to a symbolized
+    vocab table — the tokenizer ENCODE step, separated from training so
+    a frozen tokenizer model (the N-merge list, driver-sized) can
+    segment any corpus. Each merge is the same greedy left-to-right JVM
+    array fold training uses; N merges stack as N expression layers in
+    ONE plan over the vocabulary-sized table — no shuffle, no Python.
+    At 100 TB the corpus collapses to (word, count) first, so encode
+    cost is vocab-sized regardless of corpus size."""
+    out = words
+    for left, right, _n in merges:
+        out = out.withColumn(
+            sym_col, _apply_merge(F.col(sym_col), left, right)
+        )
+    return out
+
+
+def bpe_token_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_k: int = 50,
+) -> DataFrame:
+    """Train BPE and report the top-k POST-MERGE token frequencies —
+    the vocabulary a data pipeline ships to its tokenizer, and the
+    per-token corpus statistics that drive vocab-size decisions.
+    Training (iterative, driver model) + encode (expression stack) +
+    one vocabulary-sized aggregation; tie-break (freq desc, token) is
+    total, so the top-k is deterministic and oracle-replayable."""
+    merges = train_bpe_merges(docs, text_col=text_col, n_merges=n_merges)
+    words = word_frequencies(docs, text_col).withColumn(
+        "sym", F.split(F.col("word"), "")
+    )
+    encoded = bpe_apply_merges(words, merges)
+    return (
+        encoded.select("count", F.explode("sym").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("count").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(top_k)
+    )
+
+
 def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",

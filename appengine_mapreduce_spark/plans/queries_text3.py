@@ -162,6 +162,28 @@ def _bpe_oracle_sql(
     )
 
 
+def _bpe_token_freq_oracle_sql(
+    n_merges: int = 6, top_k: int = 50, doc_filter: str = "doc_id < 300"
+) -> str:
+    """Oracle for the tokenizer APPLICATION query: the same unrolled
+    training chain, but the output is the post-merge symbol table —
+    explode the final vocab stage's symbol lists weighted by word
+    frequency, aggregate, top-k with (freq desc, token) tie-break."""
+    full = _bpe_oracle_sql(n_merges=n_merges, doc_filter=doc_filter)
+    chain = full[: full.rindex("SELECT * FROM")]
+    return (
+        chain
+        + f"""
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+            SELECT cnt, unnest(sym) AS token FROM w{n_merges}
+        )
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT {top_k}
+    """
+    )
+
+
 @register(
     "bpe_learned_merges",
     oracle=_bpe_oracle_sql(),
@@ -188,6 +210,32 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+@register(
+    "bpe_encode_segments",
+    oracle=_bpe_token_freq_oracle_sql(),
+    description="BPE tokenizer APPLICATION (round 7): train 6 merges, "
+    "then ENCODE the corpus with the frozen merge list "
+    "(operators/tokenizer.bpe_apply_merges — the greedy fold stacked "
+    "as 6 expression layers in one plan over the vocab-sized table, no "
+    "shuffle, no Python) and report the top-50 post-merge token "
+    "frequencies with a total (freq desc, token) tie-break — the "
+    "vocabulary statistics a training-data pipeline ships to its "
+    "tokenizer. FULL ORACLE: the unrolled training replay extended "
+    "with the exploded final symbol table. (The unrolled oracle "
+    "assumes no early stop at registered SFs — same fixed-N contract "
+    "as the kmeans/pagerank oracles; training's early-stop equivalence "
+    "is covered by the bpe_learned_merges oracle's threshold filter.)",
+    tags=("text", "tokenizer", "training-data", "iterative"),
+)
+def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        bpe_token_frequencies,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return bpe_token_frequencies(docs, n_merges=6, top_k=50)
 
 
 @register(

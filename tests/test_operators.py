@@ -598,6 +598,26 @@ def test_bpe_training_classic_example(spark):
     assert merges == [("u", "g", 20), ("u", "n", 16), ("h", "ug", 15)], merges
 
 
+def test_bpe_apply_merges_and_token_frequencies(spark):
+    """Tokenizer ENCODE on the classic corpus: after the 3 learned
+    merges the vocab segments as hug=[hug], pug=[p,ug], pun=[p,un],
+    bun=[b,un], hugs=[hug,s], so weighted token frequencies are
+    p:17, un:16, hug:15, s:5, ug:5, b:4 with the (freq desc, token)
+    tie-break putting 's' before 'ug'."""
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        bpe_token_frequencies,
+    )
+
+    text = " ".join(
+        ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    )
+    docs = spark.createDataFrame([(text,)], "text string")
+    rows = bpe_token_frequencies(docs, n_merges=3, top_k=10).collect()
+    assert [(r.token, r.freq) for r in rows] == [
+        ("p", 17), ("un", 16), ("hug", 15), ("s", 5), ("ug", 5), ("b", 4),
+    ]
+
+
 def test_bpe_training_deterministic_and_early_stop(spark):
     from appengine_mapreduce_spark.operators.tokenizer import (
         train_bpe_merges,
