@@ -1061,7 +1061,7 @@ def mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KLL median rank 0.499-0.501 vs the 0.45-0.55 gate), so a green "
     "hash certifies estimate quality AND merge consistency without "
     "pinning engine-specific sketch bytes.",
-    tags=("sketch", "aggregation", "oracle-twin"),
+    tags=("sketch", "aggregation", "oracle-twin", "scalar-cross"),
 )
 def sketch_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
