@@ -68,6 +68,107 @@ def incremental_dedup(
     return unseen.dropDuplicates([digest_col])
 
 
+def bloom_bit_positions(
+    col: Column, m_bits: int = 4096, k: int = 4
+) -> "list[Column]":
+    """k Bloom bit positions for a content value, derived from
+    NON-OVERLAPPING 32-bit words of its md5 — no engine RNG, no seed
+    state, so any engine with md5 computes the identical positions (the
+    same replayability trick as the random-strings generator oracle).
+    k <= 4 because md5 yields four independent 32-bit words."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 has four 32-bit words)")
+    if m_bits < 64:
+        raise ValueError("m_bits must be >= 64")
+    h = F.md5(col)
+    return [
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+         % m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    history: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Distinct set-bit positions of the history's Bloom bitmap — the
+    broadcastable digest-store summary for incremental dedup. At most
+    min(m_bits, k*n) single-int rows; the history's documents are read
+    once and never shuffled (the distinct runs on bit ints).
+
+    Scale: this sparse (set-bits) form broadcasts directly and keeps
+    the probe a BroadcastHashJoin; for bitmaps past broadcast size,
+    pack words (bit // 64 -> bit_or of shifted bits) and shard the
+    probe on word index — same plan shape, denser model. The
+    false-positive rate is the standard (1 - e^{-kn/m})^k; size m_bits
+    to the history's digest count, not its byte size."""
+    bits = history.select(
+        F.explode(
+            F.array(*bloom_bit_positions(F.col(text_col), m_bits, k))
+        ).alias("bloom_bit")
+    )
+    return bits.distinct()
+
+
+def bloom_incremental_dedup(
+    new_batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental dedup WITHOUT shuffling the history: probe each new
+    row's k Bloom bits against the broadcast bit set, then exact-verify
+    only the candidates against the history digests — the classic
+    bloom-then-verify pipeline a daily crawl runs against a 100 TB
+    corpus (incremental_dedup above anti-joins the full digest store;
+    this variant reads it once to build the bitmap and once more for
+    only the candidate verification, which the Bloom FP rate makes a
+    sliver of the batch).
+
+    Returns the new batch annotated with ``bloom_candidate`` (all k
+    bits hit) and ``is_dup`` (verified against history digests). Bloom
+    guarantees no false negatives: every true duplicate is a candidate
+    — an invariant the oracle twin checks row-free via counts.
+
+    Plan: one BroadcastHashJoin against the bit set (explode k bits per
+    row -> inner join -> count hits per row id), one digest join for
+    verification. No history shuffle, no giant literal IN lists."""
+    bits = bloom_build(history, text_col, m_bits, k)
+    probed = new_batch.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_digest"),
+        F.posexplode(
+            F.array(*bloom_bit_positions(F.col(text_col), m_bits, k))
+        ).alias("_ki", "bloom_bit"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits), "bloom_bit")
+        .groupBy(id_col)
+        .agg(F.count("_ki").alias("_n_hits"))
+    )
+    seen = history.select(
+        F.md5(F.col(text_col)).alias("_digest")
+    ).distinct().withColumn("_seen", F.lit(1))
+    annotated = (
+        new_batch.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(hits, id_col, "left")
+        .join(seen, "_digest", "left")
+        .withColumn(
+            "bloom_candidate",
+            (F.coalesce(F.col("_n_hits"), F.lit(0)) == k).cast("int"),
+        )
+        .withColumn(
+            "is_dup", (F.col("_seen").isNotNull()).cast("int")
+        )
+    )
+    return annotated.drop("_n_hits", "_seen")
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
     from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
     from appengine_mapreduce_spark.functions.text import (

@@ -279,3 +279,88 @@ def text_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("keeper"),
         (F.col("node") != F.col("component")).alias("is_dup"),
     )
+
+
+_BLOOM_BIT = "('0x' || substr(md5(text), {off}, 8))::UBIGINT % 4096"
+_BLOOM_BITS = ", ".join(_BLOOM_BIT.format(off=1 + 8 * i) for i in range(4))
+
+
+@register(
+    "bloom_incremental_dedup_stats",
+    oracle=f"""
+        WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        newb AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 600
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM hist
+            WHERE doc_id % 7 = 0
+        ),
+        bits AS (
+            SELECT DISTINCT bloom_bit FROM (
+                SELECT unnest([{_BLOOM_BITS}]) AS bloom_bit FROM hist)
+        ),
+        probe AS (
+            SELECT doc_id,
+                   CASE WHEN b0 IN (SELECT bloom_bit FROM bits)
+                         AND b1 IN (SELECT bloom_bit FROM bits)
+                         AND b2 IN (SELECT bloom_bit FROM bits)
+                         AND b3 IN (SELECT bloom_bit FROM bits)
+                        THEN 1 ELSE 0 END AS cand,
+                   CASE WHEN text IN (SELECT text FROM hist)
+                        THEN 1 ELSE 0 END AS dup
+            FROM (
+                SELECT doc_id, text,
+                       {_BLOOM_BIT.format(off=1)} AS b0,
+                       {_BLOOM_BIT.format(off=9)} AS b1,
+                       {_BLOOM_BIT.format(off=17)} AS b2,
+                       {_BLOOM_BIT.format(off=25)} AS b3
+                FROM newb)
+        )
+        SELECT COUNT(*) AS n_new,
+               CAST(SUM(cand) AS BIGINT) AS n_candidates,
+               CAST(SUM(dup) AS BIGINT) AS n_true_dups,
+               CAST(SUM(cand * (1 - dup)) AS BIGINT) AS n_false_positives,
+               CAST(SUM(dup * (1 - cand)) AS BIGINT) AS n_false_negatives
+        FROM probe
+    """,
+    description="Bloom-filter incremental dedup (round 7): probe a "
+    "re-crawl batch (new docs + every 7th history doc re-tagged) "
+    "against a BROADCAST 4096-bit/4-hash Bloom bitmap of the history's "
+    "digests — the bloom-then-verify pipeline that dedups a daily crawl "
+    "against a 100 TB corpus without shuffling the digest store "
+    "(operators/dedup.bloom_build / bloom_incremental_dedup; probe is a "
+    "BroadcastHashJoin on bit ints, verification touches only "
+    "candidates). Bit positions derive from md5's four 32-bit words — "
+    "no engine RNG — so DuckDB replays the EXACT bitmap, candidates, "
+    "false-positive count and the structural no-false-negatives "
+    "invariant (the md5-replay trick from random_strings_count): a "
+    "FULL-oracle probabilistic data structure, no tolerance gates.",
+    tags=("dedup", "bloom", "incremental", "counters"),
+)
+def bloom_incremental_dedup_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    newb = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+    ).unionByName(
+        hist.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    ann = bloom_incremental_dedup(newb, hist, m_bits=4096, k=4)
+    cand = F.col("bloom_candidate")
+    dup = F.col("is_dup")
+    return ann.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(cand).cast("bigint").alias("n_candidates"),
+        F.sum(dup).cast("bigint").alias("n_true_dups"),
+        F.sum(cand * (1 - dup)).cast("bigint").alias("n_false_positives"),
+        F.sum(dup * (1 - cand)).cast("bigint").alias("n_false_negatives"),
+    )

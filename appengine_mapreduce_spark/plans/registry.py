@@ -75,7 +75,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     "approx_distinct_parts", "mergeable_sketches",
     # ---- round-7 additions (new operators this round):
     "incident_click_attribution_adaptive", "adpcm_stereo_features",
-    "bpe_encode_segments",
+    "bpe_encode_segments", "bloom_incremental_dedup_stats",
 )
 
 

@@ -333,6 +333,57 @@ def test_incremental_dedup_operator(spark):
     assert texts == ["another fresh", "brand new"]
 
 
+def test_bloom_incremental_dedup_no_false_negatives(spark):
+    """Bloom-then-verify dedup: every true duplicate is a candidate
+    (the structural Bloom guarantee), verification is exact, and with a
+    deliberately tiny bitmap false positives appear WITHOUT corrupting
+    is_dup. Plan: candidate probing is a BroadcastHashJoin on bit ints
+    — no nested loop, no giant literal IN lists."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(i, f"hist doc {i}") for i in range(60)], "doc_id bigint, text string"
+    )
+    new_rows = (
+        [(1000 + i, f"hist doc {i}") for i in range(0, 60, 3)]   # 20 dups
+        + [(2000 + i, f"fresh doc {i}") for i in range(80)]      # 80 new
+    )
+    newb = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+
+    out = bloom_incremental_dedup(newb, history, m_bits=4096, k=4)
+    rows = {r.doc_id: (r.bloom_candidate, r.is_dup) for r in out.collect()}
+    assert len(rows) == 100
+    dups = {d for d, (_c, du) in rows.items() if du}
+    assert dups == {1000 + i for i in range(0, 60, 3)}
+    # no false negatives: every dup is a candidate
+    assert all(rows[d][0] == 1 for d in dups)
+
+    # tiny bitmap (64 bits, 60 docs * 4 hashes): false positives are
+    # near-certain, is_dup stays exact
+    tiny = bloom_incremental_dedup(newb, history, m_bits=64, k=4)
+    trows = tiny.collect()
+    n_cand = sum(r.bloom_candidate for r in trows)
+    n_dup = sum(r.is_dup for r in trows)
+    assert n_dup == 20 and n_cand > n_dup
+    assert all(r.bloom_candidate == 1 for r in trows if r.is_dup)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_incremental_dedup(newb, history, k=5)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_incremental_dedup(newb, history, m_bits=32)
+
+
 def test_scrub_signals_matches_component_operators(spark):
     """scrub_signals (one shared projection) must agree exactly with the
     separately-run, oracle-verified language_id and quality_score."""
