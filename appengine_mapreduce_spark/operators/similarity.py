@@ -365,7 +365,8 @@ def pq_encode(
     """Expression-only encode: per subspace, argmin over the Ks centroid
     distances → ``pq_code`` array<int>. Stays in whole-stage codegen
     (unrolled like the SQ8/k-means assignment paths — the codebook is
-    model-sized and inlined as literals)."""
+    model-sized and inlined as literals). All input columns pass
+    through (IVFADC keeps its list_id alongside the code)."""
     sub = len(codebooks[0][0])
     code_cols = []
     for mi, book in enumerate(codebooks):
@@ -375,10 +376,7 @@ def pq_encode(
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return df.select(
-        F.col(id_col), F.col(vec_col),
-        F.array(*code_cols).alias("pq_code"),
-    )
+    return df.withColumn("pq_code", F.array(*code_cols))
 
 
 def pq_adc_topk(
@@ -423,3 +421,125 @@ def pq_reconstruct(
     for mi, c in enumerate(code):
         out.extend(codebooks[mi][c])
     return out
+
+
+def ivfadc_build(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    coarse_iterations: int = 2,
+    pq_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[list[list[float]], list[list[list[float]]], DataFrame]":
+    """Build an IVFADC index (Jégou et al.'s IVF + PQ-on-residuals — the
+    canonical billion-scale recipe, what FAISS calls IVFx,PQy): a coarse
+    k-means quantizer assigns each vector to an inverted list, and a
+    product quantizer trained on the RESIDUALS (vector minus its list
+    centroid) stores each vector as M bytes. Residual encoding is the
+    load-bearing trick: residuals concentrate near zero, so the same
+    codebook budget quantizes them far more finely than raw vectors.
+
+    Returns (coarse_centroids, pq_codebooks, encoded) where encoded =
+    (id, list_id, pq_code). Models are driver-sized (n_lists*D +
+    Ks*D doubles); the corpus is never collected. The residual is a
+    pure JVM expression (array-of-arrays literal indexed by the
+    assignment column, zip_with subtract), so build stays in codegen
+    outside the k-means/PQ training aggregations.
+
+    At 100 TB: store `encoded` partitioned/bucketed by list_id — each
+    probe is then a partition-pruned scan of ~n_probes/n_lists of the
+    corpus, reading M bytes per vector."""
+    from appengine_mapreduce_spark.operators.clustering import kmeans
+
+    coarse, assigned = kmeans(
+        corpus, k=n_lists, n_iterations=coarse_iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in coarse
+    ])
+    with_res = (
+        corpus.join(
+            assigned.select(id_col, F.col("cluster").alias("list_id")),
+            id_col,
+        )
+        .withColumn(
+            "_residual",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cents, F.col("list_id") + 1),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+    )
+    books = pq_train(
+        with_res.select(id_col, F.col("_residual").alias(vec_col)),
+        m=m, ks=ks, n_iterations=pq_iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    encoded = pq_encode(
+        with_res.select(
+            id_col, "list_id", F.col("_residual").alias(vec_col)
+        ),
+        books, id_col=id_col, vec_col=vec_col,
+    ).select(id_col, "list_id", "pq_code")
+    return coarse, books, encoded
+
+
+def ivfadc_topk(
+    encoded: DataFrame,
+    coarse: "list[list[float]]",
+    codebooks: "list[list[list[float]]]",
+    query_vec: "list[float]",
+    n_probes: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: rank the inverted lists by the query's exact L2
+    distance to each coarse centroid (model-sized, driver arithmetic),
+    probe the top ``n_probes`` lists, and ADC-score only those rows —
+    each probed list gets its OWN lookup table built from the query's
+    residual against that list's centroid (the asymmetry that makes
+    IVFADC accurate: the query is never quantized). Scoring is a
+    per-row chained-when over the probed lists' inlined LUTs + M
+    element_at lookups; the scan is TakeOrderedAndProject. Scores round
+    to 6dp BEFORE the sort so ties break identically cross-engine."""
+    if not 1 <= n_probes <= len(coarse):
+        raise ValueError("n_probes must be in 1..n_lists")
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    ranked = sorted(
+        range(len(coarse)),
+        key=lambda li: (
+            sum((q - c) ** 2 for q, c in zip(query_vec, coarse[li])), li,
+        ),
+    )
+    probes = ranked[:n_probes]
+    score = None
+    for li in probes:
+        qres = [q - c for q, c in zip(query_vec, coarse[li])]
+        s = F.lit(0.0)
+        for mi, book in enumerate(codebooks):
+            qr = qres[mi * sub : (mi + 1) * sub]
+            table = [
+                float(sum((a - b) ** 2 for a, b in zip(qr, c)))
+                for c in book
+            ]
+            lut = F.array(*[F.lit(t) for t in table])
+            s = s + F.element_at(
+                lut, F.element_at(F.col("pq_code"), mi + 1) + 1
+            )
+        cond = F.col("list_id") == li
+        score = F.when(cond, s) if score is None else score.when(cond, s)
+    return (
+        encoded.filter(F.col("list_id").isin([int(p) for p in probes]))
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.round(score, 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -370,3 +370,206 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in
              emb.orderBy("vec_id").first()["embedding"]]
     return pq_adc_topk(encoded, books, query, k=10)
+
+
+def _ivfadc_oracle_sql(
+    n_lists: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    coarse_iter: int = 2,
+    pq_iter: int = 2,
+    n_probes: int = 2,
+    k: int = 10,
+) -> str:
+    """Full end-to-end replay of the IVFADC index (round 7): coarse
+    k-means chain (k-prefixed CTEs), final list assignment, residual
+    computation, the compound-key PQ chain over RESIDUALS (p-prefixed),
+    encode, probe ranking, per-probed-list query-residual lookup
+    tables, and ADC scoring — all the unrolled-CTE techniques proven by
+    kmeans_centroids_oracled and pq_ann_topk composed into one oracle.
+    Determinism: coarse and PQ means round to 9dp per iteration;
+    residuals are exact double arithmetic on identical inputs in both
+    engines; the ADC score rounds to 6dp BEFORE the top-k sort."""
+    sub = dim // m
+    head = f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id,
+                   unnest(generate_series(0, {dim - 1})) AS dim,
+                   unnest(list_transform(generate_series(1, {dim}),
+                          i -> CAST(embedding[i] AS DOUBLE))) AS val
+            FROM embeddings
+        ),
+        kinit AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT {n_lists}
+        ),
+        kc0 AS MATERIALIZED (
+            SELECT i.cluster, v.dim, v.val FROM kinit i JOIN v USING (vec_id)
+        )"""
+    parts = []
+    for t in range(1, coarse_iter + 1):
+        p = f"kc{t - 1}"
+        parts.append(f""",
+        kd{t} AS (
+            SELECT v.vec_id, c.cluster,
+                   sum((v.val - c.val) * (v.val - c.val)) AS dist
+            FROM v JOIN {p} c USING (dim)
+            GROUP BY v.vec_id, c.cluster
+        ),
+        ka{t} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM kd{t}
+            ) WHERE rn = 1
+        ),
+        km{t} AS (
+            SELECT a.cluster, v.dim, round(avg(v.val), 9) AS val
+            FROM ka{t} a JOIN v USING (vec_id)
+            GROUP BY a.cluster, v.dim
+        ),
+        kc{t} AS (
+            SELECT p.cluster, p.dim, coalesce(m.val, p.val) AS val
+            FROM {p} p LEFT JOIN km{t} m
+              ON p.cluster = m.cluster AND p.dim = m.dim
+        )""")
+    kc = f"kc{coarse_iter}"
+    parts.append(f""",
+        kafin AS (
+            SELECT vec_id, cluster AS list_id FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY sum((v.val - c.val) * (v.val - c.val)),
+                                    c.cluster) AS rn
+                FROM v JOIN {kc} c USING (dim)
+                GROUP BY v.vec_id, c.cluster
+            ) WHERE rn = 1
+        ),
+        rv AS MATERIALIZED (
+            SELECT v.vec_id, v.dim, v.val - c.val AS val
+            FROM v JOIN kafin a ON v.vec_id = a.vec_id
+                   JOIN {kc} c ON c.cluster = a.list_id AND c.dim = v.dim
+        ),
+        ps AS MATERIALIZED (
+            SELECT vec_id, dim // {sub} AS sub, dim % {sub} AS dim2, val
+            FROM rv
+        ),
+        pinit AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT {ks}
+        ),
+        pc0 AS MATERIALIZED (
+            SELECT s.sub, i.cluster, s.dim2, s.val
+            FROM pinit i JOIN ps s USING (vec_id)
+        )""")
+    for t in range(1, pq_iter + 1):
+        p = f"pc{t - 1}"
+        parts.append(f""",
+        pd{t} AS (
+            SELECT s.vec_id, s.sub, c.cluster,
+                   sum((s.val - c.val) * (s.val - c.val)) AS dist
+            FROM ps s JOIN {p} c ON s.sub = c.sub AND s.dim2 = c.dim2
+            GROUP BY s.vec_id, s.sub, c.cluster
+        ),
+        pa{t} AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cluster) AS rn
+                FROM pd{t}
+            ) WHERE rn = 1
+        ),
+        pm{t} AS (
+            SELECT a.sub, a.cluster, s.dim2, round(avg(s.val), 9) AS val
+            FROM pa{t} a JOIN ps s ON a.vec_id = s.vec_id AND a.sub = s.sub
+            GROUP BY a.sub, a.cluster, s.dim2
+        ),
+        pc{t} AS (
+            SELECT p.sub, p.cluster, p.dim2, coalesce(m.val, p.val) AS val
+            FROM {p} p LEFT JOIN pm{t} m
+              ON p.sub = m.sub AND p.cluster = m.cluster
+                 AND p.dim2 = m.dim2
+        )""")
+    pc = f"pc{pq_iter}"
+    tail = f""",
+        penc AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT s.vec_id, s.sub, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY sum((s.val - c.val) * (s.val - c.val)),
+                                    c.cluster) AS rn
+                FROM ps s JOIN {pc} c ON s.sub = c.sub AND s.dim2 = c.dim2
+                GROUP BY s.vec_id, s.sub, c.cluster
+            ) WHERE rn = 1
+        ),
+        qv AS (SELECT dim, val FROM v WHERE vec_id = 0),
+        probe AS (
+            SELECT cluster AS list_id FROM (
+                SELECT c.cluster,
+                       row_number() OVER (
+                           ORDER BY sum((q.val - c.val) * (q.val - c.val)),
+                                    c.cluster) AS rn
+                FROM {kc} c JOIN qv q USING (dim)
+                GROUP BY c.cluster
+            ) WHERE rn <= {n_probes}
+        ),
+        qr AS (
+            SELECT p.list_id, c.dim // {sub} AS sub, c.dim % {sub} AS dim2,
+                   q.val - c.val AS val
+            FROM probe p JOIN {kc} c ON c.cluster = p.list_id
+                 JOIN qv q ON q.dim = c.dim
+        ),
+        plut AS (
+            SELECT r.list_id, c.sub, c.cluster,
+                   sum((r.val - c.val) * (r.val - c.val)) AS d
+            FROM qr r JOIN {pc} c ON c.sub = r.sub AND c.dim2 = r.dim2
+            GROUP BY r.list_id, c.sub, c.cluster
+        )
+        SELECT e.vec_id, CAST(a.list_id AS INT) AS list_id,
+               round(sum(l.d), 6) AS adc_dist
+        FROM penc e
+             JOIN kafin a ON a.vec_id = e.vec_id
+             JOIN plut l ON l.list_id = a.list_id
+                 AND l.sub = e.sub AND l.cluster = e.cluster
+        GROUP BY e.vec_id, a.list_id
+        ORDER BY adc_dist, e.vec_id
+        LIMIT {k}
+    """
+    return head + "".join(parts) + tail
+
+
+@register(
+    "ivfadc_topk",
+    oracle=_ivfadc_oracle_sql(),
+    description="IVFADC ANN (round 7 — Jégou et al.'s IVF + "
+    "PQ-on-RESIDUALS, the canonical billion-scale index, FAISS "
+    "IVFx,PQy): a coarse 8-list k-means quantizer routes vectors to "
+    "inverted lists, a product quantizer trained on residuals stores "
+    "each vector as 4 bytes, and search probes the 2 closest lists "
+    "with a PER-LIST asymmetric lookup table built from the query's "
+    "residual (operators/similarity.ivfadc_build/ivfadc_topk). At "
+    "100 TB: bucket the encoded table by list_id and each probe is a "
+    "partition-pruned scan reading M bytes/vector; both models are "
+    "driver-sized. FULL ORACLE: coarse chain + assignment + residuals "
+    "+ residual-PQ chain + encode + probe ranking + per-list LUTs + "
+    "ADC scoring all replayed in one unrolled CTE pipeline — the "
+    "composition of the kmeans_centroids_oracled and pq_ann_topk "
+    "techniques.",
+    tags=("similarity", "embedding", "ann", "pq", "ivf"),
+)
+def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.similarity import (
+        ivfadc_build,
+        ivfadc_topk as _ivfadc_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, books, encoded = ivfadc_build(
+        emb, n_lists=8, m=4, ks=16, coarse_iterations=2, pq_iterations=2,
+    )
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return _ivfadc_search(encoded, coarse, books, query, n_probes=2, k=10)

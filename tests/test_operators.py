@@ -757,6 +757,84 @@ def test_adaptive_sign_bucket_splits_hot_buckets_keeps_neardups(spark):
     assert len(hot_sizes) > 1
 
 
+def test_ivfadc_build_search_identity_and_recall(spark):
+    """IVFADC (IVF coarse + PQ on residuals): (1) codes are M small
+    ints and every vector lands in a real list; (2) the ADC identity
+    per returned row — adc_dist equals the exact L2 between the
+    query's residual (w.r.t. that row's list centroid) and the PQ
+    reconstruction of the row's code; (3) on clustered data the true
+    nearest neighbor is retrieved; (4) returned rows come only from
+    the probed lists; (5) the plan has no nested loop."""
+    import random
+
+    from appengine_mapreduce_spark.operators.similarity import (
+        ivfadc_build,
+        ivfadc_topk,
+        pq_reconstruct,
+    )
+
+    rng = random.Random(31)
+    dim, n_clusters, per = 16, 6, 40
+    centers = [[rng.uniform(-5, 5) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.3, 0.3) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    coarse, books, encoded = ivfadc_build(
+        df, n_lists=6, m=4, ks=8, coarse_iterations=3, pq_iterations=3)
+    enc_rows = encoded.collect()
+    assert len(enc_rows) == len(rows)
+    assert all(len(r.pq_code) == 4 and all(0 <= c < 8 for c in r.pq_code)
+               for r in enc_rows)
+    assert all(0 <= r.list_id < 6 for r in enc_rows)
+
+    q = [x + 0.05 for x in centers[2]]
+    top = ivfadc_topk(encoded, coarse, books, q, n_probes=2, k=10)
+    got = top.collect()
+    assert len(got) == 10
+
+    # probed lists only
+    ranked = sorted(
+        range(len(coarse)),
+        key=lambda li: (sum((a - b) ** 2
+                            for a, b in zip(q, coarse[li])), li))
+    probed = set(ranked[:2])
+    assert {r.list_id for r in got} <= probed
+
+    # ADC identity per returned row
+    codes = {r.vec_id: (r.list_id, list(r.pq_code)) for r in enc_rows}
+    for r in got:
+        li, code = codes[r.vec_id]
+        qres = [a - b for a, b in zip(q, coarse[li])]
+        rec = pq_reconstruct(books, code)
+        exact = sum((a - b) ** 2 for a, b in zip(qres, rec))
+        assert abs(exact - r.adc_dist) < 1e-4, (r.vec_id, exact, r.adc_dist)
+
+    # every returned point is a true near neighbor (inside the query's
+    # cluster). Exact top-1 retrieval is NOT asserted: tight clusters
+    # collapse members onto identical codes and the id tie-break picks
+    # the lowest ids — the same documented property as the PQ test.
+    l2rank = sorted(
+        rows, key=lambda t: (sum((a - b) ** 2
+                                 for a, b in zip(q, t[1])), t[0]))
+    near = {t[0] for t in l2rank[:per]}
+    assert all(r.vec_id in near for r in got)
+
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_probes"):
+        ivfadc_topk(encoded, coarse, books, q, n_probes=0)
+
+
 def test_pq_adc_identity_and_recall(spark):
     """Product quantization: (1) the ADC identity — adc(q, code(x)) ==
     ||q - reconstruct(code(x))||² exactly, independent of training
