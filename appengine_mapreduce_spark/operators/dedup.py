@@ -217,19 +217,10 @@ def minhash_signatures(
     return sig.select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    num_hashes: int = 16,
-    num_bands: int = 4,
-    max_bucket_size: int = 1000,
+def _banded(
+    signatures: DataFrame, num_hashes: int, num_bands: int
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band bucket.
-
-    ``num_hashes`` must be divisible by ``num_bands``. The self-join is on
-    (band, band_sig) — only within-bucket pairs are generated.
-    ``max_bucket_size`` drops degenerate buckets (boilerplate explosion).
-    Output: distinct (id_a, id_b) with id_a < id_b.
-    """
+    """(_id, band, band_sig) — the signature split into LSH bands."""
     rows_per_band = num_hashes // num_bands
     band_structs = [
         F.struct(
@@ -244,9 +235,69 @@ def lsh_candidate_pairs(
         )
         for b in range(num_bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         "_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("_id", "bb.band", "bb.band_sig")
+
+
+def lsh_cross_corpus_candidates(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """NEAR-dup incremental dedup candidates: band both corpora's
+    MinHash signatures and equi-join ACROSS corpora on (band,
+    band_sig) — the cross-table sibling of ``lsh_candidate_pairs``'s
+    self-bucketing, and the near-duplicate analog of
+    ``incremental_dedup``/``bloom_incremental_dedup`` (which only catch
+    byte-identical content): a re-crawled page with a changed footer
+    still lands in a shared band bucket.
+
+    Unlike the self-join case there is no pipeline-recompute hazard —
+    the two sides are different DataFrames — so a plain shuffle
+    equi-join on (band, band_sig) is the right plan; at 100 TB keep
+    the HISTORY side's banded table materialized/bucketed by (band,
+    band_sig) between runs so only the new batch's signatures are
+    computed per run. ``max_bucket_size`` drops boilerplate buckets by
+    HISTORY-side population (the skew cap — a hot bucket on the
+    history side multiplies every colliding new row).
+
+    Output: distinct (new_id, hist_id) candidate pairs, to be
+    exact-verified (n-gram Jaccard) or auto-dropped by policy."""
+    nb = _banded(new_sigs, num_hashes, num_bands).withColumnRenamed(
+        "_id", "new_id")
+    hb = _banded(hist_sigs, num_hashes, num_bands).withColumnRenamed(
+        "_id", "hist_id")
+    ok_buckets = (
+        hb.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("band", "band_sig")
+    )
+    hb_capped = hb.join(ok_buckets, ["band", "band_sig"])
+    return (
+        nb.join(hb_capped, ["band", "band_sig"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    ``num_hashes`` must be divisible by ``num_bands``. The self-join is on
+    (band, band_sig) — only within-bucket pairs are generated.
+    ``max_bucket_size`` drops degenerate buckets (boilerplate explosion).
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = _banded(signatures, num_hashes, num_bands)
 
     # Pair generation via per-bucket collect + array combinatorics instead of
     # a self-join: a self-join would recompute the entire signature pipeline

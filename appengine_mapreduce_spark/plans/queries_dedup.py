@@ -364,3 +364,101 @@ def bloom_incremental_dedup_stats(
         F.sum(cand * (1 - dup)).cast("bigint").alias("n_false_positives"),
         F.sum(dup * (1 - cand)).cast("bigint").alias("n_false_negatives"),
     )
+
+
+def _sig_pipeline_sql(src: str, p: str) -> str:
+    """Render the shingle -> seeded -> signature CTE pipeline for a
+    (doc_id, text) source CTE under a name prefix, so the cross-corpus
+    oracle can run it once per side (DuckDB twin of
+    operators/dedup.minhash_signatures over an arbitrary corpus)."""
+    return f"""
+    {p}toks AS (SELECT doc_id, {_TOKS} AS tk FROM {src}),
+    {p}shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= {_SHINGLE_WORDS}
+                     THEN list_transform(
+                            generate_series(1, len(tk) - {_SHINGLE_WORDS - 1}),
+                            i -> array_to_string(tk[i:i+{_SHINGLE_WORDS - 1}], ' '))
+                     ELSE [] END) AS shingle
+            FROM {p}toks)),
+    {p}seeded AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+        FROM {p}shingles),
+    {p}sig AS (SELECT doc_id, {_SIG_COLS} FROM {p}seeded GROUP BY doc_id),
+    {p}banded AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"h{2 * b}::VARCHAR || '_' || h{2 * b + 1}::VARCHAR AS band_sig "
+            f"FROM {p}sig"
+            for b in range(_NUM_BANDS)
+        )}
+    )"""
+
+
+@register(
+    "crosscorpus_neardup_candidates",
+    oracle=f"""
+        WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        newd AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 600
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text || ' zqx' AS text
+            FROM hist WHERE doc_id % 11 = 0
+        ),
+        {_sig_pipeline_sql("hist", "h")},
+        {_sig_pipeline_sql("newd", "n")},
+        okb AS (
+            SELECT band, band_sig FROM (
+                SELECT band, band_sig, COUNT(*) AS bn
+                FROM hbanded GROUP BY band, band_sig
+            ) WHERE bn <= 1000
+        )
+        SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+        FROM nbanded n
+             JOIN hbanded h
+               ON n.band = h.band AND n.band_sig = h.band_sig
+             JOIN okb o
+               ON o.band = h.band AND o.band_sig = h.band_sig
+    """,
+    description="Cross-corpus NEAR-dup candidates (round 7): a re-crawl "
+    "batch (new docs + every 11th history doc with one appended token — "
+    "a changed-footer near-duplicate, NOT byte-identical) is banded and "
+    "equi-joined against the HISTORY corpus's banded MinHash signatures "
+    "on (band, band_sig) — the near-duplicate analog of "
+    "incremental/bloom dedup, which only catch exact content "
+    "(operators/dedup.lsh_cross_corpus_candidates). History-side bucket "
+    "cap bounds boilerplate skew; at 100 TB the history's banded table "
+    "is materialized between runs so only the batch's signatures are "
+    "computed. All hashing is md5/Carter-Wegman, so DuckDB replays the "
+    "exact candidate set.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def crosscorpus_neardup_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        lsh_cross_corpus_candidates,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    newd = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+    ).unionByName(
+        hist.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+        )
+    )
+    new_sigs = dedup.minhash_signatures(
+        newd, num_hashes=_NUM_HASHES, shingle_words=_SHINGLE_WORDS)
+    hist_sigs = dedup.minhash_signatures(
+        hist, num_hashes=_NUM_HASHES, shingle_words=_SHINGLE_WORDS)
+    return lsh_cross_corpus_candidates(
+        new_sigs, hist_sigs,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS,
+    )

@@ -76,7 +76,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     # ---- round-7 additions (new operators this round):
     "incident_click_attribution_adaptive", "adpcm_stereo_features",
     "bpe_encode_segments", "bloom_incremental_dedup_stats",
-    "ivfadc_topk",
+    "ivfadc_topk", "crosscorpus_neardup_candidates",
 )
 
 

@@ -333,6 +333,55 @@ def test_incremental_dedup_operator(spark):
     assert texts == ["another fresh", "brand new"]
 
 
+def test_lsh_cross_corpus_candidates_planted_recall(spark):
+    """Cross-corpus near-dup candidates: every planted near-duplicate
+    (history doc with one appended token) shares a band bucket with its
+    original; unrelated docs produce no pairs; the history-side bucket
+    cap drops boilerplate buckets; the join plan is an equi-join."""
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.dedup import (
+        lsh_cross_corpus_candidates,
+        minhash_signatures,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    words = [f"w{i}" for i in range(200)]
+    hist_rows = [
+        (i, " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(40)
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id bigint, text string")
+    # new side: 10 perturbed copies (near-dups) + 20 unrelated docs
+    new_rows = [
+        (1000 + i, t + " extratoken") for i, t in hist_rows[:10]
+    ] + [
+        (2000 + i, " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(20)
+    ]
+    newd = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+
+    hs = minhash_signatures(hist, num_hashes=16, shingle_words=3)
+    ns = minhash_signatures(newd, num_hashes=16, shingle_words=3)
+    pairs = lsh_cross_corpus_candidates(ns, hs, num_hashes=16, num_bands=8)
+    got = {(r.new_id, r.hist_id) for r in pairs.collect()}
+    # every planted pair found (8 bands x 2 rows: near-identical
+    # signatures collide in at least one band)
+    for i in range(10):
+        assert (1000 + i, i) in got, i
+
+    # history-side bucket cap: with max_bucket_size=0 nothing survives
+    assert lsh_cross_corpus_candidates(
+        ns, hs, num_hashes=16, num_bands=8, max_bucket_size=0
+    ).count() == 0
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_incremental_dedup_no_false_negatives(spark):
     """Bloom-then-verify dedup: every true duplicate is a candidate
     (the structural Bloom guarantee), verification is exact, and with a
