@@ -325,6 +325,50 @@ def lsh_candidate_pairs(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def crosscorpus_jaccard_verify(
+    candidates: DataFrame,
+    new_docs: DataFrame,
+    hist_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of cross-corpus candidate
+    pairs — the verify half of the near-dup bloom-then-verify shape:
+    ``lsh_cross_corpus_candidates`` proposes, this confirms. The
+    shingle join is RESTRICTED to candidate pairs (candidates drive the
+    join; fan-out per pair = shared shingles), so verification cost
+    scales with the candidate count, not the corpus product — the same
+    contract as Bloom's candidate-only digest check.
+
+    Output: (new_id, hist_id, jaccard) for pairs at or above
+    ``threshold``, jaccard exact over each side's distinct shingles."""
+    nsh = _shingled(new_docs, id_col, text_col, shingle_words).select(
+        F.col("_id").alias("new_id"), "shingle")
+    hsh = _shingled(hist_docs, id_col, text_col, shingle_words).select(
+        F.col("_id").alias("hist_id"), "shingle")
+    inter = (
+        candidates.join(nsh, "new_id")
+        .join(hsh, ["hist_id", "shingle"])
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    nsize = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("_ns"))
+    hsize = hsh.groupBy("hist_id").agg(F.count(F.lit(1)).alias("_hs"))
+    return (
+        inter.join(nsize, "new_id")
+        .join(hsize, "hist_id")
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.col("_ns") + F.col("_hs") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

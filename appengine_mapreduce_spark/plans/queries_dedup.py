@@ -462,3 +462,91 @@ def crosscorpus_neardup_candidates(
         new_sigs, hist_sigs,
         num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS,
     )
+
+
+@register(
+    "crosscorpus_neardup_verified",
+    oracle=f"""
+        WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        newd AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 600
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text || ' zqx' AS text
+            FROM hist WHERE doc_id % 11 = 0
+        ),
+        {_sig_pipeline_sql("hist", "h")},
+        {_sig_pipeline_sql("newd", "n")},
+        okb AS (
+            SELECT band, band_sig FROM (
+                SELECT band, band_sig, COUNT(*) AS bn
+                FROM hbanded GROUP BY band, band_sig
+            ) WHERE bn <= 1000
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+            FROM nbanded n
+                 JOIN hbanded h
+                   ON n.band = h.band AND n.band_sig = h.band_sig
+                 JOIN okb o
+                   ON o.band = h.band AND o.band_sig = h.band_sig
+        ),
+        inter AS (
+            SELECT c.new_id, c.hist_id, COUNT(*) AS i
+            FROM cand c
+                 JOIN nshingles ns ON ns.doc_id = c.new_id
+                 JOIN hshingles hs
+                   ON hs.doc_id = c.hist_id AND hs.shingle = ns.shingle
+            GROUP BY c.new_id, c.hist_id
+        ),
+        nsize AS (SELECT doc_id, COUNT(*) AS s FROM nshingles GROUP BY doc_id),
+        hsize AS (SELECT doc_id, COUNT(*) AS s FROM hshingles GROUP BY doc_id)
+        SELECT i.new_id, i.hist_id,
+               round(i.i / (ns.s + hs.s - i.i), 6) AS jaccard
+        FROM inter i
+             JOIN nsize ns ON ns.doc_id = i.new_id
+             JOIN hsize hs ON hs.doc_id = i.hist_id
+        WHERE i.i / (ns.s + hs.s - i.i) >= 0.5
+    """,
+    description="Cross-corpus near-dup VERIFICATION (round 7) — the "
+    "verify half of crosscorpus_neardup_candidates' bloom-then-verify "
+    "shape: exact n-gram Jaccard computed ONLY for candidate pairs "
+    "(the shingle join is candidate-driven, so verification cost "
+    "scales with candidates, not the corpus product), thresholded at "
+    "0.5 (operators/dedup.crosscorpus_jaccard_verify). The planted "
+    "changed-footer near-dups survive with jaccard near 1; chance band "
+    "collisions between unrelated docs are filtered out — the full "
+    "candidates->verified near-dup incremental dedup pipeline, exactly "
+    "replayed by DuckDB.",
+    tags=("dedup", "minhash", "lsh", "incremental", "jaccard"),
+)
+def crosscorpus_neardup_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        crosscorpus_jaccard_verify,
+        lsh_cross_corpus_candidates,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    newd = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+    ).unionByName(
+        hist.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+        )
+    )
+    new_sigs = dedup.minhash_signatures(
+        newd, num_hashes=_NUM_HASHES, shingle_words=_SHINGLE_WORDS)
+    hist_sigs = dedup.minhash_signatures(
+        hist, num_hashes=_NUM_HASHES, shingle_words=_SHINGLE_WORDS)
+    cand = lsh_cross_corpus_candidates(
+        new_sigs, hist_sigs,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS,
+    )
+    return crosscorpus_jaccard_verify(
+        cand, newd, hist,
+        shingle_words=_SHINGLE_WORDS, threshold=0.5,
+    )

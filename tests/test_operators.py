@@ -382,6 +382,37 @@ def test_lsh_cross_corpus_candidates_planted_recall(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_crosscorpus_jaccard_verify_planted_pairs(spark):
+    """Verification half of the cross-corpus near-dup pipeline: exact
+    Jaccard on candidate pairs only. A perturbed copy scores near 1 and
+    survives the threshold; a candidate pair given artificially (two
+    unrelated docs) scores low and is dropped; pairs NOT in the
+    candidate set never appear even if similar."""
+    from appengine_mapreduce_spark.operators.dedup import (
+        crosscorpus_jaccard_verify,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "z y x w v u t s r q p o")],
+        "doc_id bigint, text string",
+    )
+    newd = spark.createDataFrame(
+        [(101, "a b c d e f g h i j k l m"),   # near-dup of 1
+         (102, "n1 n2 n3 n4 n5 n6 n7 n8")],     # unrelated
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(101, 1), (102, 2)], "new_id bigint, hist_id bigint"
+    )
+    out = {(r.new_id, r.hist_id): r.jaccard
+           for r in crosscorpus_jaccard_verify(
+               cand, newd, hist, threshold=0.5).collect()}
+    assert (101, 1) in out and out[(101, 1)] > 0.8
+    assert (102, 2) not in out
+    # (101, 2) similar-or-not is irrelevant: not a candidate, never scored
+    assert all(k in {(101, 1)} for k in out)
+
+
 def test_bloom_incremental_dedup_no_false_negatives(spark):
     """Bloom-then-verify dedup: every true duplicate is a candidate
     (the structural Bloom guarantee), verification is exact, and with a
