@@ -524,3 +524,65 @@ def token_rarity_profile(
             F.col("_id").alias(id_col), "zipf_sum", "hapax", "n_tokens"
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document language-model quality score (round 7): train an
+    add-alpha-smoothed BIGRAM model on the corpus and score every
+    document by its mean token log-probability — the classic
+    perplexity-proxy quality filter (a document whose word transitions
+    are improbable under the corpus distribution is boilerplate,
+    gibberish, or mis-extracted markup). Upgrades the heuristic
+    ``token_rarity_profile``: this is an actual conditional LM, not a
+    frequency bucket profile.
+
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1,·) + alpha·V), score =
+    mean over the doc's bigrams of ln P. Everything is exact integer
+    counts + one double division + ln, so a SQL oracle replays it; the
+    mean is rounded to 6dp to absorb summation-order ulps.
+
+    Scale: two corpus-keyed aggregations (bigram and left-unigram
+    counts — vocabulary-sized results), two equi-joins of the doc
+    bigrams against them (AQE picks broadcast when the vocab fits),
+    one per-doc aggregation. V (distinct token count) is a scalar
+    collected once, inlined as a literal. Docs with fewer than two
+    tokens have no bigrams and produce no row."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        ).alias("tk"),
+    ).filter(F.size("tk") >= 2)
+    n = F.size("tk")
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, n - 1).alias("w1"),
+                F.slice("tk", 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    vocab_size = (
+        toks.select(F.explode("tk").alias("w")).distinct().count()
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    logp = F.log(
+        (F.col("_n2") + F.lit(float(alpha)))
+        / (F.col("_n1") + F.lit(float(alpha * vocab_size)))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("mean_logp"),
+        )
+    )

@@ -278,3 +278,55 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "bigram_lm_quality_scores",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents WHERE doc_id < 400
+        ),
+        toks2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+        bg AS (
+            SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - 1)) AS i
+                  FROM toks2)
+        ),
+        v AS (
+            SELECT COUNT(DISTINCT w) AS vs FROM (
+                SELECT unnest(tk) AS w FROM toks2)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1)
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               round(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vs))), 6)
+                   AS mean_logp
+        FROM bg b
+             JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+             JOIN c1 ON c1.w1 = b.w1, v
+        GROUP BY b.doc_id
+    """,
+    description="Per-document bigram LANGUAGE-MODEL quality score "
+    "(round 7): an add-one-smoothed bigram model trained on the corpus "
+    "scores each document by mean token log-probability — the "
+    "perplexity-proxy filter that catches boilerplate/gibberish/"
+    "mis-extracted markup, upgrading the heuristic rarity profile to a "
+    "real conditional LM (operators/text_analysis.bigram_lm_scores). "
+    "Two vocabulary-sized count aggregations + two equi-joins + one "
+    "per-doc mean; V is a scalar inlined once. Exact integer counts, "
+    "one double division and ln make the oracle replay exact; round(6) "
+    "absorbs summation-order ulps.",
+    tags=("text", "quality", "lm", "training-data"),
+)
+def bigram_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return bigram_lm_scores(docs, alpha=1.0)

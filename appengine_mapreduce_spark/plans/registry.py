@@ -77,7 +77,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     "incident_click_attribution_adaptive", "adpcm_stereo_features",
     "bpe_encode_segments", "bloom_incremental_dedup_stats",
     "ivfadc_topk", "crosscorpus_neardup_candidates",
-    "crosscorpus_neardup_verified",
+    "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
 )
 
 

@@ -382,6 +382,31 @@ def test_lsh_cross_corpus_candidates_planted_recall(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a hand-checkable corpus:
+    docs {d1: 'a b a b', d2: 'a b'} give c(a,b)=3, c(b,a)=1,
+    c(a,.)=3, c(b,.)=1, V=2, so P(b|a)=4/5, P(a|b)=2/3;
+    d1 scores (2·ln0.8 + ln(2/3))/3 and d2 scores ln 0.8. A one-token
+    doc yields no row."""
+    import math
+
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    p_ba, p_ab = 4 / 5, 2 / 3
+    assert abs(rows[1].mean_logp
+               - round((2 * math.log(p_ba) + math.log(p_ab)) / 3, 6)) < 1e-9
+    assert abs(rows[2].mean_logp - round(math.log(p_ba), 6)) < 1e-9
+
+
 def test_crosscorpus_jaccard_verify_planted_pairs(spark):
     """Verification half of the cross-corpus near-dup pipeline: exact
     Jaccard on candidate pairs only. A perturbed copy scores near 1 and
