@@ -774,7 +774,92 @@ def test_bpe_apply_merges_and_token_frequencies(spark):
     ]
 
 
-def test_bpe_training_deterministic_and_early_stop(spark):
+def test_bpe_oracle_replace_trick_equals_spark_fold(spark):
+    """Pins the ORACLE TECHNIQUE itself: the DuckDB delimiter-wrapped
+    string-replace merge application must equal Spark's greedy
+    left-to-right array fold on adversarial symbol streams — overlap
+    runs (a a a a), the merged symbol reappearing as a neighbor, and
+    multi-char symbols whose text embeds the pattern chars (pu|g vs
+    u|g). Randomized over seeded alphabets plus fixed edge cases."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from appengine_mapreduce_spark.operators.tokenizer import _apply_merge
+
+    rng = random.Random(77)
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["a", "a", "a"], ("a", "a")),
+        (["u", "g", "u", "g"], ("u", "g")),
+        (["p", "u", "g"], ("u", "g")),      # boundary: no |u at start
+        (["pu", "g"], ("u", "g")),          # pattern chars inside a symbol
+        (["ug", "ug", "u", "g"], ("u", "g")),
+        (["x"], ("a", "b")),
+        (["ab", "b", "ab", "b", "ab"], ("ab", "b")),
+    ]
+    for _ in range(40):
+        syms = [rng.choice(["a", "b", "ab", "ba", "aa"])
+                for _ in range(rng.randrange(1, 12))]
+        pair = (rng.choice(["a", "b", "ab", "aa"]),
+                rng.choice(["a", "b", "ab", "aa"]))
+        cases.append((syms, pair))
+
+    conn = duckdb.connect()
+    for syms, (left, right) in cases:
+        sdf = spark.createDataFrame([(syms,)], "sym array<string>")
+        got_spark = sdf.select(
+            _apply_merge(F.col("sym"), left, right).alias("out")
+        ).first()["out"]
+        got_duck = conn.execute(
+            """
+            SELECT string_split(
+                trim(replace(
+                    chr(31) || array_to_string(?, chr(31) || chr(31)) || chr(31),
+                    chr(31) || ? || chr(31) || chr(31) || ? || chr(31),
+                    chr(31) || ? || chr(31)), chr(31)),
+                chr(31) || chr(31))
+            """,
+            [syms, left, right, left + right],
+        ).fetchone()[0]
+        assert list(got_spark) == list(got_duck), (syms, left, right)
+
+
+def test_bpe_oracle_early_stop_filter_equivalence(spark):
+    """Pins the early-stop argument in the oracle docstring: on tiny
+    corpora where training STOPS early (best pair under
+    min_pair_count), the unrolled oracle's threshold-filtered output
+    must equal the early-stopped Spark run row-for-row."""
+    import duckdb
+
+    from appengine_mapreduce_spark.operators.tokenizer import (
+        train_bpe_merges,
+    )
+    from appengine_mapreduce_spark.plans.queries_text3 import (
+        _bpe_oracle_sql,
+    )
+
+    corpora = [
+        "ab ab cd",           # 1 merge then stop ((c,d)=1 < 2)
+        "xy xy xy q",         # (x,y)=3 then stop
+        "ab ab ab ba ba",     # several rounds then stop
+        "solo",               # no pair ever reaches 2 -> empty output
+    ]
+    for text in corpora:
+        docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+        merges = train_bpe_merges(docs, n_merges=6, min_pair_count=2)
+        want = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
+
+        conn = duckdb.connect()
+        conn.execute(
+            "CREATE TABLE documents AS SELECT 0 AS doc_id, ? AS text",
+            [text],
+        )
+        sql = _bpe_oracle_sql(n_merges=6, doc_filter="doc_id >= 0")
+        got = [tuple(r) for r in conn.sql(
+            sql + ' ORDER BY "rank"').fetchall()]
+        assert got == want, (text, got, want)
     from appengine_mapreduce_spark.operators.tokenizer import (
         train_bpe_merges,
     )
