@@ -1,6 +1,12 @@
 """Simulate the driver: vanilla SparkSession, import __spark_entry__,
 run entry() smoke + every queries() entry vs oracle_sql() in DuckDB at
-sf0.01 with order-insensitive value-hash compare."""
+sf0.01 with order-insensitive value-hash compare.
+
+For big-SF sweeps (sf1+), prefer chunked runs via tools/check_subset.py:
+a single long-lived session over all ~176 queries at sf1 has been
+observed to degrade partway (executor memory pressure accumulates),
+failing late queries environmentally — fresh-session subset re-checks
+of the same names MATCH. See PARITY_r7.md's caveat."""
 import hashlib
 import json
 import sys
