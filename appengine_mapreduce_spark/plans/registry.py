@@ -78,6 +78,8 @@ _CURATED_FIRST: tuple[str, ...] = (
     "bpe_encode_segments", "bloom_incremental_dedup_stats",
     "ivfadc_topk", "crosscorpus_neardup_candidates",
     "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
+    # ---- round-9 additions:
+    "substring_dedup_spans",
 )
 
 

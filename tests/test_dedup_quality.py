@@ -147,3 +147,99 @@ def test_ngram_jaccard_cap_keeps_true_jaccard_semantics(spark):
     expected = len(ka & kb) / len(ka | kb)
     assert (0, 1) in got
     assert abs(got[(0, 1)] - expected) < 1e-6, (got[(0, 1)], expected)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (round 9): planted-boilerplate recall.
+
+
+_LICENSE = (
+    "permission is hereby granted free of charge to any person "
+    "obtaining a copy of this software to deal without restriction"
+)  # 20 tokens
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """30 docs of unique random text; docs 0-9 carry the 20-token license
+    verbatim starting at token 10; docs 20-29 additionally share a
+    11-token footer at the very end."""
+    rng = random.Random(7)
+    footer = "generated by the example corpus tool all rights reserved to nobody"
+    rows = []
+    for i in range(30):
+        toks = _doc(rng, 40).split()
+        if i < 10:
+            toks = toks[:10] + _LICENSE.split() + toks[10:]
+        if i >= 20:
+            toks = toks + footer.split()
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_substring_spans_planted_recall(spark, boilerplate_docs):
+    """Every planted doc must report a span covering the full license
+    (window merge: 13 overlapping 8-gram hits -> ONE maximal span), and
+    no span may land in docs 10-19 (unique text only)."""
+    from appengine_mapreduce_spark.operators import dedup
+
+    spans = {
+        r.doc_id: (r.start_token, r.span_tokens)
+        for r in dedup.repeated_substring_spans(
+            boilerplate_docs, k=8, min_docs=2
+        ).filter("doc_id < 20").collect()
+    }
+    for i in range(10):
+        assert i in spans, f"doc {i}: planted license not flagged"
+        start, n = spans[i]
+        # the license occupies tokens [10, 30); the span must cover it
+        assert start <= 10 and start + n >= 30, (i, start, n)
+        # and not leak far into the unique text (merge slack < k each side)
+        assert start > 10 - 8 and start + n < 30 + 8, (i, start, n)
+    for i in range(10, 20):
+        assert i not in spans, f"doc {i}: false-positive span {spans.get(i)}"
+
+
+def test_substring_spans_multiple_per_doc(spark, boilerplate_docs):
+    """Docs 20-29 share only the 11-token footer; it must be flagged as
+    its own span at the document tail."""
+    from appengine_mapreduce_spark.operators import dedup
+
+    rows = dedup.repeated_substring_spans(
+        boilerplate_docs, k=8, min_docs=2
+    ).filter("doc_id >= 20").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start_token, r.span_tokens))
+    for i in range(20, 30):
+        assert i in by_doc, f"doc {i}: footer not flagged"
+        (start, n), = by_doc[i]
+        assert start + n == 51 and n >= 11, (i, start, n)  # 40 body + 11 footer
+
+
+def test_strip_repeated_substrings(spark, boilerplate_docs):
+    """Stripping removes exactly the flagged spans: planted docs lose the
+    license tokens, clean docs keep every token (text re-joined
+    single-spaced)."""
+    from appengine_mapreduce_spark.operators import dedup
+
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_repeated_substrings(
+            boilerplate_docs, k=8, min_docs=2
+        ).collect()
+    }
+    originals = {r.doc_id: r.text for r in boilerplate_docs.collect()}
+    for i in range(10):
+        r = out[i]
+        assert r.n_tokens_before == 60
+        # the 20 license tokens go; a boundary window repeating by chance
+        # (the random vocab is small, so the word right next to the
+        # license can coincide between two planted docs) may extend the
+        # span by at most k-1 = 7 tokens per side
+        assert 26 <= r.n_tokens_after <= 40
+        assert _LICENSE not in r.cleaned_text
+    for i in range(10, 20):
+        r = out[i]
+        assert r.cleaned_text == originals[i]
+        assert r.n_tokens_after == r.n_tokens_before == 40
