@@ -1413,3 +1413,96 @@ def test_interval_join_empty_points_side(spark):
                                 "k bigint, s double, e double, iid int")
     assert interval_join(pdf, idf, "k", "ts", "s", "e",
                          bucket_seconds=10).count() == 0
+
+
+def test_interval_join_clamp_edge_cases(spark):
+    """Property coverage of the clamp path (VERDICT r7 ask #7): the
+    scalar-collect clamp (operators/joins.py pmin/pmax) must survive
+    every degenerate input shape without error or blow-up."""
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    sentinel = 253402300800.0
+
+    # empty points + ADAPTIVE bucket (None): the median agg still runs
+    # on intervals; pmin/pmax default to 0; result is empty
+    pdf0 = spark.createDataFrame([], "k bigint, ts double, pid int")
+    idf = spark.createDataFrame(
+        [(1, 0.0, sentinel, 0)], "k bigint, s double, e double, iid int")
+    assert interval_join(pdf0, idf, "k", "ts", "s", "e").count() == 0
+
+    # empty INTERVALS side + adaptive bucket: median is NULL -> 3600
+    # fallback; empty result, no error
+    pdf = spark.createDataFrame(
+        [(1, 5.0, 0)], "k bigint, ts double, pid int")
+    idf0 = spark.createDataFrame([], "k bigint, s double, e double, iid int")
+    assert interval_join(pdf, idf0, "k", "ts", "s", "e").count() == 0
+
+    # ALL-sentinel intervals + adaptive bucket: the derived median is
+    # astronomically large (every length ~ 2.5e11 s), which collapses
+    # every interval to bucket 0 — the clamp must still produce exact
+    # results, not an explosion and not a miss
+    points = [(k, float(t), 10 * k + t) for k in (1, 2) for t in range(5)]
+    ivals = [(1, 2.0, sentinel, 0), (1, 3.0, sentinel, 1),
+             (2, 0.0, sentinel, 2), (2, -50.0, sentinel, 3)]
+    got = {(r.pid, r.iid) for r in interval_join(
+        spark.createDataFrame(points, "k bigint, ts double, pid int"),
+        spark.createDataFrame(ivals, "k bigint, s double, e double, iid int"),
+        "k", "ts", "s", "e").collect()}
+    naive = {(p[2], v[3]) for p in points for v in ivals
+             if p[0] == v[0] and v[1] <= p[1] < v[2]}
+    assert got == naive and naive
+
+    # single point, single zero-length interval: [s, s) matches nothing
+    assert interval_join(
+        spark.createDataFrame([(1, 5.0, 0)], "k bigint, ts double, pid int"),
+        spark.createDataFrame([(1, 5.0, 5.0, 0)],
+                              "k bigint, s double, e double, iid int"),
+        "k", "ts", "s", "e").count() == 0
+
+
+def test_interval_join_property_random_mixed(spark):
+    """Hypothesis property: on arbitrary mixed-length fixtures — short,
+    long, zero-length, inverted (end < start), far-future-sentinel and
+    wholly-out-of-range intervals — the ADAPTIVE-bucket interval join
+    equals the naive O(n*m) range join exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from appengine_mapreduce_spark.operators.joins import interval_join
+
+    sentinel = 253402300800.0
+    point_st = st.tuples(
+        st.integers(0, 3), st.integers(-100, 100_000), st.integers())
+    ival_st = st.tuples(
+        st.integers(0, 3),
+        st.integers(-200, 100_000),
+        st.one_of(
+            st.integers(0, 90_000),        # length (may be 0)
+            st.just(-10),                  # inverted interval
+            st.just(int(sentinel)),        # open-ended sentinel
+        ),
+        st.integers(),
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(point_st, max_size=40, unique_by=lambda p: p[2]),
+           st.lists(ival_st, min_size=1, max_size=25,
+                    unique_by=lambda v: v[3]))
+    def prop(points, ivals):
+        pts = [(k, float(t), i) for i, (k, t, _) in enumerate(points)]
+        ivs = [(k, float(s), float(s) + ln if ln != int(sentinel)
+                else sentinel, j)
+               for j, (k, s, ln, _) in enumerate(ivals)]
+        pdf = spark.createDataFrame(pts, "k bigint, ts double, pid int") \
+            if pts else spark.createDataFrame([],
+                                              "k bigint, ts double, pid int")
+        idf = spark.createDataFrame(ivs,
+                                    "k bigint, s double, e double, iid int")
+        got = {(r.pid, r.iid) for r in interval_join(
+            pdf, idf, "k", "ts", "s", "e").collect()}
+        naive = {(p[2], v[3]) for p in pts for v in ivs
+                 if p[0] == v[0] and v[1] <= p[1] < v[2]}
+        assert got == naive
+
+    prop()
