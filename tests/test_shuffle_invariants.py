@@ -22,7 +22,7 @@ from appengine_mapreduce_spark.plans.registry import all_queries
 
 SF_DIR = "/root/testdata/sf0.1"
 
-# query -> bytes measured at sf0.1 (BENCH_LOCAL_r5.json shuffle_bytes)
+# query -> bytes measured at sf0.1 (BENCH_LOCAL_r05.json shuffle_bytes)
 ANCHORS = {
     # 3-way join + window over ps_partkey; nation/region broadcast only
     "q2_min_cost_supplier": 13_246_384,

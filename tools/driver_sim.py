@@ -2,11 +2,14 @@
 run entry() smoke + every queries() entry vs oracle_sql() in DuckDB at
 sf0.01 with order-insensitive value-hash compare.
 
-For big-SF sweeps (sf1+), prefer chunked runs via tools/check_subset.py:
-a single long-lived session over all ~176 queries at sf1 has been
-observed to degrade partway (executor memory pressure accumulates),
-failing late queries environmentally — fresh-session subset re-checks
-of the same names MATCH. See PARITY_r7.md's caveat."""
+Chunk mode (round 9, VERDICT r7 ask #2): SPARK_GRAFT_SIM_CHUNK="i/N"
+runs only the i-th of N strided slices of the query list (and skips the
+entry() smoke for i > 0). Big-SF sweeps (sf1+) need this: a single
+long-lived session over all ~177 queries at sf1 degrades partway
+(executor memory pressure accumulates), failing late queries
+environmentally — fresh-session re-checks of the same names MATCH (see
+PARITY_r07.md's caveat). tools/parity_sweep.py drives one fresh
+process per chunk and aggregates a single ALL-OK artifact."""
 import hashlib
 import json
 import sys
@@ -58,18 +61,24 @@ def value_hash(pdf):
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-# 1. entry() smoke
-res = entrymod.entry(spark)
-rows = res.collect()
-print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
-assert len(rows) >= 0
+_chunk = _os.environ.get("SPARK_GRAFT_SIM_CHUNK")  # "i/N" or unset
+_ci, _cn = (int(x) for x in _chunk.split("/")) if _chunk else (0, 1)
+
+# 1. entry() smoke (once per sweep: only the first chunk)
+if _ci == 0:
+    res = entrymod.entry(spark)
+    rows = res.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
+    assert len(rows) >= 0
 
 # 2. queries vs oracles
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
-print(f"{len(qs)} queries, {len(oracles)} oracles")
+names = sorted(qs)[_ci::_cn]
+print(f"{len(qs)} queries, {len(oracles)} oracles"
+      + (f", chunk {_ci}/{_cn}: {len(names)} queries" if _chunk else ""))
 fails = []
-for name, fn in sorted(qs.items()):
+for name, fn in ((n, qs[n]) for n in names):
     try:
         spdf = fn(spark, SF).toPandas()
         if name in oracles:
