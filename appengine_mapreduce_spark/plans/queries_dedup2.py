@@ -327,3 +327,84 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return repeated_substring_spans(docs, k=_SUB_K, min_docs=2)
+
+
+@register(
+    "substring_dedup_cleaned",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5('sub:' ||
+                        array_to_string(tk[i:i+{_SUB_K - 1}], ' ')),
+                        1, 15))::BIGINT AS dig
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {_SUB_K - 1}))
+                             AS i
+                  FROM toks WHERE len(tk) >= {_SUB_K})
+        ),
+        rep AS (
+            SELECT dig FROM sh
+            GROUP BY dig HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN rep r USING (dig)),
+        cov AS (
+            SELECT DISTINCT doc_id, ti FROM (
+                SELECT doc_id,
+                       unnest(generate_series(pos, pos + {_SUB_K - 1}))
+                           AS ti
+                FROM hits)
+        ),
+        tokpos AS (
+            SELECT doc_id, j - 1 AS ti, tk[j] AS tok
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS j
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM tokpos t
+                 LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+            WHERE c.ti IS NULL
+        ),
+        cleaned AS (
+            SELECT doc_id, count(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY ti) AS ctext
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS INT) AS n_tokens_before,
+               CAST(coalesce(c.n_after, 0) AS INT) AS n_tokens_after,
+               md5(coalesce(c.ctext, '')) AS cleaned_md5
+        FROM toks t LEFT JOIN cleaned c USING (doc_id)
+    """,
+    description="Verbatim-repeat REMOVAL, driver-visible end to end "
+    "(operators/dedup.strip_repeated_substrings): every doc rebuilt with "
+    "its cross-document repeated spans deleted; output pins before/after "
+    "token counts AND the md5 of the cleaned text, so the value hash "
+    "checks the exact reconstructed string for all docs, not just span "
+    "arithmetic. Spark side: the span table groups to a per-doc array "
+    "and the strip is one JVM filter-with-index expression — no corpus "
+    "shuffle beyond the span computation's two. The DuckDB oracle "
+    "replays spans, coverage expansion, ordered token filtering and the "
+    "single-space re-join.",
+    tags=("dedup", "text", "training-data", "substring"),
+)
+def substring_dedup_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        strip_repeated_substrings,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = strip_repeated_substrings(docs, k=_SUB_K, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )

@@ -79,7 +79,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     "ivfadc_topk", "crosscorpus_neardup_candidates",
     "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
     # ---- round-9 additions:
-    "substring_dedup_spans",
+    "substring_dedup_spans", "substring_dedup_cleaned",
 )
 
 

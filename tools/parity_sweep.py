@@ -52,6 +52,7 @@ def main() -> int:
     lines_by_query: dict[str, str] = {}
     chunk_reports: list[str] = []
     all_fails: list[str] = []
+    expected_total = -1
     t_start = time.time()
     for i in range(args.chunks):
         env = dict(os.environ)
@@ -65,6 +66,18 @@ def main() -> int:
         )
         dt = time.time() - t0
         n_q = 0
+        m_total = re.search(r"^(\d+) queries,", proc.stdout, re.M)
+        if m_total:
+            tot = int(m_total.group(1))
+            if i == 0:
+                expected_total = tot
+            elif tot != expected_total:
+                # the registry changed while the sweep ran: strided
+                # chunks no longer partition the same list — results
+                # would silently miss queries. Fail loudly.
+                all_fails.append(
+                    f"<registry drift: chunk 0 saw {expected_total} "
+                    f"queries, chunk {i} saw {tot}>")
         for line in proc.stdout.splitlines():
             m = re.match(r"^  (\S+): (.*)$", line)
             if m:
@@ -83,6 +96,10 @@ def main() -> int:
             print(proc.stderr[-2000:], file=sys.stderr)
             all_fails.append(f"<chunk {i} crashed>")
 
+    if expected_total > 0 and len(lines_by_query) != expected_total:
+        all_fails.append(
+            f"<coverage hole: {len(lines_by_query)} per-query results "
+            f"vs {expected_total} registered>")
     n_match = sum(1 for v in lines_by_query.values() if v == "MATCH")
     n_rows_only = sum(
         1 for v in lines_by_query.values() if v.startswith("rows-only"))
