@@ -243,3 +243,37 @@ def test_strip_repeated_substrings(spark, boilerplate_docs):
         r = out[i]
         assert r.cleaned_text == originals[i]
         assert r.n_tokens_after == r.n_tokens_before == 40
+
+
+def test_substring_spans_edge_cases(spark):
+    """Degenerate inputs: docs shorter than k yield no positions (and no
+    error); an empty corpus yields an empty span table; identical docs
+    flag their full token range as one span; k < 2 is rejected."""
+    from appengine_mapreduce_spark.operators import dedup
+
+    # all docs shorter than k -> no shingles -> no spans
+    short = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "")],
+        "doc_id int, text string",
+    )
+    assert dedup.repeated_substring_spans(short, k=8).count() == 0
+    # strip on the same corpus: nothing removed, counts intact
+    rows = {r.doc_id: r for r in dedup.strip_repeated_substrings(
+        short, k=8).collect()}
+    assert rows[0].cleaned_text == "a b c" and rows[0].n_tokens_after == 3
+    assert rows[2].cleaned_text == "" and rows[2].n_tokens_before == 0
+
+    # identical docs: one maximal span covering every position
+    same = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") for i in range(3)],
+        "doc_id int, text string",
+    )
+    spans = dedup.repeated_substring_spans(same, k=8).collect()
+    assert len(spans) == 3
+    for r in spans:
+        assert (r.span_id, r.start_token, r.span_tokens) == (1, 0, 10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.repeated_substring_spans(same, k=1)
