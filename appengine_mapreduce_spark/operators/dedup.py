@@ -188,10 +188,15 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_words: int) -> 
     toked = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), nonempty_tokens(F.col(text_col)).alias("_tk")
     )
+    # explode_OUTER + notnull (see repeated_substring_spans): the inner
+    # explode's inferred size/notnull filter re-tokenizes and re-shingles
+    # every doc below the widening exchange.
     return toked.select(
         "_id",
-        F.explode(shingles_from_tokens(F.col("_tk"), shingle_words)).alias("shingle"),
-    )
+        F.explode_outer(
+            shingles_from_tokens(F.col("_tk"), shingle_words)
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
 
 
 def minhash_signatures(
@@ -492,7 +497,17 @@ def repeated_substring_spans(
             ),
         ).alias("_digs"),
     )
-    sh = digs.select("_id", F.posexplode("_digs").alias("pos", "dig"))
+    # posexplode_OUTER + notnull, not plain posexplode: Catalyst's
+    # InferFiltersFromGenerate (inner explode only) would duplicate the
+    # whole digest transform into a pre-Generate filter pushed below the
+    # widening exchange — measured 5.8x on this exact explode. The outer
+    # variant infers nothing; empty-array docs yield one null row,
+    # dropped by the attribute-cheap filter. (Registered queries also
+    # exclude the rule session-wide via plans/tables.load; this keeps
+    # the operator fast in ANY session.)
+    sh = digs.select(
+        "_id", F.posexplode_outer("_digs").alias("pos", "dig")
+    ).filter(F.col("dig").isNotNull())
 
     w_dig = Window.partitionBy("dig")
     hits = (
@@ -600,10 +615,14 @@ def simhash(
 
     toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        # outer + notnull: see repeated_substring_spans on the
+        # InferFiltersFromGenerate re-tokenization tax
+        F.explode_outer(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
         ).alias("tok"),
-    ).withColumn("th", stable_hash32(F.col("tok"), salt="simhash"))
+    ).filter(F.col("tok").isNotNull()).withColumn(
+        "th", stable_hash32(F.col("tok"), salt="simhash")
+    )
 
     vote_aggs = [
         F.sum(

@@ -10,6 +10,35 @@ TABLES = (
 )
 
 
+_INFER_FILTERS_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _exclude_infer_filters_from_generate(spark: SparkSession) -> None:
+    """Disable Catalyst's InferFiltersFromGenerate for this session
+    (round-9 measured finding): the rule adds ``size(e) > 0 AND
+    isnotnull(e)`` below every inner explode, and when ``e`` is an
+    expensive computed array (per-position k-gram digests, shingle
+    arrays) the filter re-materializes the ENTIRE expression per doc —
+    and gets pushed below the widening exchange, so it also runs on the
+    source's narrow split count. Measured on the substring-dedup
+    explode: 3.57 s -> 0.62 s at sf0.1 with the rule off. The filter
+    only skips empty/null arrays, which our generators handle anyway
+    (outer-explode + notnull at the hottest sites keeps the operators
+    fast even in sessions without this exclusion). Appended, not
+    overwritten, so caller-set exclusions survive."""
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        cur = ""
+    if _INFER_FILTERS_RULE not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{cur},{_INFER_FILTERS_RULE}" if cur else _INFER_FILTERS_RULE,
+        )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; Catalyst handles pushdown/pruning from here.
 
@@ -25,6 +54,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _exclude_infer_filters_from_generate(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # InferFiltersFromGenerate duplicates expensive computed arrays
+        # (per-position digests, shingles) into a pre-Generate filter
+        # pushed below the widening exchange — measured 5.8x tax on the
+        # substring-dedup explode (see plans/tables.py for the full
+        # rationale; set there too so vanilla driver sessions get it).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
