@@ -434,6 +434,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def _position_digests(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, pos, dig) — one md5-derived k-gram digest per token position
+    of every document: the shared front end of batch and incremental
+    substring dedup. ``pos`` is 0-based; ``dig`` is stable_hash64 over the
+    space-joined k-token window (salt "sub"), so any engine with md5
+    replays it bit-for-bit (the DuckDB oracles recompute it verbatim).
+    """
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+    from appengine_mapreduce_spark.functions.hashing import stable_hash64
+    from appengine_mapreduce_spark.functions.text import nonempty_tokens
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toked = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        nonempty_tokens(F.col(text_col)).alias("_tk"),
+    )
+    starts = F.when(
+        F.size("_tk") >= k, F.sequence(F.lit(1), F.size("_tk") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    digs = toked.select(
+        "_id",
+        F.transform(
+            starts,
+            lambda i: stable_hash64(
+                F.array_join(F.slice(F.col("_tk"), i, k), " "), salt="sub"
+            ),
+        ).alias("_digs"),
+    )
+    # posexplode_OUTER + notnull, not plain posexplode: Catalyst's
+    # InferFiltersFromGenerate (inner explode only) would duplicate the
+    # whole digest transform into a pre-Generate filter pushed below the
+    # widening exchange — measured 5.8x on this exact explode. The outer
+    # variant infers nothing; empty-array docs yield one null row,
+    # dropped by the attribute-cheap filter. (Registered queries also
+    # exclude the rule session-wide via plans/tables.load; this keeps
+    # the operator fast in ANY session.)
+    return digs.select(
+        "_id", F.posexplode_outer("_digs").alias("pos", "dig")
+    ).filter(F.col("dig").isNotNull())
+
+
+def _merge_hit_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge marked window starts (_id, pos) into maximal spans: two
+    windows touch iff their starts differ by <= k, so lag + running sum
+    assigns span ids in ONE doc-keyed shuffle — the shared back end of
+    batch and incremental substring dedup."""
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("_id").orderBy("pos")
+    run = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        hits.withColumn("_prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("_new").over(run))
+        .groupBy("_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_token"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+        )
+    )
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("span_id").cast("int"),
+        F.col("start_token").cast("int"),
+        F.col("span_tokens").cast("int"),
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -474,41 +553,9 @@ def repeated_substring_spans(
     Output: (id_col, span_id, start_token, span_tokens) — span_id is
     the 1-based ordinal of the span within its document.
     """
-    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
-    from appengine_mapreduce_spark.functions.hashing import stable_hash64
-    from appengine_mapreduce_spark.functions.text import nonempty_tokens
     from pyspark.sql import Window
 
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    toked = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        nonempty_tokens(F.col(text_col)).alias("_tk"),
-    )
-    starts = F.when(
-        F.size("_tk") >= k, F.sequence(F.lit(1), F.size("_tk") - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    digs = toked.select(
-        "_id",
-        F.transform(
-            starts,
-            lambda i: stable_hash64(
-                F.array_join(F.slice(F.col("_tk"), i, k), " "), salt="sub"
-            ),
-        ).alias("_digs"),
-    )
-    # posexplode_OUTER + notnull, not plain posexplode: Catalyst's
-    # InferFiltersFromGenerate (inner explode only) would duplicate the
-    # whole digest transform into a pre-Generate filter pushed below the
-    # widening exchange — measured 5.8x on this exact explode. The outer
-    # variant infers nothing; empty-array docs yield one null row,
-    # dropped by the attribute-cheap filter. (Registered queries also
-    # exclude the rule session-wide via plans/tables.load; this keeps
-    # the operator fast in ANY session.)
-    sh = digs.select(
-        "_id", F.posexplode_outer("_digs").alias("pos", "dig")
-    ).filter(F.col("dig").isNotNull())
-
+    sh = _position_digests(df, id_col, text_col, k)
     w_dig = Window.partitionBy("dig")
     hits = (
         sh.withColumn("_dr", F.dense_rank().over(w_dig.orderBy("_id")))
@@ -516,33 +563,63 @@ def repeated_substring_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("_id", "pos")
     )
+    return _merge_hit_spans(hits, id_col, k)
 
-    w_doc = Window.partitionBy("_id").orderBy("pos")
-    run = Window.partitionBy("_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    spans = (
-        hits.withColumn("_prev", F.lag("pos").over(w_doc))
-        .withColumn(
-            "_new",
-            F.when(
-                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("span_id", F.sum("_new").over(run))
-        .groupBy("_id", "span_id")
-        .agg(
-            F.min("pos").alias("start_token"),
-            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
-        )
-    )
-    return spans.select(
-        F.col("_id").alias(id_col),
-        F.col("span_id").cast("int"),
-        F.col("start_token").cast("int"),
-        F.col("span_tokens").cast("int"),
-    )
+
+def substring_digest_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Distinct k-gram position digests of a corpus — the persisted
+    HISTORY store for incremental substring dedup (column ``dig``,
+    bigint). 8 bytes per DISTINCT k-gram, so a 100 TB history compacts
+    to a digest table a daily batch can join against without ever
+    re-reading the history's documents (the same store-compaction move
+    as ``incremental_dedup``'s per-doc md5 store, at k-gram grain).
+    Persist it partitioned/bucketed by ``dig`` and the incremental
+    probe's semi-join is exchange-free on the history side."""
+    return _position_digests(df, id_col, text_col, k).select("dig").distinct()
+
+
+def repeated_substring_spans_incremental(
+    new_batch: DataFrame,
+    history_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """INCREMENTAL substring-level dedup (completes the dedup matrix:
+    exact/near-dup/substring × batch/incremental): maximal token spans
+    of a NEW batch that appear VERBATIM anywhere in the historical
+    corpus, where the history is represented ONLY by its persisted
+    k-gram digest store (``substring_digest_store``) — the history's
+    documents are never read, the production shape when a daily crawl
+    lands against a 100 TB corpus whose boilerplate it repeats.
+
+    Algorithm (the batch variant's pipeline with the distinct-doc-count
+    windows replaced by a digest-store probe):
+    1. one digest per token position of the new batch
+       (``_position_digests``, md5-replayable);
+    2. LEFT SEMI join on the 8-byte digest against the store — a
+       position is marked iff its k-gram exists in history. No window
+       pass is needed (membership, not counting), so this is CHEAPER
+       per row than the batch variant: one digest-keyed shuffle (or
+       zero history-side exchange when the store is bucketed by
+       ``dig``; Spark broadcasts it outright if it's small);
+    3. one doc-keyed shuffle merging marked positions into maximal
+       spans (``_merge_hit_spans``).
+
+    Note batch-internal repeats are NOT flagged — only history overlap
+    (run the batch variant on the batch itself for those; the two
+    compose because span merging is per-doc and position-based).
+
+    Output: (id_col, span_id, start_token, span_tokens), as the batch
+    variant."""
+    sh = _position_digests(new_batch, id_col, text_col, k)
+    hits = sh.join(history_digests, "dig", "left_semi").select("_id", "pos")
+    return _merge_hit_spans(hits, id_col, k)
 
 
 def strip_repeated_substrings(
@@ -578,7 +655,12 @@ def strip_repeated_substrings(
     toked = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, nonempty_tokens(F.col(text_col)).alias("_tk")
     )
-    joined = toked.join(per_doc, id_col, "left").withColumn(
+    # Broadcast: per_doc is bounded by docs-with-spans (small structs),
+    # and without the hint a large span table would silently shuffle the
+    # corpus, invalidating the documented plan shape (ADVICE r9). If the
+    # span side ever outgrows broadcast, drop the hint and bucket both
+    # sides by the doc id instead.
+    joined = toked.join(F.broadcast(per_doc), id_col, "left").withColumn(
         "_spans", F.coalesce(F.col("_spans"), F.array())
     )
     kept = F.filter(

@@ -330,6 +330,76 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_incremental",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5('sub:' ||
+                        array_to_string(tk[i:i+{_SUB_K - 1}], ' ')),
+                        1, 15))::BIGINT AS dig
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {_SUB_K - 1}))
+                             AS i
+                  FROM toks WHERE len(tk) >= {_SUB_K})
+        ),
+        store AS (SELECT DISTINCT dig FROM sh WHERE doc_id < 300),
+        hits AS (
+            SELECT s.doc_id, s.pos FROM sh s JOIN store USING (dig)
+            WHERE s.doc_id >= 300
+        ),
+        seq AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > {_SUB_K}
+                        THEN 1 ELSE 0 END AS new_span
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sp AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS span_id
+            FROM seq
+        )
+        SELECT doc_id, CAST(span_id AS INT) AS span_id,
+               CAST(MIN(pos) AS INT) AS start_token,
+               CAST(MAX(pos) - MIN(pos) + {_SUB_K} AS INT) AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+    """,
+    description="INCREMENTAL substring-level dedup (round 10, VERDICT r9 "
+    "ask #2 — completes the dedup matrix exact/near/substring × "
+    "batch/incremental): maximal token spans of a NEW batch (doc_id ≥ "
+    "300) repeated VERBATIM in the HISTORY (doc_id < 300), where the "
+    "history is only its persisted k-gram digest store "
+    "(operators/dedup.substring_digest_store — 8 bytes per distinct "
+    "k-gram; documents never re-read). The probe is a LEFT SEMI join on "
+    "the 8-byte digest (membership, not counting — no window pass, "
+    "cheaper than the batch variant; exchange-free history side when "
+    "the store is bucketed by digest), then the shared lag/running-sum "
+    "span merge. The DuckDB oracle replays the identical digest "
+    "arithmetic, store membership and span merge.",
+    tags=("dedup", "text", "training-data", "substring", "incremental"),
+)
+def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        repeated_substring_spans_incremental,
+        substring_digest_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = substring_digest_store(
+        docs.filter(F.col("doc_id") < 300), k=_SUB_K
+    )
+    new_batch = docs.filter(F.col("doc_id") >= 300)
+    return repeated_substring_spans_incremental(new_batch, store, k=_SUB_K)
+
+
+@register(
     "substring_dedup_cleaned",
     oracle=rf"""
         WITH toks AS (

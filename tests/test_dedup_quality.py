@@ -183,17 +183,24 @@ def test_substring_spans_planted_recall(spark, boilerplate_docs):
     no span may land in docs 10-19 (unique text only)."""
     from appengine_mapreduce_spark.operators import dedup
 
-    spans = {
-        r.doc_id: (r.start_token, r.span_tokens)
-        for r in dedup.repeated_substring_spans(
-            boilerplate_docs, k=8, min_docs=2
-        ).filter("doc_id < 20").collect()
-    }
+    # spans per doc collected as LISTS (ADVICE r9: a dict comprehension
+    # keyed by doc_id silently keeps only the last span if a chance
+    # vocab repeat ever yields a second one) — assert on the span that
+    # actually covers the planted license.
+    spans: dict = {}
+    for r in dedup.repeated_substring_spans(
+        boilerplate_docs, k=8, min_docs=2
+    ).filter("doc_id < 20").collect():
+        spans.setdefault(r.doc_id, []).append((r.start_token, r.span_tokens))
     for i in range(10):
         assert i in spans, f"doc {i}: planted license not flagged"
-        start, n = spans[i]
-        # the license occupies tokens [10, 30); the span must cover it
-        assert start <= 10 and start + n >= 30, (i, start, n)
+        covering = [
+            (start, n) for start, n in spans[i]
+            if start <= 10 and start + n >= 30
+        ]
+        # the license occupies tokens [10, 30); exactly one span covers it
+        assert len(covering) == 1, (i, spans[i])
+        start, n = covering[0]
         # and not leak far into the unique text (merge slack < k each side)
         assert start > 10 - 8 and start + n < 30 + 8, (i, start, n)
     for i in range(10, 20):
@@ -277,3 +284,115 @@ def test_substring_spans_edge_cases(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         dedup.repeated_substring_spans(same, k=1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring dedup (round 10): new-batch spans vs a persisted
+# history k-gram digest store.
+
+
+def test_substring_incremental_planted_recall(spark):
+    """A new batch probed against a history digest store: every new doc
+    carrying history boilerplate reports a span covering it; clean new
+    docs report nothing; a segment shared only WITHIN the batch (never
+    seen by history) is NOT flagged — incremental semantics are history
+    overlap only."""
+    rng = random.Random(23)
+    lic = _LICENSE.split()  # 20 tokens
+    hist_rows = []
+    for i in range(5):
+        toks = _doc(rng, 40).split()
+        hist_rows.append((i, " ".join(toks[:10] + lic + toks[10:])))
+    batch_only = _doc(rng, 12)  # shared between docs 110/111 only
+    new_rows = []
+    for i in range(100, 105):  # planted: license at token 5
+        toks = _doc(rng, 40).split()
+        new_rows.append((i, " ".join(toks[:5] + lic + toks[5:])))
+    for i in range(105, 110):  # clean
+        new_rows.append((i, _doc(rng, 40)))
+    for i in (110, 111):  # batch-internal repeat, absent from history
+        new_rows.append((i, _doc(rng, 20) + " " + batch_only))
+    history = spark.createDataFrame(hist_rows, "doc_id int, text string")
+    batch = spark.createDataFrame(new_rows, "doc_id int, text string")
+
+    store = dedup.substring_digest_store(history, k=8)
+    by_doc: dict = {}
+    for r in dedup.repeated_substring_spans_incremental(
+        batch, store, k=8
+    ).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.start_token, r.span_tokens))
+    for i in range(100, 105):
+        assert i in by_doc, f"doc {i}: history boilerplate not flagged"
+        covering = [
+            (s, n) for s, n in by_doc[i] if s <= 5 and s + n >= 25
+        ]
+        assert len(covering) == 1, (i, by_doc[i])
+        s, n = covering[0]
+        assert s > 5 - 8 and s + n < 25 + 8, (i, s, n)
+    for i in list(range(105, 110)) + [110, 111]:
+        assert i not in by_doc, f"doc {i}: false positive {by_doc.get(i)}"
+
+
+def _brute_strip(texts: dict, k: int, min_docs: int) -> dict:
+    """Pure-Python reference for strip_repeated_substrings: mark every
+    token covered by ANY k-gram window appearing in >= min_docs distinct
+    docs, drop marked tokens, re-join single-spaced."""
+    from collections import defaultdict
+
+    toks = {i: [t for t in text.split() if t] for i, text in texts.items()}
+    docs_per_gram = defaultdict(set)
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            docs_per_gram[tuple(tk[p : p + k])].add(i)
+    out = {}
+    for i, tk in toks.items():
+        covered = [False] * len(tk)
+        for p in range(len(tk) - k + 1):
+            if len(docs_per_gram[tuple(tk[p : p + k])]) >= min_docs:
+                covered[p : p + k] = [True] * k
+        kept = [t for t, c in zip(tk, covered) if not c]
+        out[i] = (" ".join(kept), len(tk), len(kept))
+    return out
+
+
+def test_strip_repeated_substrings_property(spark):
+    """Randomized equivalence vs the brute-force reference (VERDICT r9
+    ask #5): tiny vocab + short docs force chance k-gram repeats —
+    overlapping spans, spans at document edges, adjacent-window merges —
+    and the Spark span-merge arithmetic must reproduce the naive
+    cover-and-drop exactly (cleaned text AND both token counts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = [f"v{i}" for i in range(6)]  # tiny: repeats are common
+    doc_st = st.lists(st.sampled_from(vocab), min_size=0, max_size=24).map(
+        " ".join
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(doc_st, min_size=2, max_size=8), seed=st.integers(0, 9))
+    def check(docs, seed):
+        # plant one shared span across the first two docs so every run
+        # exercises the merge path, at a seed-chosen offset (edges incl.)
+        rng = random.Random(seed)
+        planted = " ".join(rng.choice(vocab) for _ in range(7))
+        docs = list(docs)
+        for j in (0, 1):
+            tk = docs[j].split()
+            at = rng.randrange(len(tk) + 1)
+            docs[j] = " ".join(tk[:at] + planted.split() + tk[at:])
+        texts = {i: t for i, t in enumerate(docs)}
+        expected = _brute_strip(texts, k=3, min_docs=2)
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id int, text string"
+        )
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_tokens_before, r.n_tokens_after)
+            for r in dedup.strip_repeated_substrings(
+                df, k=3, min_docs=2
+            ).collect()
+        }
+        assert got == expected
+
+    check()
