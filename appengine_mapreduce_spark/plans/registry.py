@@ -146,3 +146,18 @@ def all_queries() -> dict[str, QuerySpec]:
 
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in all_queries().items() if v.bench}
+
+
+def registry_fingerprint() -> str:
+    """Stable 12-hex-digit digest of the registry SURFACE (sorted names +
+    per-query oracle presence). Artifacts that sweep the whole registry
+    (PLAN_AUDIT.md, PARITY_r*.md) embed it so a sweep generated against
+    an older registry is mechanically detectable as stale — tests compare
+    the embedded value against the live one."""
+    import hashlib
+
+    surface = "\n".join(
+        f"{n}:{'oracle' if s.oracle else 'rows-only'}"
+        for n, s in sorted(all_queries().items())
+    )
+    return hashlib.md5(surface.encode()).hexdigest()[:12]

@@ -553,3 +553,27 @@ def test_no_inferred_generate_filter_duplication(spark, name):
     assert "InferFiltersFromGenerate" in (
         spark.conf.get("spark.sql.optimizer.excludedRules") or ""
     )
+
+
+def test_plan_audit_artifact_not_stale():
+    """Drift guard (VERDICT r9 ask #7): PLAN_AUDIT.md embeds the registry
+    fingerprint it was generated against; if the live registry's
+    fingerprint differs, the audit is stale — regenerate it with
+    `python tools/plan_audit.py` instead of letting an old sweep
+    masquerade as current."""
+    import os
+
+    from appengine_mapreduce_spark.plans.registry import registry_fingerprint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "PLAN_AUDIT.md")
+    if not os.path.exists(path):
+        pytest.skip("no PLAN_AUDIT.md yet")
+    with open(path) as fh:
+        head = fh.read(2000)
+    m = re.search(r"Registry fingerprint: `([0-9a-f]+)`", head)
+    assert m, "PLAN_AUDIT.md lacks a registry fingerprint — regenerate it"
+    assert m.group(1) == registry_fingerprint(), (
+        "PLAN_AUDIT.md is stale: registry changed since it was generated "
+        "(run `python tools/plan_audit.py`)"
+    )

@@ -46,6 +46,41 @@ def test_generator_path_throughput(spark):
     assert rate >= FLOOR_RECORDS_PER_SEC, f"only {rate:,.0f} rec/s"
 
 
+def test_seam_probe_drift_adjusted_floor():
+    """Mechanical BASELINE floor check on the bench artifact (VERDICT r9
+    ask #4): the newest BENCH_LOCAL_r*.json seam probe must carry
+    ``warm_rows_per_sec_normalized`` (raw × drift), and when the
+    calibration spread passed its own gate (field non-null) the
+    drift-adjusted sf1 figure must clear the ≥1M rec/s design floor.
+    Skips when no artifact with the field exists yet (fresh clone) or
+    the probe self-censored (noisy calibration — raw stays primary)."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")))
+    if not paths:
+        pytest.skip("no bench artifact")
+    with open(paths[-1]) as fh:
+        seam = json.load(fh).get("udf_seam_probe", {}).get("sf1")
+    if seam is None or "warm_rows_per_sec_normalized" not in seam:
+        pytest.skip("artifact predates the drift-adjusted seam field")
+    norm = seam["warm_rows_per_sec_normalized"]
+    if norm is None:
+        pytest.skip(
+            f"probe self-censored: calibration_spread "
+            f"{seam.get('calibration_spread')} over the gate"
+        )
+    assert norm >= 1_000_000, (
+        f"drift-adjusted seam throughput {norm:,} rec/s under the "
+        f"BASELINE 1M floor (raw {seam['warm_rows_per_sec']:,}, "
+        f"drift x{seam['drift_factor']})"
+    )
+
+
 def test_codec_path_throughput():
     """Decode-path guardrail (VERDICT r3 ask #8): the numpy-vectorized
     JPEG IDCT + accumulator bit reader deliver ~165 64x64-img/s/core and

@@ -26,6 +26,15 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _fingerprint() -> str:
+    """Registry fingerprint for the artifact header (drift guard —
+    imported lazily so the sweep's own process stays Spark-free)."""
+    sys.path.insert(0, _REPO)
+    from appengine_mapreduce_spark.plans.registry import registry_fingerprint
+
+    return registry_fingerprint()
+
+
 def _default_round() -> int:
     best = 0
     for f in os.listdir(_REPO):
@@ -91,10 +100,16 @@ def main() -> int:
             f"| {i}/{args.chunks} | {n_q} | {dt:.0f}s | {verdict} |")
         print(f"# chunk {i}/{args.chunks}: {n_q} queries, {dt:.0f}s, "
               f"{verdict}", file=sys.stderr)
-        if proc.returncode != 0 and not n_q:
-            # the chunk process died before reporting — surface stderr
-            print(proc.stderr[-2000:], file=sys.stderr)
-            all_fails.append(f"<chunk {i} crashed>")
+        if proc.returncode != 0:
+            # ANY non-zero exit is a failure (ADVICE r9: a chunk that
+            # printed all its per-query lines and THEN died — abnormal
+            # teardown, OOM-kill after the last line — must not let the
+            # sweep report ALL OK), with stderr surfaced when the chunk
+            # died before reporting anything.
+            if not n_q:
+                print(proc.stderr[-2000:], file=sys.stderr)
+            all_fails.append(
+                f"<chunk {i} exit {proc.returncode} after {n_q} queries>")
 
     if expected_total > 0 and len(lines_by_query) != expected_total:
         all_fails.append(
@@ -117,6 +132,7 @@ def main() -> int:
             f"SparkSession + DuckDB rebuilt each time), so no composition "
             f"caveat: every query ran against its oracle in a clean "
             f"session this sweep.\n\n"
+            f"Registry fingerprint: `{_fingerprint()}`.\n\n"
             f"**RESULT: {'ALL OK' if ok else 'FAIL ' + str(sorted(set(all_fails)))}** — "
             f"{n_match} MATCH, {n_rows_only} rows-only (by design), "
             f"{len(all_fails)} failures, {len(lines_by_query)} queries "

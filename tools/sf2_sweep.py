@@ -85,9 +85,35 @@ print("@@RESULT@@" + json.dumps(out))
 """
 
 
+# Capstone anchor (VERDICT r9 ask #6): the two whole-pipeline plans at
+# sf2, closing the sf0.1 -> sf1 -> sf2 exponent series. collect()-timed
+# like bench._run_capstones (results are per-doc/per-vec summaries, not
+# SF-scaled blobs); own subprocess per SF like the suites.
+_CAPSTONE_NAMES = ("corpus_build_pipeline", "semantic_dedup_keepers")
+_CAPSTONE_CODE = """
+import sys, json, time, statistics
+sys.path.insert(0, {repo!r})
+from appengine_mapreduce_spark.session import get_spark
+from appengine_mapreduce_spark.plans.registry import all_queries
+spark = get_spark(app_name={label!r})
+spark.sparkContext.setLogLevel("ERROR")
+qs = all_queries()
+out = {{}}
+for name in {capstones!r}:
+    runs = []
+    for rnd in range(3):  # round 0 = warmup, discarded
+        t0 = time.perf_counter()
+        len(qs[name].fn(spark, {sf_dir!r}).collect())
+        runs.append(time.perf_counter() - t0)
+    out[name] = round(statistics.median(runs[1:]), 4)
+print("@@RESULT@@" + json.dumps(out))
+"""
+
+
 def _child(code_tmpl: str, sf_dir: str, label: str) -> dict:
     code = code_tmpl.format(repo=REPO, sf_dir=sf_dir, label=label,
-                            noop_queries=_NOOP_QUERIES)
+                            noop_queries=_NOOP_QUERIES,
+                            capstones=_CAPSTONE_NAMES)
     proc = subprocess.run(
         [sys.executable, "-c", code], stdout=subprocess.PIPE, timeout=3600)
     proc.check_returncode()
@@ -115,6 +141,17 @@ def main() -> None:
     sf2 = _suite(sf2_dir, "sf2")
     noop1 = _child(_NOOP_CODE, sf1_dir, "noop-sf1")
     noop2 = _child(_NOOP_CODE, sf2_dir, "noop-sf2")
+    cap1 = _child(_CAPSTONE_CODE, sf1_dir, "cap-sf1")
+    cap2 = _child(_CAPSTONE_CODE, sf2_dir, "cap-sf2")
+    capstones = {
+        n: {
+            "sf1_sec": cap1[n],
+            "sf2_sec": cap2[n],
+            "scaling_exponent_log2": round(
+                math.log2(max(cap2[n], 1e-4) / max(cap1[n], 1e-4)), 2),
+        }
+        for n in cap1
+    }
     exponents = {
         n: round(
             math.log2(max(sf2["queries"][n], 1e-4)
@@ -139,6 +176,7 @@ def main() -> None:
         "sf2_noop_queries": noop2,
         "noop_exponent_sf1_to_sf2_log2": noop_exponents,
         "worst_noop_exponent": max(noop_exponents.values()),
+        "capstones": capstones,
         "calibration_sec_sf1": sf1["calibration_sec"],
         "calibration_sec_sf2": sf2["calibration_sec"],
     }
@@ -148,7 +186,7 @@ def main() -> None:
     print(f"# written to {dest}", file=sys.stderr)
     print(json.dumps({k: out[k] for k in (
         "sf1_total", "sf2_total", "worst_exponent",
-        "worst_noop_exponent")}))
+        "worst_noop_exponent", "capstones")}))
 
 
 if __name__ == "__main__":
