@@ -643,12 +643,43 @@ def strip_repeated_substrings(
 
     Output: (id_col, cleaned_text, n_tokens_before, n_tokens_after).
     """
-    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
-    from appengine_mapreduce_spark.functions.text import nonempty_tokens
-
     spans = repeated_substring_spans(
         df, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
     )
+    return _strip_spans(df, spans, id_col, text_col)
+
+
+def strip_repeated_substrings_incremental(
+    new_batch: DataFrame,
+    history_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Incremental verbatim-repeat REMOVAL — the production scrub: each
+    NEW-batch document rebuilt with every span that repeats the HISTORY
+    (per ``repeated_substring_spans_incremental``, history = its k-gram
+    digest store only) deleted. This is what a daily ingest actually
+    runs: strip the incoming crawl of the corpus's known boilerplate
+    before it ever lands. Same output/plan shape as
+    ``strip_repeated_substrings`` — the span probe's semi join plus one
+    broadcast span join back onto the batch.
+
+    Output: (id_col, cleaned_text, n_tokens_before, n_tokens_after)."""
+    spans = repeated_substring_spans_incremental(
+        new_batch, history_digests, id_col=id_col, text_col=text_col, k=k
+    )
+    return _strip_spans(new_batch, spans, id_col, text_col)
+
+
+def _strip_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared strip back end: delete each doc's span-covered tokens with
+    a pure JVM filter-with-index expression, re-join single-spaced."""
+    from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
+    from appengine_mapreduce_spark.functions.text import nonempty_tokens
+
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_token", "span_tokens")).alias("_spans")
     )

@@ -400,6 +400,94 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_incremental_cleaned",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5('sub:' ||
+                        array_to_string(tk[i:i+{_SUB_K - 1}], ' ')),
+                        1, 15))::BIGINT AS dig
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {_SUB_K - 1}))
+                             AS i
+                  FROM toks WHERE len(tk) >= {_SUB_K})
+        ),
+        store AS (SELECT DISTINCT dig FROM sh WHERE doc_id < 300),
+        hits AS (
+            SELECT s.doc_id, s.pos FROM sh s JOIN store USING (dig)
+            WHERE s.doc_id >= 300
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, ti FROM (
+                SELECT doc_id,
+                       unnest(generate_series(pos, pos + {_SUB_K - 1}))
+                           AS ti
+                FROM hits)
+        ),
+        tokpos AS (
+            SELECT doc_id, j - 1 AS ti, tk[j] AS tok
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS j
+                  FROM toks WHERE doc_id >= 300)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM tokpos t
+                 LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+            WHERE c.ti IS NULL
+        ),
+        cleaned AS (
+            SELECT doc_id, count(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY ti) AS ctext
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS INT) AS n_tokens_before,
+               CAST(coalesce(c.n_after, 0) AS INT) AS n_tokens_after,
+               md5(coalesce(c.ctext, '')) AS cleaned_md5
+        FROM toks t LEFT JOIN cleaned c USING (doc_id)
+        WHERE t.doc_id >= 300
+    """,
+    description="Incremental verbatim-repeat REMOVAL — the production "
+    "ingest scrub (operators/dedup.strip_repeated_substrings_incremental): "
+    "every NEW-batch doc (doc_id ≥ 300) rebuilt with its history-repeated "
+    "spans deleted, history = the k-gram digest store only. Output pins "
+    "before/after token counts AND the md5 of each reconstructed cleaned "
+    "text, so the value hash checks the exact stripped string per doc. "
+    "The DuckDB oracle replays store membership, coverage expansion, "
+    "ordered token filtering and the single-space re-join.",
+    tags=("dedup", "text", "training-data", "substring", "incremental"),
+)
+def substring_dedup_incremental_cleaned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from appengine_mapreduce_spark.operators.dedup import (
+        strip_repeated_substrings_incremental,
+        substring_digest_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = substring_digest_store(
+        docs.filter(F.col("doc_id") < 300), k=_SUB_K
+    )
+    out = strip_repeated_substrings_incremental(
+        docs.filter(F.col("doc_id") >= 300), store, k=_SUB_K
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
+@register(
     "substring_dedup_cleaned",
     oracle=rf"""
         WITH toks AS (

@@ -332,6 +332,27 @@ def test_substring_incremental_planted_recall(spark):
     for i in list(range(105, 110)) + [110, 111]:
         assert i not in by_doc, f"doc {i}: false positive {by_doc.get(i)}"
 
+    # The incremental STRIP composes the same spans with the shared
+    # strip back end: planted docs lose the license (never reproducible
+    # from the cleaned text), clean docs pass through token-normalized,
+    # and the batch-internal repeat survives untouched.
+    stripped = {
+        r.doc_id: r
+        for r in dedup.strip_repeated_substrings_incremental(
+            batch, store, k=8
+        ).collect()
+    }
+    originals = {i: t for i, t in new_rows}
+    for i in range(100, 105):
+        r = stripped[i]
+        assert r.n_tokens_before == 60
+        assert _LICENSE not in r.cleaned_text
+        assert r.n_tokens_after <= 60 - 20
+    for i in list(range(105, 110)) + [110, 111]:
+        r = stripped[i]
+        assert r.cleaned_text == originals[i]
+        assert r.n_tokens_after == r.n_tokens_before
+
 
 def _brute_strip(texts: dict, k: int, min_docs: int) -> dict:
     """Pure-Python reference for strip_repeated_substrings: mark every
