@@ -577,3 +577,18 @@ def test_plan_audit_artifact_not_stale():
         "PLAN_AUDIT.md is stale: registry changed since it was generated "
         "(run `python tools/plan_audit.py`)"
     )
+
+
+def test_substring_incremental_probe_stays_semi_broadcast(spark):
+    """Plan regression (round 10): the incremental substring probe must
+    be a LeftSemi hash join with the digest store on the build side
+    (broadcast at this store size) — NOT a sort-merge join shuffling the
+    batch's position-digest explode, and with no distinct-doc-count
+    windows (membership needs none; only the two span-merge window
+    passes remain)."""
+    df = QUERIES["substring_dedup_incremental"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    # span merge only: lag + running sum, never dense_rank over digests
+    assert "dense_rank" not in plan, plan[:1500]
