@@ -628,6 +628,7 @@ def strip_repeated_substrings(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Verbatim-repeat REMOVAL: rebuild each document's text with every
     cross-document repeated span (per ``repeated_substring_spans``)
@@ -641,12 +642,18 @@ def strip_repeated_substrings(
     (filter-with-index + exists over the span array): no second corpus
     shuffle beyond the span computation's own two.
 
+    ``broadcast_spans``: the default pins the span join's build side to
+    a broadcast — right whenever the span table fits the broadcast
+    budget, but a HARD failure (8 GB broadcast cap / driver OOM) on a
+    corpus where boilerplate spans touch ~100M+ docs; pass False there
+    to degrade to a doc-keyed shuffle join (see ``_strip_spans``).
+
     Output: (id_col, cleaned_text, n_tokens_before, n_tokens_after).
     """
     spans = repeated_substring_spans(
         df, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
     )
-    return _strip_spans(df, spans, id_col, text_col)
+    return _strip_spans(df, spans, id_col, text_col, broadcast_spans)
 
 
 def strip_repeated_substrings_incremental(
@@ -655,6 +662,7 @@ def strip_repeated_substrings_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Incremental verbatim-repeat REMOVAL — the production scrub: each
     NEW-batch document rebuilt with every span that repeats the HISTORY
@@ -663,20 +671,37 @@ def strip_repeated_substrings_incremental(
     runs: strip the incoming crawl of the corpus's known boilerplate
     before it ever lands. Same output/plan shape as
     ``strip_repeated_substrings`` — the span probe's semi join plus one
-    broadcast span join back onto the batch.
+    span join back onto the batch (broadcast by default; a batch whose
+    boilerplate hits ~100M+ docs must pass ``broadcast_spans=False`` to
+    avoid the broadcast cap — see ``strip_repeated_substrings``).
 
     Output: (id_col, cleaned_text, n_tokens_before, n_tokens_after)."""
     spans = repeated_substring_spans_incremental(
         new_batch, history_digests, id_col=id_col, text_col=text_col, k=k
     )
-    return _strip_spans(new_batch, spans, id_col, text_col)
+    return _strip_spans(new_batch, spans, id_col, text_col, broadcast_spans)
 
 
 def _strip_spans(
-    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Shared strip back end: delete each doc's span-covered tokens with
-    a pure JVM filter-with-index expression, re-join single-spaced."""
+    a pure JVM filter-with-index expression, re-join single-spaced.
+
+    ``broadcast_spans=True`` (default) pins the per-doc span table to
+    the build side — correct when spans fit the broadcast budget (docs
+    WITH spans × a few small structs each; the benchmark corpora are
+    orders of magnitude inside it). It is a HARD FAILURE mode at the
+    extreme (ADVICE r10): a corpus where boilerplate touches ~100M+
+    docs can push the span table past Spark's 8 GB broadcast cap /
+    driver memory and kill the job rather than degrade. Pass
+    ``broadcast_spans=False`` there: the join becomes a plain doc-keyed
+    shuffle (and is exchange-free if both sides are bucketed by the doc
+    id)."""
     from appengine_mapreduce_spark.core.partitioning import ensure_parallelism
     from appengine_mapreduce_spark.functions.text import nonempty_tokens
 
@@ -686,12 +711,12 @@ def _strip_spans(
     toked = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, nonempty_tokens(F.col(text_col)).alias("_tk")
     )
-    # Broadcast: per_doc is bounded by docs-with-spans (small structs),
-    # and without the hint a large span table would silently shuffle the
-    # corpus, invalidating the documented plan shape (ADVICE r9). If the
-    # span side ever outgrows broadcast, drop the hint and bucket both
-    # sides by the doc id instead.
-    joined = toked.join(F.broadcast(per_doc), id_col, "left").withColumn(
+    # Broadcast (when within budget): without the hint a mid-sized span
+    # table would silently shuffle the corpus, invalidating the
+    # documented plan shape (ADVICE r9); the caller-visible escape hatch
+    # above covers the opposite extreme (ADVICE r10).
+    build = F.broadcast(per_doc) if broadcast_spans else per_doc
+    joined = toked.join(build, id_col, "left").withColumn(
         "_spans", F.coalesce(F.col("_spans"), F.array())
     )
     kept = F.filter(

@@ -80,6 +80,17 @@ _CURATED_FIRST: tuple[str, ...] = (
     "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
     # ---- round-9 additions:
     "substring_dedup_spans", "substring_dedup_cleaned",
+    # ---- round-10 additions (VERDICT r10 "what's wrong" #1: these were
+    # omitted from the window in round 10 — the only ledger leak — so
+    # they take priority slots now; tests/test_registry.py's
+    # never-witnessed guard mechanically prevents a repeat):
+    "substring_dedup_incremental", "substring_dedup_incremental_cleaned",
+    # ---- round-11 additions:
+    "ivf_bucketed_probe_topk",
+    # ---- rotation slots (VERDICT r10 ask #7): stale witnesses last
+    # driver-checked in rounds 1-3 get refreshed rows at current code.
+    # Round 11 rotates one tpch, one text, one binary-format source:
+    "q10_returned_customers", "tfidf_top_terms", "records_roundtrip",
 )
 
 
@@ -149,15 +160,26 @@ def bench_queries() -> dict[str, QuerySpec]:
 
 
 def registry_fingerprint() -> str:
-    """Stable 12-hex-digit digest of the registry SURFACE (sorted names +
-    per-query oracle presence). Artifacts that sweep the whole registry
+    """Stable 12-hex-digit digest of the registry CONTENT: sorted names,
+    each query's oracle TEXT (not just presence — editing an oracle must
+    invalidate sweeps, per ADVICE r10), and a digest of the plan
+    function's source. Artifacts that sweep the whole registry
     (PLAN_AUDIT.md, PARITY_r*.md) embed it so a sweep generated against
-    an older registry is mechanically detectable as stale — tests compare
-    the embedded value against the live one."""
+    an older registry — renamed, added, OR logic-edited — is mechanically
+    detectable as stale; tests compare the embedded value against the
+    live one."""
     import hashlib
+    import inspect
+
+    def _fn_src(s: QuerySpec) -> str:
+        try:
+            return inspect.getsource(s.fn)
+        except (OSError, TypeError):  # builtins / dynamically built fns
+            return repr(s.fn)
 
     surface = "\n".join(
-        f"{n}:{'oracle' if s.oracle else 'rows-only'}"
+        f"{n}:{hashlib.md5((s.oracle or 'rows-only').encode()).hexdigest()}"
+        f":{hashlib.md5(_fn_src(s).encode()).hexdigest()}"
         for n, s in sorted(all_queries().items())
     )
     return hashlib.md5(surface.encode()).hexdigest()[:12]

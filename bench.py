@@ -143,19 +143,17 @@ def _calibration_workload(spark) -> "dict[str, float]":
     return parts
 
 
-_CAL_CACHE: "tuple[float, float, dict] | None" = None
+_CAL_CACHE: "tuple[float, float, dict, int] | None" = None
+
+# When the probe's spread misses the gate, RETRY with a fresh context up
+# to this many total attempts and keep the lowest-spread one (VERDICT
+# r10 ask #2: two consecutive rounds self-censored on one noisy attempt,
+# silently converting the ≥1M rec/s floor check into a skip — a burst
+# that poisons one ~40 s attempt rarely spans three).
+CAL_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CAL_ATTEMPTS", "3"))
 
 
-def _calibrate(n_runs: int = 5) -> "tuple[float, float, dict]":
-    """Median + spread of ``n_runs`` mixed-workload passes in a DEDICATED
-    SparkContext (the seam part spawns Python workers; the JVM-only
-    measurement phase must never inherit them). TWO warmup passes — at
-    this workload size codegen JIT + GC ramp measurably outlast a single
-    pass. Cached per process: one bench invocation is one environment
-    sample — the sf0.1 and sf1 suites share it."""
-    global _CAL_CACHE
-    if _CAL_CACHE is not None:
-        return _CAL_CACHE
+def _calibrate_once(n_runs: int) -> "tuple[float, float, dict]":
     spark = get_spark(app_name="bench-calibrate")
     try:
         times: list[float] = []
@@ -173,7 +171,39 @@ def _calibrate(n_runs: int = 5) -> "tuple[float, float, dict]":
     part_medians = {
         k: round(statistics.median(v), 4) for k, v in part_samples.items()
     }
-    _CAL_CACHE = (med, spread, part_medians)
+    return med, spread, part_medians
+
+
+def _calibrate(n_runs: int = 5) -> "tuple[float, float, dict, int]":
+    """Median + spread of ``n_runs`` mixed-workload passes in a DEDICATED
+    SparkContext (the seam part spawns Python workers; the JVM-only
+    measurement phase must never inherit them). TWO warmup passes — at
+    this workload size codegen JIT + GC ramp measurably outlast a single
+    pass. Gate-miss attempts retry with a fresh context (best-of-
+    ``CAL_MAX_ATTEMPTS``, lowest spread kept) so one host burst can't
+    self-censor the round's normalized figures. Cached per process: one
+    bench invocation is one environment sample — the sf0.1 and sf1
+    suites share it. Returns (median, spread, part_medians, attempts)."""
+    global _CAL_CACHE
+    if _CAL_CACHE is not None:
+        return _CAL_CACHE
+    best: "tuple[float, float, dict] | None" = None
+    attempts = 0
+    for attempt in range(1, CAL_MAX_ATTEMPTS + 1):
+        attempts = attempt
+        med, spread, parts = _calibrate_once(n_runs)
+        if best is None or spread < best[1]:
+            best = (med, spread, parts)
+        if spread <= CAL_SPREAD_GATE:
+            break
+        print(
+            f"# calibration attempt {attempt}/{CAL_MAX_ATTEMPTS}: spread "
+            f"{spread:.3f} > gate {CAL_SPREAD_GATE:g}"
+            + (", retrying with a fresh context"
+               if attempt < CAL_MAX_ATTEMPTS else " — keeping best attempt"),
+            file=sys.stderr,
+        )
+    _CAL_CACHE = (*best, attempts)
     return _CAL_CACHE
 
 
@@ -186,6 +216,15 @@ def _shuffle_written(spark) -> int:
         return total_shuffle_write_bytes(spark)
     except Exception:  # metric tap must never fail the bench
         return -1
+
+
+# Queries whose median lands under this get topped up to SUBSEC_SAMPLES
+# total runs: a single host burst shifts a 0.4 s median by >2x with only
+# 3 samples (wordcount +138% in BENCH_r10 at per-query spread 1.18 —
+# pure noise), and extra runs of sub-second queries are nearly free
+# (VERDICT r10 ask #6).
+SUBSEC_MEDIAN_SEC = 1.0
+SUBSEC_SAMPLES = int(os.environ.get("SPARK_GRAFT_SUBSEC_SAMPLES", "5"))
 
 
 def _measure(
@@ -207,6 +246,18 @@ def _measure(
                 shuffle_bytes[name] = (
                     sw1 - sw0 if sw0 >= 0 and sw1 >= 0 else -1
                 )
+    # Sub-second anchors: top up to SUBSEC_SAMPLES total runs (still
+    # interleaved across queries so a burst hits one extra round, not
+    # all extra runs of one query).
+    subsec = [
+        (n, s) for n, s in ordered
+        if statistics.median(samples[n]) < SUBSEC_MEDIAN_SEC
+    ]
+    for _ in range(max(0, SUBSEC_SAMPLES - N_ROUNDS)):
+        for name, spec in subsec:
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
 
 
 def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
@@ -230,10 +281,10 @@ def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
 
     saved_rounds, N_ROUNDS = N_ROUNDS, n_rounds
     try:
-        calibration, cal_spread, cal_parts = _calibrate()
+        calibration, cal_spread, cal_parts, cal_attempts = _calibrate()
         print(f"# [{label}] calibration probe v{CALIBRATION_VERSION}: "
               f"median {calibration:.3f}s spread {cal_spread:.3f} "
-              f"parts {cal_parts} "
+              f"attempts {cal_attempts} parts {cal_parts} "
               f"(ref {CALIBRATION_REF}s, drift x{calibration/CALIBRATION_REF:.2f})",
               file=sys.stderr)
         spark = get_spark(app_name=f"bench-jvm-{label}")
@@ -282,7 +333,8 @@ def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
         normalized, normalized_total = None, None
         suppressed = (
             f"calibration_spread {cal_spread:.3f} > gate "
-            f"{CAL_SPREAD_GATE:g}: the probe cannot normalize this round"
+            f"{CAL_SPREAD_GATE:g} after {cal_attempts} attempts: "
+            f"the probe cannot normalize this round"
         )
         print(
             f"# [{label}] RAW total {total:.3f}s | normalized n/a "
@@ -293,6 +345,7 @@ def _run_suite(sf_dir: str, n_rounds: int, label: str) -> dict:
         "value": round(total, 4), "queries": timings, "spread": spread,
         "runs": n_rounds, "calibration_sec": round(calibration, 4),
         "calibration_spread": round(cal_spread, 4),
+        "calibration_attempts": cal_attempts,
         "calibration_parts": cal_parts,
         "calibration_version": CALIBRATION_VERSION,
         "drift_factor": round(drift, 4),
@@ -482,7 +535,7 @@ def _run_seam_probe(
     # Resolve calibration BEFORE opening the seam context (cached from
     # the suite phase in a normal bench run; a standalone caller must
     # not end up with two live SparkContexts in one process).
-    cal_med, cal_spread, _ = _calibrate()
+    cal_med, cal_spread, _, cal_attempts = _calibrate()
     drift = cal_med / CALIBRATION_REF if CALIBRATION_REF > 0 else 1.0
 
     out: dict[str, dict] = {}
@@ -543,6 +596,7 @@ def _run_seam_probe(
                 "warm_rows_per_sec_normalized": norm_rps,
                 "drift_factor": round(drift, 4),
                 "calibration_spread": round(cal_spread, 4),
+                "calibration_attempts": cal_attempts,
                 "cold_minus_warm_sec": round(cold - med, 4),
                 "runs": n_runs,
                 "runs_detail": runs_detail,

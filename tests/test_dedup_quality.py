@@ -252,6 +252,31 @@ def test_strip_repeated_substrings(spark, boilerplate_docs):
         assert r.n_tokens_after == r.n_tokens_before == 40
 
 
+def test_strip_spans_shuffle_fallback_same_answer(spark, boilerplate_docs):
+    """broadcast_spans=False (ADVICE r10: the escape hatch for span
+    tables past the 8 GB broadcast cap) must produce the identical
+    answer with NO broadcast of the span side — the join degrades to a
+    doc-keyed shuffle instead of failing outright at the extreme."""
+    from appengine_mapreduce_spark.operators import dedup
+
+    hinted = dedup.strip_repeated_substrings(
+        boilerplate_docs, k=8, min_docs=2
+    )
+    plain = dedup.strip_repeated_substrings(
+        boilerplate_docs, k=8, min_docs=2, broadcast_spans=False
+    )
+    # ResolvedHint only appears in the analyzed plan when the hint is on
+    # (AQE may still CHOOSE broadcast for a small side — the flag removes
+    # the unconditional FORCE, which is what breaks at the 8 GB cap)
+    hinted_plan = hinted._jdf.queryExecution().analyzed().toString()
+    plain_plan = plain._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" in hinted_plan
+    assert "ResolvedHint" not in plain_plan
+    a = sorted(map(tuple, hinted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
 def test_substring_spans_edge_cases(spark):
     """Degenerate inputs: docs shorter than k yield no positions (and no
     error); an empty corpus yields an empty span table; identical docs

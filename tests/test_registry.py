@@ -47,6 +47,48 @@ def test_every_family_has_driver_visible_evidence():
     assert not missing, f"families with no driver-visible evidence: {missing}"
 
 
+def test_never_witnessed_queries_are_in_the_driver_window():
+    """Mechanical window guard (VERDICT r10 "what's wrong" #1): round 10
+    shipped two queries that fell outside the driver's 50-query window
+    and therefore had NO driver witness in any round — the family-tag
+    test above couldn't catch it because the family was already covered.
+    This guard closes that hole: every registry query that has never
+    produced a driver row in any committed CORRECTNESS_r{N}.json (full
+    hash witness for oracled queries; a rows-only row with spark_rows
+    recorded counts for oracle-less queries) MUST sit in the first 50 of
+    ``queries()`` so the NEXT driver run witnesses it. Would have failed
+    on the round-10 repo state."""
+    import glob
+    import json
+    import os
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    witnessed: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if name not in qs:
+                    continue
+                full = row.get("hash_match") and row.get("rows_match")
+                rows_only = (
+                    qs[name].oracle is None
+                    and row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if full or rows_only:
+                    witnessed.add(name)
+
+    orphans = [n for n in qs if n not in witnessed and n not in window]
+    assert not orphans, (
+        f"queries with no driver witness in any committed CORRECTNESS "
+        f"artifact AND outside the 50-query window (add them to "
+        f"_CURATED_FIRST): {orphans}"
+    )
+
+
 def test_window_is_exactly_50_unique_queries():
     qs = all_queries()
     window = list(qs)[:50]

@@ -53,7 +53,10 @@ def test_seam_probe_drift_adjusted_floor():
     calibration spread passed its own gate (field non-null) the
     drift-adjusted sf1 figure must clear the ≥1M rec/s design floor.
     Skips when no artifact with the field exists yet (fresh clone) or
-    the probe self-censored (noisy calibration — raw stays primary)."""
+    the probe self-censored — which since round 11 means ALL
+    best-of-N calibration attempts missed the spread gate
+    (bench.py CAL_MAX_ATTEMPTS), not one noisy attempt; the attempt
+    count is in the artifact."""
     import glob
     import json
     import os
@@ -72,7 +75,8 @@ def test_seam_probe_drift_adjusted_floor():
     if norm is None:
         pytest.skip(
             f"probe self-censored: calibration_spread "
-            f"{seam.get('calibration_spread')} over the gate"
+            f"{seam.get('calibration_spread')} over the gate after "
+            f"{seam.get('calibration_attempts', 1)} attempt(s)"
         )
     assert norm >= 1_000_000, (
         f"drift-adjusted seam throughput {norm:,} rec/s under the "

@@ -208,10 +208,31 @@ def _redo_phases(artifact: str, phases: "list[str]",
         "worst_noop_exponent", "capstones")}))
 
 
+_VALID_PHASES = ("sf1", "sf2", "noop-sf1", "noop-sf2", "cap-sf1", "cap-sf2")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--redo")]
-    redo = [a.split("=", 1)[1] for a in sys.argv[1:]
-            if a.startswith("--redo=")]
+    redo = []
+    for a in sys.argv[1:]:
+        if a.startswith("--redo"):
+            # A bare --redo (no '=phase,...') used to be stripped and
+            # silently ignored (ADVICE r10) — error instead.
+            if not a.startswith("--redo="):
+                raise SystemExit(
+                    f"unrecognized form {a!r}: use --redo=PHASE[,PHASE...] "
+                    f"with phases from {_VALID_PHASES}"
+                )
+            redo.append(a.split("=", 1)[1])
+    if redo:
+        bad = [p for p in redo[0].split(",") if p not in _VALID_PHASES]
+        if bad:
+            # _redo_phases routes any label not ending in 'sf1' to sf2 —
+            # a typo must not silently overwrite sf2 entries (ADVICE r10).
+            raise SystemExit(
+                f"unknown redo phase(s) {bad}: valid phases are "
+                f"{_VALID_PHASES}"
+            )
     sf2_dir = args[0] if len(args) > 0 else os.path.join(
         REPO, "testdata", "sf2")
     sf1_dir = args[1] if len(args) > 1 else os.path.join(
