@@ -579,7 +579,11 @@ def substring_digest_store(
     re-reading the history's documents (the same store-compaction move
     as ``incremental_dedup``'s per-doc md5 store, at k-gram grain).
     Persist it partitioned/bucketed by ``dig`` and the incremental
-    probe's semi-join is exchange-free on the history side."""
+    probe's semi-join is exchange-free on the history side —
+    plan-asserted in tests/test_plan_quality.py::
+    test_substring_digest_store_bucketed_probe_no_history_exchange
+    (bucketed store scan feeds the LeftSemi SMJ directly; only the
+    batch's position digests shuffle, to the store's bucket count)."""
     return _position_digests(df, id_col, text_col, k).select("dig").distinct()
 
 

@@ -619,3 +619,55 @@ def test_substring_incremental_probe_stays_semi_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan[:1500]
     # span merge only: lag + running sum, never dense_rank over digests
     assert "dense_rank" not in plan, plan[:1500]
+
+
+def test_substring_digest_store_bucketed_probe_no_history_exchange(spark):
+    """The dedup.py:substring_digest_store 100 TB claim, plan-checked
+    (round 11, same move as the stored-ANN witness): when the history
+    digest store is PERSISTED bucketed by ``dig`` and the store is too
+    big to broadcast (simulated via autoBroadcastJoinThreshold=-1 — at
+    real scale the size does this), the incremental probe's semi join
+    must read the store IN PLACE: exactly one Exchange on the batch's
+    position-digest side, ZERO exchange above the bucketed store scan.
+    History docs are never re-read and never re-shuffled — the property
+    that makes daily-ingest dedup O(batch), not O(corpus)."""
+    from appengine_mapreduce_spark.operators.dedup import (
+        repeated_substring_spans_incremental,
+        substring_digest_store,
+    )
+    from appengine_mapreduce_spark.plans.tables import load
+    from appengine_mapreduce_spark.sinks.bucketed import BucketedTableOutput
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    history = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    BucketedTableOutput(
+        "bt_digest_store_test", key="dig", num_buckets=8
+    ).write(substring_digest_store(history))
+    store = spark.table("bt_digest_store_test")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            repeated_substring_spans_incremental(batch, store)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "LeftSemi" in plan, plan[:2000]
+    # the store side must arrive pre-partitioned from its buckets:
+    # EXACTLY one hashpartitioning exchange keyed on dig — the batch's
+    # position-digest side, shuffled to the store's bucket count — and
+    # the store scan itself marked bucketed with no exchange above it.
+    n_dig_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(dig", plan)
+    )
+    assert n_dig_exchanges == 1, f"{n_dig_exchanges} dig exchanges:\n{plan[:3000]}"
+    store_scan = next(
+        l for l in plan.splitlines() if "bt_digest_store_test" in l
+    )
+    assert "Bucketed: true" in store_scan, store_scan
