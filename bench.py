@@ -509,7 +509,22 @@ def _run_seam_probe(
     steal ~0, JVM GC ~0, no worker respawn). Both are environmental /
     runtime-level, not plan-level: the same run's shuffle bytes and row
     counts are byte-identical across spikes. The per-run counters make
-    every future wobble attributable from the artifact alone."""
+    every future wobble attributable from the artifact alone.
+
+    The probe reports TWO figures (round-11 decomposition, SCALING.md
+    "seam throughput decomposition"):
+    - per-SF ``warm_rows_per_sec``: END-TO-END job rate — parquet scan
+      (string column), widening exchange, Arrow feed, generator, collect.
+      At 1M-row inputs the ~0.4-0.7 s fixed job cost is ~half the wall,
+      so this figure sits under 1M rows/s BY CONSTRUCTION and measures
+      job shape, not the seam (measured: a fully-vectorized pandas or
+      mapInArrow body lands within 5% of the generator adapter — the
+      adapter adds nothing; the wall is scan + exchange + Arrow).
+    - ``dispatch``: the generator-DISPATCH rate the BASELINE design cap
+      (reference parameters.py:222 processing_rate) actually describes —
+      the run_mapper path over an in-memory 8M-row frame, overhead
+      amortized. This carries the ≥1M rec/s floor
+      (tests/test_throughput.py asserts the drift-adjusted figure)."""
 
     def _cpu_stat() -> "tuple[int, int]":
         try:
@@ -611,6 +626,61 @@ def _run_seam_probe(
             )
         finally:
             spark.stop()
+
+    # Dispatch-rate block: the BASELINE-floor figure (see docstring).
+    from pyspark.sql import functions as F
+
+    n_disp = 8_000_000
+    spark = get_spark(app_name="bench-seam-dispatch")
+    try:
+        df = spark.range(0, n_disp, 1, 32).select(
+            F.col("id"), (F.col("id") % 1000).alias("v")
+        )
+        d_schema = StructType.fromDDL("id bigint, v2 bigint")
+        d_counters = Counters(spark.sparkContext)
+
+        class _PassThrough(MapOnlyMapper):
+            def __call__(self, ctx, row):
+                if row.v % 10 != 0:
+                    yield (row.id, row.v * 2)
+
+        def d_plan():
+            return run_mapper(
+                df, _PassThrough(), d_schema, d_counters.accumulator
+            )
+
+        d_plan().count()
+        d_warm = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            d_plan().count()
+            d_warm.append(time.perf_counter() - t0)
+        d_med = statistics.median(d_warm)
+        d_raw = int(n_disp / d_med) if d_med > 0 else -1
+        d_norm = (
+            int(d_raw * drift)
+            if d_raw > 0 and cal_spread <= CAL_SPREAD_GATE
+            else None
+        )
+        out["dispatch"] = {
+            "rows_in": n_disp,
+            "warm_median_sec": round(d_med, 4),
+            "warm_spread": round((max(d_warm) - min(d_warm)) / d_med, 3),
+            "rows_per_sec": d_raw,
+            "rows_per_sec_normalized": d_norm,
+            "drift_factor": round(drift, 4),
+            "calibration_spread": round(cal_spread, 4),
+            "calibration_attempts": cal_attempts,
+            "runs": n_runs,
+        }
+        print(
+            f"# [seam dispatch] {n_disp} rows in-memory: median "
+            f"{d_med:.3f}s -> {d_raw} rows/s "
+            f"(drift-adjusted {d_norm if d_norm else 'n/a'})",
+            file=sys.stderr,
+        )
+    finally:
+        spark.stop()
     return out
 
 
