@@ -191,6 +191,147 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_K = 8  # matches the batch substring-dedup channel (_SUB_K)
+
+
+@register(
+    "streaming_substring_scrub_replay",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5('sub:' ||
+                        array_to_string(tk[i:i+{_SCRUB_K - 1}], ' ')),
+                        1, 15))::BIGINT AS dig
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {_SCRUB_K - 1}))
+                             AS i
+                  FROM toks WHERE len(tk) >= {_SCRUB_K})
+        ),
+        store AS (SELECT DISTINCT dig FROM sh WHERE doc_id < 300),
+        hits AS (
+            SELECT s.doc_id, s.pos FROM sh s JOIN store USING (dig)
+            WHERE s.doc_id >= 300
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, ti FROM (
+                SELECT doc_id,
+                       unnest(generate_series(pos, pos + {_SCRUB_K - 1}))
+                           AS ti
+                FROM hits)
+        ),
+        tokpos AS (
+            SELECT doc_id, j - 1 AS ti, tk[j] AS tok
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS j
+                  FROM toks WHERE doc_id >= 300)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM tokpos t
+                 LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+            WHERE c.ti IS NULL
+        ),
+        cleaned AS (
+            SELECT doc_id, count(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY ti) AS ctext
+            FROM kept GROUP BY doc_id
+        )
+        -- batch 0 (the bootstrap day): empty store, nothing stripped,
+        -- every doc passes through token-normalized
+        SELECT doc_id,
+               CAST(len(tk) AS INT) AS n_tokens_before,
+               CAST(len(tk) AS INT) AS n_tokens_after,
+               md5(array_to_string(tk, ' ')) AS cleaned_md5
+        FROM toks WHERE doc_id < 300
+        UNION ALL
+        -- batch 1: scrubbed against the store batch 0 left behind —
+        -- identical to the batch incremental-cleaned oracle
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS INT) AS n_tokens_before,
+               CAST(coalesce(c.n_after, 0) AS INT) AS n_tokens_after,
+               md5(coalesce(c.ctext, '')) AS cleaned_md5
+        FROM toks t LEFT JOIN cleaned c USING (doc_id)
+        WHERE t.doc_id >= 300
+    """,
+    description="CONTINUOUS ingest scrub through the driver gate (round "
+    "11 — the streaming twin of the round-10 flagship): documents replay "
+    "as two micro-batches (doc_id < 300, then >= 300) through a real "
+    "readStream + foreachBatch pipeline "
+    "(streaming/sinks.substring_scrub_sink). Batch 0 scrubs against an "
+    "EMPTY digest store (nothing stripped — bootstrap) and deposits its "
+    "k-gram digests; batch 1 is stripped of every span repeating batch "
+    "0's content — proving store accumulation ACROSS micro-batches, the "
+    "property that makes the scrub continuous rather than per-batch. "
+    "Exactly-once: cleaned batches commit via markers, the store swaps "
+    "atomically with a _LAST_APPLIED watermark. Output md5-pins every "
+    "cleaned text; the oracle composes the bootstrap passthrough with "
+    "the batch incremental-cleaned replay.",
+    tags=("streaming", "dedup", "substring", "incremental", "replay"),
+)
+def streaming_substring_scrub_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import os
+
+    from appengine_mapreduce_spark.streaming.sinks import substring_scrub_sink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="scrub_replay_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ckpt = os.path.join(work, "ckpt")
+
+    def _stage(day_df: DataFrame, name: str) -> None:
+        tmp = os.path.join(work, f"stage_{name}")
+        day_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(tmp, "*.parquet")))):
+            os.replace(f, os.path.join(src, f"{name}_{i}.parquet"))
+
+    _stage(docs.filter(F.col("doc_id") < 300), "day0")
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            substring_scrub_sink(
+                os.path.join(work, "store"), os.path.join(work, "out"),
+                k=_SCRUB_K,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 0: bootstrap day
+        _stage(docs.filter(F.col("doc_id") >= 300), "day1")
+        q.processAllAvailable()  # micro-batch 1: scrubbed vs day-0 store
+    finally:
+        q.stop()
+    cleaned = spark.read.parquet(os.path.join(work, "out", "batch_id=*"))
+    out = cleaned.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+    # Materialize before the staged dirs are deleted — the same
+    # driver-side materialization every other streaming replay gets from
+    # its memory sink (summary-sized: 4 narrow columns per batch doc);
+    # foreachBatch pipelines have no memory-sink equivalent to lean on.
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, n_tokens_before int, n_tokens_after int, "
+        "cleaned_md5 string",
+    )
+
+
 @register(
     "streaming_conversion_join_replay",
     oracle="""

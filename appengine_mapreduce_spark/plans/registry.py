@@ -86,7 +86,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     # never-witnessed guard mechanically prevents a repeat):
     "substring_dedup_incremental", "substring_dedup_incremental_cleaned",
     # ---- round-11 additions:
-    "ivf_bucketed_probe_topk",
+    "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
     # ---- rotation slots (VERDICT r10 ask #7): stale witnesses last
     # driver-checked in rounds 1-3 get refreshed rows at current code.
     # Round 11 rotates one tpch, one text, one binary-format source:

@@ -124,3 +124,106 @@ def materialized_aggregate_sink(
         shutil.rmtree(old, ignore_errors=True)
 
     return apply_batch
+
+
+def substring_scrub_sink(
+    store_path: str,
+    out_path: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_spans: bool = True,
+):
+    """``foreachBatch`` function running the CONTINUOUS ingest scrub —
+    the streaming twin of the batch
+    ``strip_repeated_substrings_incremental`` gate queries: each
+    micro-batch of documents is stripped of every token span that
+    repeats the accumulated HISTORY k-gram digest store, the cleaned
+    batch lands in ``out_path/batch_id=N`` (committed-marker
+    idempotent, like :func:`idempotent_parquet_sink`), and the batch's
+    own digests are then merged into the store — so every batch dedups
+    against EVERYTHING ingested before it, and the store bootstraps
+    from empty on the first batch (nothing stripped, all digests
+    learned).
+
+    Semantics match the batch operator exactly: only history overlap is
+    stripped — a batch's internal repeats pass through (they become
+    strippable for LATER batches once their digests land in the store).
+
+    Crash/replay safety: the cleaned write commits first (pure
+    overwrite + marker, replay-skippable); the store update is
+    read-modify-write, so it swaps in atomically WITH a
+    ``_LAST_APPLIED`` watermark exactly like
+    :func:`materialized_aggregate_sink` — a replayed batch re-scrubs
+    against the same pre-batch store (its cleaned output is skipped by
+    the marker) and skips the store merge.
+
+    At 100 TB: per-batch cost is batch-sized plus store-DIGEST-sized (8
+    bytes per distinct history k-gram — history documents are never
+    re-read, the whole point of the digest store). The demo store swap
+    rewrites the digest table per batch; a production store is a
+    bucketed-by-``dig`` table appended with batch-id-scoped files,
+    which also makes the probe's history side exchange-free
+    (tests/test_plan_quality.py's bucketed-store witness)."""
+    import shutil
+
+    from appengine_mapreduce_spark.operators.dedup import (
+        strip_repeated_substrings_incremental,
+        substring_digest_store,
+    )
+
+    os.makedirs(store_path, exist_ok=True)
+    data_dir = os.path.join(store_path, "data")
+    last_file = "_LAST_APPLIED"
+
+    def _last_applied() -> int:
+        try:
+            with open(os.path.join(data_dir, last_file)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _recover() -> None:
+        old = data_dir + ".old"
+        if not os.path.exists(data_dir) and os.path.exists(old):
+            os.replace(old, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(data_dir + ".next", ignore_errors=True)
+
+    def scrub_batch(batch: DataFrame, batch_id: int) -> None:
+        _recover()
+        spark = batch.sparkSession
+        if os.path.exists(data_dir):
+            store = spark.read.parquet(data_dir).select("dig")
+        else:
+            store = spark.createDataFrame([], "dig bigint")
+
+        target = os.path.join(out_path, f"batch_id={batch_id}")
+        marker = os.path.join(target, "_COMMITTED")
+        if not os.path.exists(marker):
+            cleaned = strip_repeated_substrings_incremental(
+                batch, store, id_col=id_col, text_col=text_col, k=k,
+                broadcast_spans=broadcast_spans,
+            )
+            cleaned.write.mode("overwrite").parquet(target)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+
+        if _last_applied() >= batch_id:
+            return  # replayed batch: store already includes it
+        merged = store.unionByName(
+            substring_digest_store(batch, id_col=id_col, text_col=text_col, k=k)
+        ).distinct()
+        tmp = data_dir + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, last_file), "w") as fh:
+            fh.write(str(batch_id))
+        old = data_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(data_dir):
+            os.replace(data_dir, old)
+        os.replace(tmp, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return scrub_batch

@@ -526,12 +526,24 @@ def _run_seam_probe(
       amortized. This carries the ≥1M rec/s floor
       (tests/test_throughput.py asserts the drift-adjusted figure)."""
 
-    def _cpu_stat() -> "tuple[int, int]":
+    def _cpu_stat() -> "tuple[int, int, int]":
+        # steal, idle (jiffies), io-stall (µs from PSI /proc/pressure/io
+        # "full total" — round-11 finding: the box accumulates whole
+        # SECONDS of full io-stall; shared-host disk writeback is the
+        # Mode B mechanism candidate, now attributable per run)
         try:
             f = open("/proc/stat").readline().split()
-            return int(f[8]), int(f[4])  # steal, idle (jiffies)
+            steal, idle = int(f[8]), int(f[4])
         except Exception:
-            return -1, -1
+            steal, idle = -1, -1
+        io_us = -1
+        try:
+            for line in open("/proc/pressure/io"):
+                if line.startswith("full"):
+                    io_us = int(line.rsplit("total=", 1)[1])
+        except Exception:
+            pass
+        return steal, idle, io_us
     from pyspark.sql.types import StructType
 
     from appengine_mapreduce_spark.core.adapters import run_mapper
@@ -578,16 +590,17 @@ def _run_seam_probe(
             cold = time.perf_counter() - t0
             warm, runs_detail = [], []
             for _ in range(n_runs):
-                s0, i0 = _cpu_stat()
+                s0, i0, io0 = _cpu_stat()
                 t0 = time.perf_counter()
                 plan().collect()
                 dt = time.perf_counter() - t0
-                s1, i1 = _cpu_stat()
+                s1, i1, io1 = _cpu_stat()
                 warm.append(dt)
                 runs_detail.append({
                     "sec": round(dt, 4),
                     "steal_d": s1 - s0 if s0 >= 0 else -1,
                     "idle_d": i1 - i0 if i0 >= 0 else -1,
+                    "io_stall_us_d": io1 - io0 if io0 >= 0 else -1,
                 })
             med = statistics.median(warm)
             # Drift-adjusted throughput (VERDICT r9 #4): the BASELINE.md

@@ -469,3 +469,80 @@ def test_streaming_materialized_aggregate_matches_full_recompute(
         .collect()
     }
     assert again == direct, again
+
+
+def test_substring_scrub_sink_accumulates_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """The continuous ingest scrub (streaming/sinks.substring_scrub_sink),
+    driven batch-by-batch: batch 0 bootstraps an empty store (nothing
+    stripped, digests learned), batch 1 loses exactly the spans repeating
+    batch 0's boilerplate, batch-internal repeats pass through, and
+    re-applying a batch with the same id is a no-op for BOTH the cleaned
+    output and the store (crash-replay exactly-once)."""
+    import os
+
+    from appengine_mapreduce_spark.streaming.sinks import substring_scrub_sink
+
+    boiler = " ".join(f"lic{i}" for i in range(10))  # 10-token boilerplate
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    day0 = docs([
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"{boiler} epsilon zeta eta theta iota kappa"),
+    ])
+    # doc 10 repeats day-0 boilerplate (must be stripped); doc 11 repeats
+    # doc 10's fresh phrase (batch-internal — must NOT be stripped)
+    fresh = " ".join(f"new{i}" for i in range(10))
+    day1 = docs([
+        (10, f"one two {boiler} three four {fresh}"),
+        (11, f"five six {fresh} seven eight nine ten eleven"),
+    ])
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    sink = substring_scrub_sink(store, out, k=8)
+
+    sink(day0, 0)
+    b0 = {
+        r.doc_id: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=0")).collect()
+    }
+    assert b0[0].n_tokens_after == b0[0].n_tokens_before == 14
+    assert "lic0" in b0[0].cleaned_text  # bootstrap: nothing stripped
+
+    sink(day1, 1)
+    b1 = {
+        r.doc_id: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    # doc 10: the boilerplate (and nothing else) goes; k=8 windows can
+    # extend a strip ≤ k-1 tokens into coincidentally-matching neighbors,
+    # but here neighbors are unique so exactly the 10 boilerplate tokens go
+    assert b1[10].n_tokens_before == 24
+    assert "lic0" not in b1[10].cleaned_text
+    assert "new0" in b1[10].cleaned_text  # batch-internal repeat kept
+    assert b1[10].n_tokens_after == 14
+    assert b1[11].n_tokens_after == b1[11].n_tokens_before  # untouched
+
+    n_store = spark.read.parquet(os.path.join(store, "data")).count()
+
+    # replay batch 1 (same id): output and store byte-stable
+    sink(day1, 1)
+    again = {
+        r.doc_id: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    assert {d: r.cleaned_text for d, r in again.items()} == {
+        d: r.cleaned_text for d, r in b1.items()
+    }
+    assert spark.read.parquet(os.path.join(store, "data")).count() == n_store
+
+    # a LATER batch is stripped of batch 1's fresh phrase too — the store
+    # accumulated across batches
+    day2 = docs([(20, f"x y {fresh} z w v u t s r")])
+    sink(day2, 2)
+    b2 = spark.read.parquet(os.path.join(out, "batch_id=2")).collect()[0]
+    assert "new0" not in b2.cleaned_text and b2.n_tokens_after == 9
