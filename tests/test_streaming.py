@@ -546,3 +546,81 @@ def test_substring_scrub_sink_accumulates_and_replays_exactly_once(
     sink(day2, 2)
     b2 = spark.read.parquet(os.path.join(out, "batch_id=2")).collect()[0]
     assert "new0" not in b2.cleaned_text and b2.n_tokens_after == 9
+
+
+def test_substring_scrub_sink_equals_batch_composition_randomized(
+    spark, tmp_path
+):
+    """Equivalence property (seeded): driving N random micro-batches
+    through substring_scrub_sink must produce, for EVERY batch, exactly
+    the batch operator's output against the union-of-prior-batches
+    digest store — and the final store must equal the digest store of
+    the whole corpus. The streaming pipeline is the batch pipeline
+    folded over batches; this pins that identity on random data."""
+    import os
+    import random
+
+    from appengine_mapreduce_spark.operators.dedup import (
+        strip_repeated_substrings_incremental,
+        substring_digest_store,
+    )
+    from appengine_mapreduce_spark.streaming.sinks import substring_scrub_sink
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    phrases = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(8, 12)))
+        for _ in range(4)
+    ]
+
+    def make_doc(i):
+        parts = [rnd.choice(vocab) for _ in range(rnd.randint(0, 6))]
+        if rnd.random() < 0.7:
+            parts.append(rnd.choice(phrases))
+        parts.extend(rnd.choice(vocab) for _ in range(rnd.randint(0, 6)))
+        return (i, " ".join(parts))
+
+    all_rows = [make_doc(i) for i in range(30)]
+    cuts = sorted(rnd.sample(range(1, 30), 2))
+    batches = [
+        all_rows[: cuts[0]], all_rows[cuts[0]:cuts[1]], all_rows[cuts[1]:]
+    ]
+
+    store_path = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    sink = substring_scrub_sink(store_path, out, k=8)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    prior: list[tuple] = []
+    for bid, rows in enumerate(batches):
+        sink(df_of(rows), bid)
+        expected_store = (
+            substring_digest_store(df_of(prior), k=8)
+            if prior
+            else spark.createDataFrame([], "dig bigint")
+        )
+        expected = {
+            r.doc_id: (r.cleaned_text, r.n_tokens_before, r.n_tokens_after)
+            for r in strip_repeated_substrings_incremental(
+                df_of(rows), expected_store, k=8
+            ).collect()
+        }
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_tokens_before, r.n_tokens_after)
+            for r in spark.read.parquet(
+                os.path.join(out, f"batch_id={bid}")
+            ).collect()
+        }
+        assert got == expected, f"batch {bid} diverged from batch operator"
+        prior.extend(rows)
+
+    final_store = {
+        r.dig
+        for r in spark.read.parquet(os.path.join(store_path, "data")).collect()
+    }
+    full = {
+        r.dig for r in substring_digest_store(df_of(all_rows), k=8).collect()
+    }
+    assert final_store == full
