@@ -88,6 +88,24 @@ def main() -> int:
     for rnd, name in picks:
         print(f"  {name}  (last witnessed r{rnd}, family "
               f"{qs[name].tags[0] if qs[name].tags else '-'})")
+
+    # Artifact freshness: the newest PARITY sweep embeds the registry
+    # fingerprint it ran against; flag a mismatch with the live registry
+    # (PLAN_AUDIT has a hard pytest staleness gate; PARITY costs a ~45 min
+    # sf1 sweep, so this is an advisory check, not a test failure).
+    from appengine_mapreduce_spark.plans.registry import registry_fingerprint
+
+    live = registry_fingerprint()
+    parities = sorted(glob.glob(os.path.join(_REPO, "PARITY_r*.md")))
+    if parities:
+        newest = parities[-1]
+        with open(newest) as fh:
+            m = re.search(r"fingerprint: `([0-9a-f]+)`", fh.read(2000))
+        embedded = m.group(1) if m else "?"
+        status = "FRESH" if embedded == live else (
+            "STALE — re-run tools/parity_sweep.py")
+        print(f"newest parity sweep {os.path.basename(newest)}: "
+              f"fingerprint {embedded} vs live {live} -> {status}")
     return 0
 
 
