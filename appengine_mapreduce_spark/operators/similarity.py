@@ -184,6 +184,59 @@ def sign_lsh_batch_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 3,
+    num_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY query
+    vector, the top-``k`` most-cosine-similar corpus vectors that are
+    NOT among its known positives — the "confusable but wrong" examples
+    a retrieval/embedding trainer pairs against each positive.
+
+    Plan = the batch-ANN shape (both sides sign-LSH-bucketed, the
+    bucket equi-join replaces |C|·|Q| with per-bucket blocks) with the
+    positive pairs removed by a LEFT ANTI join on (query, candidate)
+    BEFORE the per-query ranking window — so a positive never consumes
+    one of the k negative slots. ``positives`` is (query_id_col,
+    id_col) pairs; at scale it is training-label-sized (≪ corpus) and
+    broadcasts. Output: (query_id, vec_id, cosine, rank 1..k)."""
+    from pyspark.sql import Window
+
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    scored = cb.join(qb, "_b").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    negatives = scored.join(
+        F.broadcast(positives.select(query_id_col, id_col)),
+        [query_id_col, id_col],
+        "left_anti",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        negatives.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def sq8_stats(
     corpus: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -249,6 +249,67 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_batch_topk(emb, queries, k=3, num_bits=_BBITS)
 
 
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+        WITH qs AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
+                   {_BATCH_BUCKET.format(v="embedding")} AS qb
+            FROM embeddings WHERE vec_id < 10
+        ),
+        pos AS (  -- known positives: itself + every same-label bucket-mate
+            SELECT q.query_id, e.vec_id
+            FROM embeddings e JOIN qs q ON e.label = q.qlabel
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round({_cos_sql("embedding", "qv")}, 6) AS cosine
+            FROM embeddings JOIN qs
+              ON {_BATCH_BUCKET.format(v="embedding")} = qb
+        ),
+        negs AS (
+            SELECT s.* FROM scored s
+            LEFT JOIN pos p
+              ON s.query_id = p.query_id AND s.vec_id = p.vec_id
+            WHERE p.vec_id IS NULL
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM negs
+        ) WHERE rank <= 3
+    """,
+    description="Hard-negative mining for contrastive training "
+    "(operators/similarity.hard_negative_topk): per query vector, the "
+    "top-3 most-similar corpus vectors that are NOT its positives "
+    "(positives = every same-label vector — the labeled-dataset shape). "
+    "Batch-ANN bucket equi-join (never |C|x|Q|), positives removed by a "
+    "broadcast LEFT ANTI join BEFORE the ranking window so a positive "
+    "never eats a negative slot. At 100 TB the positive-pair table is "
+    "training-label-sized and broadcasts; the corpus joins per bucket.",
+    tags=("similarity", "ann", "lsh", "batch", "training-data"),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.similarity import hard_negative_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    positives = (
+        emb.join(
+            emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_qlabel"),
+            ),
+            F.col("label") == F.col("_qlabel"),
+        )
+        .select("query_id", "vec_id")
+    )
+    return hard_negative_topk(emb, queries, positives, k=3, num_bits=_BBITS)
+
+
 def _pq_oracle_sql(
     m: int = 4, ks: int = 16, dim: int = 64, n_iter: int = 2, k: int = 10
 ) -> str:

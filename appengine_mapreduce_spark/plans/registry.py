@@ -87,10 +87,14 @@ _CURATED_FIRST: tuple[str, ...] = (
     "substring_dedup_incremental", "substring_dedup_incremental_cleaned",
     # ---- round-11 additions:
     "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
-    # ---- rotation slots (VERDICT r10 ask #7): stale witnesses last
-    # driver-checked in rounds 1-3 get refreshed rows at current code.
-    # Round 11 rotates one tpch, one text, one binary-format source:
-    "q10_returned_customers", "tfidf_top_terms", "records_roundtrip",
+    "hard_negatives_topk",
+    # ---- rotation slots (VERDICT r10 ask #7, asked for 2-3): stale
+    # witnesses last driver-checked in rounds 1-3 get refreshed rows at
+    # current code. Round 11 rotates one tpch and one text query (a
+    # third slot went to the round-11 hard-negative-mining addition;
+    # tools/witness_ledger.py now computes the stalest candidates for
+    # future rounds mechanically):
+    "q10_returned_customers", "tfidf_top_terms",
 )
 
 

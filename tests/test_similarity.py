@@ -135,3 +135,60 @@ def test_sq8_recall_and_code_range(emb, query_vec):
     got = {r.vec_id for r in sq8_adc_topk(encoded, query_vec, k=10).collect()}
     recall = len(got & truth) / 10
     assert recall >= 0.7, (recall, got, truth)
+
+
+def test_hard_negative_topk_excludes_positives_and_matches_bruteforce(emb):
+    """Hard-negative mining contract: no positive (nor the query itself)
+    ever appears in the output; ranks are 1..k per query by descending
+    cosine; and within each query's sign bucket the chosen negatives ARE
+    the brute-force top-k non-positives (the bucket join loses no
+    candidate inside the bucket)."""
+    from appengine_mapreduce_spark.operators.similarity import (
+        hard_negative_topk,
+        sign_bucket,
+    )
+    from appengine_mapreduce_spark.functions.vectors import cosine_similarity
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # positives: the query itself + every same-label vector
+    positives = (
+        emb.join(
+            emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_ql"),
+            ),
+            F.col("label") == F.col("_ql"),
+        ).select("query_id", "vec_id")
+    )
+    pos_set = {(r.query_id, r.vec_id) for r in positives.collect()}
+    rows = hard_negative_topk(emb, queries, positives, k=3, num_bits=6).collect()
+
+    by_q: dict = {}
+    for r in rows:
+        assert (r.query_id, r.vec_id) not in pos_set, r
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+        scores = [h.cosine for h in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    # brute-force within-bucket check for query 0
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = F.array(*[F.lit(float(x)) for x in q0])
+    b0 = emb.filter(F.col("vec_id") == 0).select(
+        sign_bucket(F.col("embedding"), 6).alias("b")
+    ).first().b
+    in_bucket = emb.filter(sign_bucket(F.col("embedding"), 6) == b0).select(
+        "vec_id", F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("c")
+    ).collect()
+    cands = sorted(
+        (r for r in in_bucket if (0, r.vec_id) not in pos_set),
+        key=lambda r: (-r.c, r.vec_id),
+    )[:3]
+    expect = [(r.vec_id, r.c) for r in cands]
+    got = [(h.vec_id, h.cosine) for h in sorted(by_q.get(0, []), key=lambda r: r.rank)]
+    assert got == expect, (got, expect)
