@@ -178,6 +178,103 @@ def mix_to_target(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weight_col: str | None = None,
+    out_permyriad: int = 2500,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling at alpha = 0.5: kept weight
+    per stratum is proportional to sqrt(natural weight) — the standard
+    multilingual-pretraining knob that interpolates between the natural
+    mix (alpha=1) and uniform (alpha=0), boosting rare languages without
+    flattening the corpus. ``mix_to_target`` needs the mix stated up
+    front; here the rates are DERIVED from the measured per-stratum
+    weights entirely in-plan (no driver-side collect).
+
+    alpha is fixed at 0.5 because IEEE-754 ``sqrt`` is correctly rounded
+    and therefore bit-identical across engines — the derived cut replays
+    exactly in the DuckDB oracle. (Arbitrary alpha needs ``pow``, whose
+    last-ulp behavior is not portable.) All inputs to the double-valued
+    rate expression are integers < 2^53 (exact as doubles) and the
+    expression order is fixed, so every intermediate is deterministic.
+
+    ``weight_col`` weighs strata by a size column (tokens/chars) instead
+    of row count; ``out_permyriad`` is the target output weight as a
+    share of the input in 1/10000 units. Rows keep a ``mix_cut`` column
+    (the per-stratum acceptance cut, for auditing). Oversubscribed rare
+    strata cap at rate 1.0.
+
+    At 100 TB: one stratum-count aggregate (model-sized), one broadcast
+    join, a row-local hash filter — the corpus never shuffles.
+    """
+    w = (F.count(F.lit(1)) if weight_col is None
+         else F.sum(weight_col)).cast("bigint")
+    per = df.groupBy(strata_col).agg(w.alias("_w_s"))
+    per = per.withColumn(
+        "_sq_s", F.floor(F.sqrt(F.col("_w_s").cast("double"))).cast("bigint")
+    )
+    tot = per.agg(
+        F.sum("_w_s").alias("_w_tot"), F.sum("_sq_s").alias("_sq_tot")
+    )
+    # rate/10000 = out_permyriad/10000 * (w_tot/sq_tot) * sq_s / w_s:
+    # expected kept weight = out share of total; per-stratum kept weight
+    # proportional to sqrt(w_s). Fixed parenthesization, mirrored in SQL.
+    cut = F.floor(
+        F.least(
+            F.lit(10000.0),
+            F.lit(float(out_permyriad))
+            * ((F.col("_w_tot").cast("double") / F.col("_sq_tot")) * F.col("_sq_s"))
+            / F.col("_w_s"),
+        )
+    ).cast("bigint")
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("mix_cut", cut)
+        .select(strata_col, "mix_cut")
+    )
+    joined = df.join(F.broadcast(rates), strata_col, "left")
+    return joined.filter(
+        sample_bucket(F.col(key), salt) < F.coalesce(F.col("mix_cut"), F.lit(0))
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    bucket_col: str = "bucket",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Assign each row a quantile bucket of ``score_col`` (1..len(probs)+1)
+    — curriculum bucketing: order the corpus into quality tiers without a
+    global sort. The exact cuts are ONE aggregate row (``F.percentile``,
+    interpolation-identical to DuckDB ``quantile_cont`` — proven by the
+    group_percentiles oracle), broadcast back; bucket assignment is then
+    row-local: ``1 + sum(score > cut_i)``.
+
+    Cuts are rounded to ``round_dp`` decimals before comparison so a
+    last-ulp interpolation difference cannot flip a boundary row across
+    engines. The global-window alternative (``ntile``) funnels the whole
+    corpus through one partition; this shape is one scalar aggregate +
+    a broadcast, valid at any scale.
+    """
+    cut_cols = [
+        F.round(F.percentile(score_col, p), round_dp).alias(f"_qcut{i}")
+        for i, p in enumerate(probs)
+    ]
+    cuts = df.agg(*cut_cols)
+    out = df.crossJoin(F.broadcast(cuts))
+    b: Column = F.lit(1)
+    for i in range(len(probs)):
+        b = b + F.when(F.col(score_col) > F.col(f"_qcut{i}"), 1).otherwise(0)
+    return out.withColumn(bucket_col, b.cast("int")).drop(
+        *[f"_qcut{i}" for i in range(len(probs))]
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     key: str,

@@ -451,3 +451,110 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_TEMP_HASH = (
+    "('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle=f"""
+        WITH per AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_s,
+                   CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
+                       AS sq_s
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+                       CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM per),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(least(10000.0,
+                        2500.0 * ((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s)
+                               / w_s)) AS BIGINT) AS cut
+            FROM per, tot
+        )
+        SELECT lang, cut AS cut_permyriad, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(doc_id) AS first_doc
+        FROM documents JOIN rates USING (lang)
+        WHERE {_TEMP_HASH} % 10000 < cut
+        GROUP BY lang, cut
+    """,
+    description="Temperature-based mixture resampling (alpha = 0.5): kept "
+    "weight per language proportional to sqrt(natural char weight) — the "
+    "multilingual-pretraining knob interpolating natural vs uniform mix, "
+    "with rates DERIVED from measured per-stratum weights entirely "
+    "in-plan (operators/sampling.temperature_sample; mix_corpus_to_target "
+    "is the stated-target sibling). alpha is 0.5 because IEEE sqrt is "
+    "correctly rounded, hence bit-portable; the double rate expression "
+    "has fixed parenthesization over <2^53 integers, so the oracle "
+    "replays the cut exactly. One stratum aggregate + broadcast rate "
+    "join + row-local md5 acceptance — the corpus never shuffles.",
+    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        docs, key="doc_id", strata_col="lang", weight_col="n_chars",
+        out_permyriad=2500, salt="temp",
+    )
+    return kept.groupBy("lang", F.col("mix_cut").alias("cut_permyriad")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_CURRICULUM_ORACLE = """
+    WITH q AS ({quality}),
+    cuts AS (
+        SELECT round(quantile_cont(quality, 0.25), 9) AS c0,
+               round(quantile_cont(quality, 0.50), 9) AS c1,
+               round(quantile_cont(quality, 0.75), 9) AS c2
+        FROM q
+    )
+    SELECT (1 + CAST(quality > c0 AS INT) + CAST(quality > c1 AS INT)
+              + CAST(quality > c2 AS INT)) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(min(quality), 6) AS min_q,
+           round(max(quality), 6) AS max_q
+    FROM q, cuts GROUP BY 1
+"""
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle=_CURRICULUM_ORACLE.format(quality=_R["quality_scores"].oracle),
+    description="Curriculum bucketing: every document assigned a quality "
+    "QUARTILE tier without a global sort — exact cuts are ONE percentile "
+    "aggregate row (F.percentile, interpolation-identical to DuckDB "
+    "quantile_cont per the group_percentiles oracle), broadcast back, "
+    "bucket = 1 + count(cuts below score) row-locally "
+    "(operators/sampling.quantile_buckets). Cuts round to 9dp before "
+    "comparison so a last-ulp interpolation difference cannot flip a "
+    "boundary doc. The ntile alternative funnels the corpus through one "
+    "partition; this shape is scale-free. Composite oracle embeds the "
+    "quality_scores oracle as a CTE, so the integration cannot drift "
+    "from the component.",
+    tags=("pipeline", "training-data", "percentile", "scalar-cross"),
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import quantile_buckets
+    from appengine_mapreduce_spark.operators.text_analysis import quality_score
+
+    scored = quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    bucketed = quantile_buckets(scored, "quality")
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+    )

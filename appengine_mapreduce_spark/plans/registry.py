@@ -87,14 +87,15 @@ _CURATED_FIRST: tuple[str, ...] = (
     "substring_dedup_incremental", "substring_dedup_incremental_cleaned",
     # ---- round-11 additions:
     "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
-    "hard_negatives_topk",
-    # ---- rotation slots (VERDICT r10 ask #7, asked for 2-3): stale
-    # witnesses last driver-checked in rounds 1-3 get refreshed rows at
-    # current code. Round 11 rotates one tpch and one text query (a
-    # third slot went to the round-11 hard-negative-mining addition;
-    # tools/witness_ledger.py now computes the stalest candidates for
-    # future rounds mechanically):
-    "q10_returned_customers", "tfidf_top_terms",
+    "hard_negatives_topk", "temperature_mixture_sample",
+    "curriculum_quality_buckets",
+    # ---- rotation slot (VERDICT r10 ask #7 asked for 2-3 refreshed
+    # stale witnesses; the round-11 late additions above displaced the
+    # tfidf_top_terms slot per the window policy — new queries get their
+    # independent driver witness first. tools/witness_ledger.py carries
+    # tfidf_top_terms and records_roundtrip as the top rotation picks
+    # for round 12):
+    "q10_returned_customers",
 )
 
 

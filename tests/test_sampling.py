@@ -189,3 +189,84 @@ def test_mix_to_target_hits_target_distribution(spark):
         out_permyriad=1000,
     ).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == again
+
+
+def test_temperature_sample_sqrt_mix_and_budget(spark):
+    """alpha=0.5 resampling: kept weight per stratum tracks
+    out_frac * total * sqrt(w_s)/sum(sqrt), dominant strata downsample,
+    rare strata upsample relative to their natural share, and the total
+    kept weight tracks the out_permyriad budget — all within hash noise."""
+    import math
+
+    from appengine_mapreduce_spark.operators.sampling import temperature_sample
+
+    df = (
+        spark.range(0, 30_000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 100 < 90, "big")
+            .when(F.col("id") % 100 < 99, "mid")
+            .otherwise("tiny")
+            .alias("s"),
+            F.lit(10).alias("w"),
+        )
+    )
+    kept = temperature_sample(
+        df, key="k", strata_col="s", weight_col="w", out_permyriad=2500
+    )
+    got = {
+        r.s: (r.n, r.wsum)
+        for r in kept.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("wsum"))
+        .collect()
+    }
+    w = {"big": 270_000, "mid": 27_000, "tiny": 3_000}
+    sq = {s: math.floor(math.sqrt(v)) for s, v in w.items()}
+    sq_tot = sum(sq.values())
+    w_tot = sum(w.values())
+    for s in w:
+        # oversubscribed strata cap at rate 1.0 (keep everything)
+        expect = min(w[s], 0.25 * w_tot * sq[s] / sq_tot)
+        assert abs(got[s][1] - expect) < 0.15 * expect + 300, (s, got)
+    # rare stratum's kept fraction far exceeds its natural rate; the
+    # dominant one is cut below the global budget rate
+    assert got["tiny"][1] == w["tiny"], got  # capped: kept all of it
+    assert got["big"][1] / w["big"] < 0.25, got
+
+    # determinism + audit column: one cut per stratum, stable re-run
+    cuts = {
+        r.s: r.c
+        for r in kept.select("s", F.col("mix_cut").alias("c")).distinct().collect()
+    }
+    assert len(cuts) == 3 and all(0 < c <= 10000 for c in cuts.values()), cuts
+    again = temperature_sample(
+        df, key="k", strata_col="s", weight_col="w", out_permyriad=2500
+    )
+    assert kept.exceptAll(again).count() == 0
+    assert again.exceptAll(kept).count() == 0
+
+
+def test_quantile_buckets_partition_and_monotone(spark):
+    """Quartile bucketing: buckets 1..4 partition the rows, sizes are
+    ~n/4, and bucket boundaries are monotone (max(score in b) <=
+    min(score in b+1) whenever both sides are non-tied across the cut)."""
+    from appengine_mapreduce_spark.operators.sampling import quantile_buckets
+
+    df = spark.range(0, 8_000).select(
+        F.col("id"),
+        ((F.col("id") * 37 % 1000) / 10.0).alias("score"),
+    )
+    b = quantile_buckets(df, "score")
+    rows = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+    ).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == [1, 2, 3, 4], rows
+    assert sum(r.n for r in rows) == 8_000
+    for r in rows:
+        assert abs(r.n - 2000) < 300, rows
+    for a, c in zip(rows, rows[1:]):
+        assert a.hi <= c.lo, rows
+    # row identity is preserved (same ids in = ids out)
+    assert b.select("id").distinct().count() == 8_000
