@@ -88,3 +88,28 @@ def kmeans(
 def inertia(assignments: DataFrame) -> float:
     """Sum of squared distances — the k-means objective."""
     return float(assignments.agg(F.sum("dist_sq")).first()[0])
+
+def diversity_sample(
+    assignments: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: keep the ``per_cluster`` most
+    central rows of every k-means cluster (lowest dist_sq, ties to the
+    lowest id) — the embedding-space corpus-diversification step (select
+    prototypical documents evenly across semantic clusters instead of
+    letting dominant modes swamp the sample).
+
+    Ranking uses the 6dp-rounded dist_sq ``kmeans`` emits (the quantity
+    the oracle already replays exactly), so the kept set is deterministic
+    across engines. One window per cluster partition — the quota is
+    model-sized, the corpus shuffles once on the cluster key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("dist_sq", id_col)
+    return (
+        assignments.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )

@@ -254,3 +254,79 @@ def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("dist_sq"), 6).alias("mean_dist_sq"),
     )
+
+
+def _diversity_sample_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3,
+                                 m: int = 10) -> str:
+    """Replay of cluster-balanced diversity sampling: the proven unrolled
+    Lloyd's CTE chain + final assignment (same stages as
+    kmeans_ivf_clusters), then keep the m most-central vectors per
+    cluster ranked on round(dist, 6) with ties to the lowest vec_id —
+    exactly the quantity and order operators/clustering.diversity_sample
+    uses, so the kept-id lists pin the selection value-exactly."""
+    from appengine_mapreduce_spark.plans.queries_misc3 import kmeans_cte_chain
+
+    return (
+        kmeans_cte_chain(k, dim, n_iter)
+        + f""",
+        dfin AS (
+            SELECT v.vec_id, c.cluster,
+                   sum((v.val - c.val) * (v.val - c.val)) AS dist
+            FROM v JOIN c{n_iter} c USING (dim)
+            GROUP BY v.vec_id, c.cluster
+        ),
+        afin AS (
+            SELECT vec_id, cluster, round(dist, 6) AS dist_sq FROM (
+                SELECT vec_id, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM dfin
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT cluster, vec_id, dist_sq FROM (
+                SELECT cluster, vec_id, dist_sq,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY dist_sq, vec_id) AS rn
+                FROM afin
+            ) WHERE rn <= {m}
+        )
+        SELECT CAST(cluster AS INT) AS cluster,
+               COUNT(*) AS n_kept,
+               array_to_string(list_sort(list(vec_id)), ',') AS members,
+               round(max(dist_sq), 6) AS radius_sq
+        FROM kept GROUP BY cluster
+    """
+    )
+
+
+@register(
+    "diversity_sample_clusters",
+    oracle=_diversity_sample_oracle_sql(),
+    description="Cluster-balanced diversity sampling: k-means (k=8, 3 "
+    "Lloyd's iterations) over the embeddings table, then keep the 10 most "
+    "central vectors per cluster (rounded dist_sq, ties to lowest id) — "
+    "the embedding-space corpus-diversification step that samples "
+    "prototypes evenly across semantic clusters "
+    "(operators/clustering.diversity_sample). Output pins the kept-id "
+    "list per cluster, so the driver value-hash checks the SELECTION, "
+    "not just counts. Oracle: the unrolled Lloyd's CTE chain + the same "
+    "two ranking windows.",
+    tags=("sampling", "similarity", "clustering", "training-data",
+          "iterative"),
+)
+def diversity_sample_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.clustering import (
+        diversity_sample, kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, assigned = kmeans(emb, k=8, n_iterations=3)
+    kept = diversity_sample(assigned, per_cluster=10)
+    return kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.sort_array(F.collect_list("vec_id")).cast("array<string>"), ","
+        ).alias("members"),
+        F.round(F.max("dist_sq"), 6).alias("radius_sq"),
+    )

