@@ -1506,3 +1506,44 @@ def test_interval_join_property_random_mixed(spark):
         assert got == naive
 
     prop()
+
+
+def test_phrases_majority_maxby_equals_window_formulation(spark):
+    """Randomized equivalence check for the phrases_demo rewrite: over a
+    per-(phrase, source) count table, the strict-majority filter computed
+    via groupBy(phrase) + sum/max/max_by must equal the window-total
+    formulation row-for-row. The algebraic argument: if n*2 > total then
+    n is the UNIQUE per-phrase maximum (a tie at max n means total >= 2n),
+    so max_by picks exactly the majority source and tied groups never
+    pass the filter."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = []
+    for p in range(120):
+        for s in range(rng.randint(1, 5)):
+            rows.append((f"p{p}", f"s{s}", rng.randint(1, 6)))
+    counts = spark.createDataFrame(rows, "phrase string, source string, n long")
+
+    total_w = F.sum("n").over(Window.partitionBy("phrase"))
+    via_window = (
+        counts.withColumn("total", total_w)
+        .filter((F.col("total") >= 3) & (F.col("n") * 2 > F.col("total")))
+        .select("phrase", "source", "n", "total")
+    )
+    via_maxby = (
+        counts.groupBy("phrase")
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("n"),
+            F.max_by("source", "n").alias("source"),
+        )
+        .filter((F.col("total") >= 3) & (F.col("n") * 2 > F.col("total")))
+        .select("phrase", "source", "n", "total")
+    )
+    a = {tuple(r) for r in via_window.collect()}
+    b = {tuple(r) for r in via_maxby.collect()}
+    assert a == b and len(a) > 0
