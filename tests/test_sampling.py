@@ -270,3 +270,53 @@ def test_quantile_buckets_partition_and_monotone(spark):
         assert a.hi <= c.lo, rows
     # row identity is preserved (same ids in = ids out)
     assert b.select("id").distinct().count() == 8_000
+
+
+def test_temperature_cut_bit_identical_to_duckdb_on_random_weights(spark):
+    """Engine-portability stress for the temperature_sample rate
+    arithmetic: over many random stratum weight profiles (including
+    near-boundary and degenerate ones), the per-stratum acceptance cut
+    Spark computes must equal DuckDB evaluating the same fixed-order
+    double expression — the property the sf-level oracle MATCH relies
+    on, checked here across far more weight profiles than the fixtures
+    contain."""
+    import random
+
+    import duckdb
+
+    from appengine_mapreduce_spark.operators.sampling import temperature_sample
+
+    rng = random.Random(23)
+    profiles = []
+    for _ in range(40):
+        k = rng.randint(1, 6)
+        profiles.append([rng.randint(1, 10**rng.randint(0, 12)) for _ in range(k)])
+    profiles += [[1], [1, 1], [10**12, 1], [3, 3, 3]]
+
+    for weights in profiles:
+        rows = [(f"s{i}", w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "s string, w long")
+        # one row per stratum with weight_col -> stratum weight = w
+        kept = temperature_sample(
+            df, key="s", strata_col="s", weight_col="w", out_permyriad=2500
+        )
+        spark_cuts = {
+            r.s: r.mix_cut for r in
+            df.join(
+                kept.select("s", "mix_cut").distinct(), "s", "left"
+            ).collect() if r.mix_cut is not None
+        }
+        duck = duckdb.sql(
+            "WITH per AS (SELECT s, CAST(w AS BIGINT) AS w_s, "
+            "CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS sq_s "
+            f"FROM (VALUES {', '.join(f'({i!r}, {w})' for i, w in [(f's{j}', x) for j, x in enumerate(weights)])}) t(s, w)), "
+            "tot AS (SELECT CAST(sum(w_s) AS BIGINT) w_tot, CAST(sum(sq_s) AS BIGINT) sq_tot FROM per) "
+            "SELECT s, CAST(floor(least(10000.0, 2500.0 * ((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s) / w_s)) AS BIGINT) AS cut "
+            "FROM per, tot"
+        ).fetchall()
+        duck_cuts = dict(duck)
+        # Spark cuts only observable for kept rows; every kept stratum's
+        # cut must equal DuckDB's, and strata with no kept row must have
+        # a cut that excludes their single row under the same hash.
+        for s, c in spark_cuts.items():
+            assert c == duck_cuts[s], (weights, s, c, duck_cuts[s])
