@@ -405,6 +405,65 @@ def ngram_contamination(
     )
 
 
+def eval_contamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-integrity report — the REVERSE direction of
+    :func:`ngram_contamination`: for every EVAL document, how much of it
+    leaked into the training corpus. Decontamination drops train docs;
+    this tells the eval owner which benchmark items are compromised
+    (and should be pruned or down-weighted when scoring).
+
+    Returns one row per eval doc with ≥1 n-gram: (id, n_grams, n_leaked
+    distinct grams found anywhere in train, n_train_docs sharing ≥1
+    gram, leak_fraction = n_leaked/n_grams). Eval docs shorter than n
+    tokens have no n-grams and are omitted. leak_fraction divides two
+    integers — bit-identical across engines, no rounding needed.
+
+    Scale shape: train reduces to DISTINCT (doc, gram) pairs (one hash
+    aggregation); the eval side is benchmark-sized, so its gram set
+    broadcasts and the corpus never shuffles.
+    """
+    eval_grams = (
+        eval_set.select(
+            F.col(id_col).alias("_eid"),
+            nonempty_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select("_eid", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
+        .distinct()
+    )
+    eval_sizes = eval_grams.groupBy("_eid").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    train_grams = (
+        ensure_parallelism(train)
+        .select(
+            F.col(id_col).alias("_tid"),
+            nonempty_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select("_tid", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
+        .distinct()
+    )
+    hits = eval_grams.join(train_grams, "gram")
+    per_eval = hits.groupBy("_eid").agg(
+        F.count_distinct("gram").alias("_n_leaked"),
+        F.count_distinct("_tid").alias("_n_train_docs"),
+    )
+    return eval_sizes.join(per_eval, "_eid", "left").select(
+        F.col("_eid").alias(id_col),
+        "n_grams",
+        F.coalesce(F.col("_n_leaked"), F.lit(0)).alias("n_leaked"),
+        F.coalesce(F.col("_n_train_docs"), F.lit(0)).alias("n_train_docs"),
+        (F.coalesce(F.col("_n_leaked"), F.lit(0)) / F.col("n_grams")).alias(
+            "leak_fraction"
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -558,3 +558,110 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality"), 6).alias("min_q"),
         F.round(F.max("quality"), 6).alias("max_q"),
     )
+
+
+@register(
+    "eval_contamination_report",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len({_TOKS}) - 4),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')))
+                   AS gram
+            FROM documents
+        ),
+        eval_g AS (SELECT DISTINCT doc_id AS eid, gram FROM grams
+                   WHERE doc_id < 100),
+        train_g AS (SELECT DISTINCT doc_id AS tid, gram FROM grams
+                    WHERE doc_id >= 100),
+        sizes AS (SELECT eid, count(*) AS n_grams FROM eval_g GROUP BY eid),
+        hits AS (SELECT eid, e.gram, tid
+                 FROM eval_g e JOIN train_g t USING (gram)),
+        per_eval AS (
+            SELECT eid, count(DISTINCT gram) AS n_leaked,
+                   count(DISTINCT tid) AS n_train_docs
+            FROM hits GROUP BY eid
+        )
+        SELECT s.eid AS doc_id, s.n_grams,
+               coalesce(p.n_leaked, 0) AS n_leaked,
+               coalesce(p.n_train_docs, 0) AS n_train_docs,
+               coalesce(p.n_leaked, 0) / s.n_grams AS leak_fraction
+        FROM sizes s LEFT JOIN per_eval p ON s.eid = p.eid
+    """,
+    description="Benchmark-integrity report — the reverse direction of "
+    "decontaminate_overlap: for every EVAL document (doc_id < 100), how "
+    "much of it leaked into the training corpus — distinct leaked "
+    "5-grams, distinct contaminated train docs, and leak_fraction "
+    "(integer division: bit-identical, unrounded) "
+    "(operators/text_analysis.eval_contamination_report). Eval owners "
+    "prune or down-weight compromised items; decontamination alone only "
+    "fixes the train side. Train reduces to distinct (doc, gram) pairs; "
+    "the benchmark-sized eval gram set broadcasts at scale.",
+    tags=("pipeline", "training-data", "text", "scalar-cross"),
+)
+def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        eval_contamination_report as _report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return _report(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        n=5,
+    )
+
+
+@register(
+    "packing_efficiency_stats",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, lang, len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / 512.0) AS BIGINT) AS bin
+            FROM sized
+        ),
+        bins AS (
+            SELECT lang, bin, CAST(sum(n_tokens) AS BIGINT) AS fill
+            FROM binned GROUP BY lang, bin
+        )
+        SELECT lang, count(*) AS n_bins,
+               CAST(sum(fill) AS BIGINT) AS total_tokens,
+               round(avg(fill / 512.0), 6) AS mean_fill,
+               CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS overshoot_bins
+        FROM bins GROUP BY lang
+    """,
+    description="Packing observability: per-language bin utilization of "
+    "token_budget_packing's 512-token bins — bin count, mean fill ratio "
+    "(can exceed 1: the cumsum chunker overshoots by at most one doc, "
+    "documented), and how many bins overshot. The number a pipeline "
+    "owner reads to tune the context-window budget. Same cumsum plan as "
+    "the packing query + one more model-sized rollup; mean_fill rounds "
+    "6dp to absorb summation-order ulps in the avg.",
+    tags=("pipeline", "training-data", "window"),
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.functions.text import nonempty_tokens
+    from appengine_mapreduce_spark.operators.sampling import pack_by_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(nonempty_tokens(F.col("text"))).alias("n_tokens")
+    )
+    binned = pack_by_token_budget(
+        docs, tokens_col="n_tokens", budget=512,
+        order_col="doc_id", partition_col="lang",
+    )
+    bins = binned.groupBy("lang", "bin").agg(F.sum("n_tokens").alias("fill"))
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(F.avg(F.col("fill") / F.lit(512.0)), 6).alias("mean_fill"),
+        F.sum(F.when(F.col("fill") > 512, 1).otherwise(0)).alias("overshoot_bins"),
+    )

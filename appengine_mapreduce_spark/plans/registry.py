@@ -73,8 +73,10 @@ _CURATED_FIRST: tuple[str, ...] = (
     # and the rows-only originals keep their driver rows-only rows,
     # each description pointing at its witness:
     "approx_distinct_parts", "mergeable_sketches",
-    # ---- round-7 additions (new operators this round):
-    "incident_click_attribution_adaptive", "adpcm_stereo_features",
+    # ---- round-7 additions (new operators that round; two rotated OUT
+    # of the window in round 11 — incident_click_attribution_adaptive and
+    # adpcm_stereo_features, both freshly witnessed in CORRECTNESS_r10 —
+    # to make room for the late round-11 additions below):
     "bpe_encode_segments", "bloom_incremental_dedup_stats",
     "ivfadc_topk", "crosscorpus_neardup_candidates",
     "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
@@ -89,6 +91,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
     "hard_negatives_topk", "temperature_mixture_sample",
     "curriculum_quality_buckets", "diversity_sample_clusters",
+    "eval_contamination_report", "packing_efficiency_stats",
     # NOTE on rotation (VERDICT r10 ask #7 asked for 2-3 refreshed stale
     # witnesses): the late round-11 additions above filled the window to
     # exactly 50, displacing the q10/tfidf rotation slots per the stated

@@ -320,3 +320,38 @@ def test_temperature_cut_bit_identical_to_duckdb_on_random_weights(spark):
         # a cut that excludes their single row under the same hash.
         for s, c in spark_cuts.items():
             assert c == duck_cuts[s], (weights, s, c, duck_cuts[s])
+
+
+def test_eval_contamination_report_planted(spark):
+    """Reverse-direction contamination: per-EVAL-doc leak accounting
+    (n_grams / n_leaked / n_train_docs / leak_fraction), including a
+    fully-clean eval doc (zero row present, not omitted) and a doc
+    shorter than n (no n-grams: omitted)."""
+    from appengine_mapreduce_spark.operators.text_analysis import (
+        eval_contamination_report,
+    )
+
+    eval_set = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # 2 5-grams
+            (1, "one two three four five"),               # 1 5-gram, clean
+            (2, "tiny"),                                  # < n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "xx alpha beta gamma delta epsilon yy"),  # leaks gram 1 of doc 0
+            (11, "zz alpha beta gamma delta epsilon ww"),  # same gram, 2nd doc
+            (12, "nothing shared with anything here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_leaked, r.n_train_docs, r.leak_fraction)
+        for r in eval_contamination_report(train, eval_set, n=5).collect()
+    }
+    assert got == {
+        0: (2, 1, 2, 0.5),   # 1 of 2 grams leaked, into 2 train docs
+        1: (1, 0, 0, 0.0),   # clean eval doc still reported
+    }
