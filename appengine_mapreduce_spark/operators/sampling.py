@@ -178,6 +178,46 @@ def mix_to_target(
     )
 
 
+def _alpha_weight(w: Column, alpha: float) -> Column:
+    """w**alpha for alpha ∈ {0.25, 0.5, 0.75} as a composition of IEEE
+    correctly-rounded operations only — sqrt and multiply — so the value
+    is bit-identical across engines (Spark and DuckDB both delegate to
+    the platform's IEEE-754 double sqrt/*):
+
+    - 0.25: sqrt(sqrt(w))
+    - 0.5 : sqrt(w)
+    - 0.75: sqrt(w) * sqrt(sqrt(w))
+
+    The composed results are NOT correctly-rounded w**alpha (each step
+    rounds), but they are the SAME deterministic function of w in every
+    IEEE engine — which is what oracle replay needs. ``pow`` would give
+    a closer w**alpha but its last-ulp behavior is libm-specific, hence
+    banned here.
+    """
+    if alpha == 0.5:
+        return F.sqrt(w)
+    if alpha == 0.25:
+        return F.sqrt(F.sqrt(w))
+    if alpha == 0.75:
+        return F.sqrt(w) * F.sqrt(F.sqrt(w))
+    raise ValueError(
+        f"alpha={alpha!r} not portable: only {{0.25, 0.5, 0.75}} compose "
+        "from correctly-rounded sqrt/multiply; arbitrary alpha needs pow, "
+        "whose last-ulp behavior differs between engines"
+    )
+
+
+def alpha_weight_sql(expr: str, alpha: float) -> str:
+    """The DuckDB mirror of :func:`_alpha_weight` — keep in lockstep."""
+    if alpha == 0.5:
+        return f"sqrt({expr})"
+    if alpha == 0.25:
+        return f"sqrt(sqrt({expr}))"
+    if alpha == 0.75:
+        return f"(sqrt({expr}) * sqrt(sqrt({expr})))"
+    raise ValueError(f"unsupported alpha {alpha!r}")
+
+
 def temperature_sample(
     df: DataFrame,
     key: str,
@@ -185,43 +225,75 @@ def temperature_sample(
     weight_col: str | None = None,
     out_permyriad: int = 2500,
     salt: str = "temp",
+    alpha: float = 0.5,
 ) -> DataFrame:
-    """Temperature-based mixture resampling at alpha = 0.5: kept weight
-    per stratum is proportional to sqrt(natural weight) — the standard
+    """Temperature-based mixture resampling: kept weight per stratum is
+    proportional to (natural weight)**alpha — the standard
     multilingual-pretraining knob that interpolates between the natural
     mix (alpha=1) and uniform (alpha=0), boosting rare languages without
     flattening the corpus. ``mix_to_target`` needs the mix stated up
     front; here the rates are DERIVED from the measured per-stratum
     weights entirely in-plan (no driver-side collect).
 
-    alpha is fixed at 0.5 because IEEE-754 ``sqrt`` is correctly rounded
-    and therefore bit-identical across engines — the derived cut replays
-    exactly in the DuckDB oracle. (Arbitrary alpha needs ``pow``, whose
-    last-ulp behavior is not portable.) All inputs to the double-valued
-    rate expression are integers < 2^53 (exact as doubles) and the
-    expression order is fixed, so every intermediate is deterministic.
+    alpha is restricted to {0.25, 0.5, 0.75} — the exponents expressible
+    as compositions of IEEE-754 correctly-rounded ``sqrt``/multiply
+    (see :func:`_alpha_weight`) and therefore bit-identical across
+    engines, so the derived cut replays exactly in the DuckDB oracle.
+    (Arbitrary alpha needs ``pow``, whose last-ulp behavior is not
+    portable.) All inputs to the double-valued rate expression are
+    integers < 2^53 (exact as doubles) and the expression order is
+    fixed, so every intermediate is deterministic.
 
     ``weight_col`` weighs strata by a size column (tokens/chars) instead
     of row count; ``out_permyriad`` is the target output weight as a
     share of the input in 1/10000 units. Rows keep a ``mix_cut`` column
     (the per-stratum acceptance cut, for auditing). Oversubscribed rare
-    strata cap at rate 1.0.
+    strata cap at rate 1.0. Strata whose total weight is NOT positive
+    (possible only with ``weight_col``: zero or negative weight sums)
+    are DROPPED — a zero-weight stratum has zero share of any
+    temperature mixture, and filtering it keeps the rate expression
+    NaN-free (previously 0**alpha/0 produced NaN and ``least`` quirks
+    kept such strata in full — surprising and now explicitly ruled out).
 
     At 100 TB: one stratum-count aggregate (model-sized), one broadcast
     join, a row-local hash filter — the corpus never shuffles.
     """
+    rates = temperature_rates(
+        df, strata_col, weight_col=weight_col,
+        out_permyriad=out_permyriad, alpha=alpha,
+    )
+    joined = df.join(F.broadcast(rates), strata_col, "left")
+    return joined.filter(
+        sample_bucket(F.col(key), salt) < F.coalesce(F.col("mix_cut"), F.lit(0))
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str | None = None,
+    out_permyriad: int = 2500,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The per-stratum acceptance cuts :func:`temperature_sample` applies:
+    (strata_col, ``mix_cut``), one row per positive-weight stratum —
+    exposed separately so audits and tests can read the cut of EVERY
+    stratum, including strata whose every row the sample excludes
+    (the kept rows' ``mix_cut`` column shows cuts for kept strata only).
+    """
     w = (F.count(F.lit(1)) if weight_col is None
          else F.sum(weight_col)).cast("bigint")
-    per = df.groupBy(strata_col).agg(w.alias("_w_s"))
+    per = df.groupBy(strata_col).agg(w.alias("_w_s")).filter(F.col("_w_s") > 0)
     per = per.withColumn(
-        "_sq_s", F.floor(F.sqrt(F.col("_w_s").cast("double"))).cast("bigint")
+        "_sq_s",
+        F.floor(_alpha_weight(F.col("_w_s").cast("double"), alpha)).cast("bigint"),
     )
     tot = per.agg(
         F.sum("_w_s").alias("_w_tot"), F.sum("_sq_s").alias("_sq_tot")
     )
     # rate/10000 = out_permyriad/10000 * (w_tot/sq_tot) * sq_s / w_s:
     # expected kept weight = out share of total; per-stratum kept weight
-    # proportional to sqrt(w_s). Fixed parenthesization, mirrored in SQL.
+    # proportional to w_s**alpha. Fixed parenthesization, mirrored in SQL.
     cut = F.floor(
         F.least(
             F.lit(10000.0),
@@ -230,15 +302,62 @@ def temperature_sample(
             / F.col("_w_s"),
         )
     ).cast("bigint")
-    rates = (
+    return (
         per.crossJoin(F.broadcast(tot))
         .withColumn("mix_cut", cut)
         .select(strata_col, "mix_cut")
     )
-    joined = df.join(F.broadcast(rates), strata_col, "left")
-    return joined.filter(
-        sample_bucket(F.col(key), salt) < F.coalesce(F.col("mix_cut"), F.lit(0))
+
+
+def epoch_repeat(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    epochs_permyriad: dict[str, int],
+    default_permyriad: int = 10000,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize a data recipe with per-stratum EPOCH REPETITION —
+    the standard pretraining mixing step that up-weights rare
+    high-quality sources by repeating them (possibly a fractional
+    number of epochs) while the bulk corpus passes through once.
+
+    ``epochs_permyriad`` maps stratum → target epochs in 1/10000 units
+    (25000 = 2.5 epochs). Each row is emitted ``floor(e)`` times, plus
+    one more iff ``stable_hash32(key, salt) % 10000 < frac(e)·10000`` —
+    so a 2.5-epoch stratum repeats every doc twice and a reproducible,
+    engine-portable half of its docs a third time. Output rows carry an
+    ``epoch`` column (1..n); a stratum at 0 epochs (or below its
+    fractional cut) disappears. Deterministic: same key → same repeat
+    count, any run, any engine, any partitioning.
+
+    At 100 TB: the repeat count is a row-local expression (a CASE over
+    the model-sized recipe + one hash compare) and the multiplication is
+    a generator (``explode``) inside the scan stage — no shuffle, no
+    broadcast beyond the recipe literals. Downstream global_shuffle /
+    pack_by_token_budget treat (key, epoch) as the new row identity.
+    """
+    tp = None
+    for stratum, permyriad in sorted(epochs_permyriad.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(int(permyriad)))
+        tp = branch if tp is None else tp.when(
+            F.col(strata_col) == stratum, F.lit(int(permyriad))
+        )
+    tp = (tp.otherwise(F.lit(int(default_permyriad)))
+          if tp is not None else F.lit(int(default_permyriad)))
+    n_full = (tp / F.lit(10000)).cast("int")
+    frac_cut = tp % F.lit(10000)
+    extra = F.when(
+        sample_bucket(F.col(key), salt) < frac_cut, F.lit(1)
+    ).otherwise(F.lit(0))
+    n = (n_full + extra).alias("_n_epochs")
+    # sequence(1, 0) would DESCEND in Spark — guard zero-repeat rows to
+    # an empty array so explode drops them (DuckDB generate_series(1,0)
+    # is empty, so the guard keeps the engines aligned).
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
     )
+    return df.withColumn("epoch", F.explode(seq))
 
 
 def quantile_buckets(
@@ -260,6 +379,12 @@ def quantile_buckets(
     engines. The global-window alternative (``ntile``) funnels the whole
     corpus through one partition; this shape is one scalar aggregate +
     a broadcast, valid at any scale.
+
+    NULL scores get a NULL bucket (they are also invisible to the cuts:
+    ``F.percentile`` ignores nulls, matching DuckDB ``quantile_cont``).
+    Previously a NULL score silently landed in bucket 1 — ``NULL > cut``
+    is NULL so every branch contributed 0 — which misfiled unscored rows
+    as lowest-tier; NULL-in, NULL-out makes them explicit to callers.
     """
     cut_cols = [
         F.round(F.percentile(score_col, p), round_dp).alias(f"_qcut{i}")
@@ -270,6 +395,7 @@ def quantile_buckets(
     b: Column = F.lit(1)
     for i in range(len(probs)):
         b = b + F.when(F.col(score_col) > F.col(f"_qcut{i}"), 1).otherwise(0)
+    b = F.when(F.col(score_col).isNull(), F.lit(None)).otherwise(b)
     return out.withColumn(bucket_col, b.cast("int")).drop(
         *[f"_qcut{i}" for i in range(len(probs))]
     )

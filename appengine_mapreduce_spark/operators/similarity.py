@@ -138,6 +138,62 @@ def adaptive_sign_bucket(
     )
 
 
+def two_sided_adaptive_bucket(
+    corpus: DataFrame,
+    queries: DataFrame,
+    base_bits: int = 6,
+    extra_bits: int = 4,
+    max_bucket_size: int = 64,
+    corpus_vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    out_col: str = "_b",
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-driven adaptive sign-LSH bucketing for TWO-SIDED shapes
+    (batch ANN, hard-negative mining): hot base buckets — more than
+    ``max_bucket_size`` CORPUS rows — sub-split to ``base_bits +
+    extra_bits`` buckets, and BOTH sides apply the SAME corpus-derived
+    hot set, so a query and a corpus vector that agree on every sign bit
+    always cohabit (hot → same extended id, cold → same base id; the
+    +2^(base+extra) offset keeps the id spaces disjoint).
+
+    This is the fix for the fixed-bucket quadratic round 5 measured on
+    semantic dedup (exponent 1.45): with fixed bits, 10× corpus means
+    10× rows per bucket, and a corpus-scale query set (mining negatives
+    for EVERY training example) makes each bucket's block join 100×.
+    Sub-splitting bounds per-bucket blocks by ~max(bucket)·2^-extra.
+
+    The hot set is an aggregation over just the corpus bucket id
+    (column-pruned scan) with at most 2^base_bits output rows —
+    broadcast to both sides; neither side shuffles for the assignment.
+    """
+    b0c = sign_bucket(F.col(corpus_vec_col), base_bits)
+    b1c = sign_bucket(F.col(corpus_vec_col), base_bits + extra_bits)
+    ctag = corpus.withColumn("_b0", b0c).withColumn("_b1", b1c)
+    hot = (
+        ctag.groupBy("_b0").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_bucket_size)
+        .withColumn("_hot", F.lit(True))
+        .select("_b0", "_hot")
+    )
+    offset = F.lit(1 << (base_bits + extra_bits)).cast("bigint")
+
+    def _assign(tagged: DataFrame) -> DataFrame:
+        return (
+            tagged.join(F.broadcast(hot), "_b0", "left")
+            .withColumn(
+                out_col,
+                F.when(F.col("_hot"), F.col("_b1") + offset)
+                .otherwise(F.col("_b0")),
+            )
+            .drop("_b0", "_b1", "_hot")
+        )
+
+    b0q = sign_bucket(F.col(query_vec_col), base_bits)
+    b1q = sign_bucket(F.col(query_vec_col), base_bits + extra_bits)
+    qtag = queries.withColumn("_b0", b0q).withColumn("_b1", b1q)
+    return _assign(ctag), _assign(qtag)
+
+
 def sign_lsh_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,6 +202,8 @@ def sign_lsh_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    extra_bits: int = 0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Batch ANN: top-k cosine neighbors for EVERY query vector at once —
     the serving/corpus-join shape (k-NN graph construction, batched
@@ -158,17 +216,34 @@ def sign_lsh_batch_topk(
     benchmark-sized, so AQE broadcasts it and the corpus never shuffles;
     recall follows the single-probe sign-LSH semantics (raise with fewer
     bits or by unioning bit-flip probes).
+
+    With ``extra_bits > 0`` and a ``max_bucket_size``, hot buckets
+    sub-split via :func:`two_sided_adaptive_bucket` (corpus-driven hot
+    set applied to both sides) — REQUIRED at corpus scale: fixed buckets
+    grow linearly with the corpus, so per-bucket blocks grow
+    quadratically when the query side scales too.
     """
     from pyspark.sql import Window
 
-    cb = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-    )
-    qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-    )
+    if extra_bits > 0 and max_bucket_size is not None:
+        c_in = corpus.select(F.col(id_col), F.col(vec_col))
+        q_in = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        )
+        cb, qb = two_sided_adaptive_bucket(
+            c_in, q_in, base_bits=num_bits, extra_bits=extra_bits,
+            max_bucket_size=max_bucket_size,
+            corpus_vec_col=vec_col, query_vec_col="_qv",
+        )
+    else:
+        cb = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+        )
+        qb = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv"),
+            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+        )
     scored = cb.join(qb, "_b").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -193,6 +268,8 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    extra_bits: int = 0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for EVERY query
     vector, the top-``k`` most-cosine-similar corpus vectors that are
@@ -205,17 +282,36 @@ def hard_negative_topk(
     BEFORE the per-query ranking window — so a positive never consumes
     one of the k negative slots. ``positives`` is (query_id_col,
     id_col) pairs; at scale it is training-label-sized (≪ corpus) and
-    broadcasts. Output: (query_id, vec_id, cosine, rank 1..k)."""
+    broadcasts. Output: (query_id, vec_id, cosine, rank 1..k).
+
+    Pass ``extra_bits``/``max_bucket_size`` to sub-split hot buckets
+    via :func:`two_sided_adaptive_bucket` (corpus-driven hot set on
+    BOTH sides) — REQUIRED when mining negatives for every training
+    example (queries ≈ corpus): fixed buckets grow linearly with the
+    corpus, so per-bucket blocks grow quadratically — the exact shape
+    round 5 measured superlinear (exponent 1.45) on semantic dedup
+    before adaptive splitting."""
     from pyspark.sql import Window
 
-    cb = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-    )
-    qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-    )
+    if extra_bits > 0 and max_bucket_size is not None:
+        c_in = corpus.select(F.col(id_col), F.col(vec_col))
+        q_in = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        )
+        cb, qb = two_sided_adaptive_bucket(
+            c_in, q_in, base_bits=num_bits, extra_bits=extra_bits,
+            max_bucket_size=max_bucket_size,
+            corpus_vec_col=vec_col, query_vec_col="_qv",
+        )
+    else:
+        cb = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+        )
+        qb = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv"),
+            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+        )
     scored = cb.join(qb, "_b").select(
         F.col(query_id_col),
         F.col(id_col),

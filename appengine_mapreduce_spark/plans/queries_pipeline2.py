@@ -458,6 +458,46 @@ _TEMP_HASH = (
 )
 
 
+def _temperature_oracle(alpha: float, out_permyriad: int, salt: str) -> str:
+    """DuckDB replay of operators/sampling.temperature_sample at the
+    given alpha — the exponent built ONLY from correctly-rounded
+    sqrt/multiply (alpha_weight_sql, kept in lockstep with the Spark
+    _alpha_weight), so the derived cut is bit-identical across engines.
+    The ``HAVING w_s > 0`` mirrors the Spark side's non-positive-weight
+    stratum drop (documents.n_chars is always positive, so this is
+    lockstep documentation rather than a live branch here)."""
+    from appengine_mapreduce_spark.operators.sampling import alpha_weight_sql
+
+    aw = alpha_weight_sql("CAST(sum(n_chars) AS DOUBLE)", alpha)
+    hash_sql = (
+        f"('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT"
+    )
+    return f"""
+        WITH per AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_s,
+                   CAST(floor({aw}) AS BIGINT) AS sq_s
+            FROM documents GROUP BY lang
+            HAVING sum(n_chars) > 0
+        ),
+        tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+                       CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM per),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(least(10000.0,
+                        {float(out_permyriad)} * ((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s)
+                               / w_s)) AS BIGINT) AS cut
+            FROM per, tot
+        )
+        SELECT lang, cut AS cut_permyriad, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(doc_id) AS first_doc
+        FROM documents JOIN rates USING (lang)
+        WHERE {hash_sql} % 10000 < cut
+        GROUP BY lang, cut
+    """
+
+
 @register(
     "temperature_mixture_sample",
     oracle=f"""
@@ -466,6 +506,7 @@ _TEMP_HASH = (
                    CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
                        AS sq_s
             FROM documents GROUP BY lang
+            HAVING sum(n_chars) > 0
         ),
         tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
                        CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM per),
@@ -506,6 +547,116 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", F.col("mix_cut").alias("cut_permyriad")).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _temperature_query(alpha: float, out_permyriad: int, salt: str):
+    def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from appengine_mapreduce_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        kept = temperature_sample(
+            docs, key="doc_id", strata_col="lang", weight_col="n_chars",
+            out_permyriad=out_permyriad, salt=salt, alpha=alpha,
+        )
+        return kept.groupBy(
+            "lang", F.col("mix_cut").alias("cut_permyriad")
+        ).agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+
+    return _fn
+
+
+register(
+    "temperature_mixture_alpha25",
+    oracle=_temperature_oracle(0.25, 2500, "temp25"),
+    description="Temperature mixture resampling at alpha = 0.25 — a "
+    "flatter (closer-to-uniform) language mix than the alpha=0.5 "
+    "headline: kept weight per language proportional to n_chars**0.25, "
+    "computed as sqrt(sqrt(w)) so the exponent composes ONLY from IEEE "
+    "correctly-rounded sqrt (operators/sampling._alpha_weight) and the "
+    "derived cut replays bit-exactly in DuckDB. Same scale shape as "
+    "temperature_mixture_sample: one stratum aggregate + broadcast rate "
+    "join + row-local md5 acceptance; the corpus never shuffles.",
+    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
+)(_temperature_query(0.25, 2500, "temp25"))
+
+
+register(
+    "temperature_mixture_alpha75",
+    oracle=_temperature_oracle(0.75, 2500, "temp75"),
+    description="Temperature mixture resampling at alpha = 0.75 — closer "
+    "to the natural mix than the alpha=0.5 headline: kept weight per "
+    "language proportional to n_chars**0.75, computed as "
+    "sqrt(w)*sqrt(sqrt(w)) — sqrt and multiply are both IEEE "
+    "correctly-rounded, so the composition is the same deterministic "
+    "function of w in both engines and the derived cut replays "
+    "bit-exactly (operators/sampling._alpha_weight / alpha_weight_sql). "
+    "One stratum aggregate + broadcast rate join + row-local md5 "
+    "acceptance; the corpus never shuffles.",
+    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
+)(_temperature_query(0.75, 2500, "temp75"))
+
+
+_EPOCH_HASH = (
+    "('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+@register(
+    "epoch_repeat_mixture",
+    oracle=f"""
+        WITH rep AS (
+            SELECT doc_id, lang, n_chars,
+                   (tp // 10000) + (CASE WHEN {_EPOCH_HASH} % 10000 < tp % 10000
+                                    THEN 1 ELSE 0 END) AS n
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                       (CASE lang WHEN 'fr' THEN 25000 WHEN 'zh' THEN 5000
+                                  WHEN 'de' THEN 0 ELSE 10000 END) AS tp
+                FROM documents
+            )
+        ),
+        exploded AS (
+            SELECT lang, n_chars, doc_id,
+                   CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+            FROM rep WHERE n >= 1
+        )
+        SELECT lang, epoch, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS first_doc
+        FROM exploded GROUP BY lang, epoch
+    """,
+    description="Data-recipe EPOCH REPETITION "
+    "(operators/sampling.epoch_repeat): materialize a pretraining mix "
+    "where rare high-quality sources repeat — fr at 2.5 epochs (twice "
+    "plus a reproducible hash-chosen half a third time), zh subsampled "
+    "to 0.5, de dropped, the rest one epoch. The repeat count is a "
+    "row-local CASE + one hash compare and the multiplication is an "
+    "explode generator inside the scan stage — no shuffle, no corpus "
+    "broadcast, deterministic on any engine/partitioning (DuckDB "
+    "replays via generate_series). Output keyed (doc_id, epoch) for "
+    "downstream global_shuffle / packing.",
+    tags=("sampling", "training-data", "pipeline"),
+)
+def epoch_repeat_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.sampling import epoch_repeat
+
+    docs = load(spark, sf_dir, "documents")
+    repeated = epoch_repeat(
+        docs, key="doc_id", strata_col="lang",
+        epochs_permyriad={"fr": 25000, "zh": 5000, "de": 0},
+        default_permyriad=10000, salt="epoch",
+    )
+    return repeated.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
 

@@ -208,20 +208,46 @@ _BATCH_BUCKET = "(" + " + ".join(
     for i in range(_BBITS)
 ) + ")"
 
+# Adaptive two-sided bucketing (round 12, VERDICT r11 ask #3): hot base
+# buckets (> _MAXB corpus rows) sub-split to _BBITS + _XTRA bits; BOTH
+# sides apply the corpus-derived hot set, mirroring
+# operators/similarity.two_sided_adaptive_bucket. _MAXB = 10 is below
+# the sf0.01 max bucket occupancy (15), so the sf0.01 driver gate
+# exercises the hot-split branch, not just the cold path.
+_XTRA = 4
+_MAXB = 10
+_BATCH_BUCKET_X = "(" + " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(_BBITS + _XTRA)
+) + ")"
+_ADAPT_HOT_CTE = f"""hot AS (
+            SELECT {_BATCH_BUCKET.format(v="embedding")} AS b0
+            FROM embeddings GROUP BY 1 HAVING count(*) > {_MAXB}
+        )"""
+
+
+def _adapt_bucket_sql(v: str) -> str:
+    return (
+        f"(CASE WHEN {_BATCH_BUCKET.format(v=v)} IN (SELECT b0 FROM hot) "
+        f"THEN {_BATCH_BUCKET_X.format(v=v)} + {1 << (_BBITS + _XTRA)}::BIGINT "
+        f"ELSE {_BATCH_BUCKET.format(v=v)} END)"
+    )
+
 
 @register(
     "batch_ann_topk",
     oracle=f"""
-        WITH qs AS (
+        WITH {_ADAPT_HOT_CTE},
+        qs AS (
             SELECT vec_id AS query_id, embedding AS qv,
-                   {_BATCH_BUCKET.format(v="embedding")} AS qb
+                   {_adapt_bucket_sql("embedding")} AS qb
             FROM embeddings WHERE vec_id < 10
         ),
         scored AS (
             SELECT query_id, vec_id,
                    round({_cos_sql("embedding", "qv")}, 6) AS cosine
             FROM embeddings JOIN qs
-              ON {_BATCH_BUCKET.format(v="embedding")} = qb
+              ON {_adapt_bucket_sql("embedding")} = qb
         )
         SELECT query_id, vec_id, cosine FROM (
             SELECT query_id, vec_id, cosine,
@@ -234,7 +260,11 @@ _BATCH_BUCKET = "(" + " + ".join(
     "plan (k-NN graph / batched retrieval shape): sign-LSH bucket equi-join "
     "replaces the corpus × queries cross product with per-bucket blocks, "
     "then one per-query ranking window "
-    "(operators/similarity.sign_lsh_batch_topk). The query side is "
+    "(operators/similarity.sign_lsh_batch_topk). Hot buckets sub-split "
+    "adaptively with a corpus-driven hot set applied to BOTH sides "
+    "(two_sided_adaptive_bucket), so per-bucket blocks stay bounded even "
+    "when the query side scales with the corpus — fixed buckets would "
+    "grow candidate pairs quadratically. The query side is "
     "benchmark-sized so at scale it broadcasts and the corpus never "
     "shuffles for the join.",
     tags=("similarity", "ann", "lsh", "batch"),
@@ -246,15 +276,19 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sign_lsh_batch_topk(emb, queries, k=3, num_bits=_BBITS)
+    return sign_lsh_batch_topk(
+        emb, queries, k=3, num_bits=_BBITS,
+        extra_bits=_XTRA, max_bucket_size=_MAXB,
+    )
 
 
 @register(
     "hard_negatives_topk",
     oracle=f"""
-        WITH qs AS (
+        WITH {_ADAPT_HOT_CTE},
+        qs AS (
             SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
-                   {_BATCH_BUCKET.format(v="embedding")} AS qb
+                   {_adapt_bucket_sql("embedding")} AS qb
             FROM embeddings WHERE vec_id < 10
         ),
         pos AS (  -- known positives: itself + every same-label bucket-mate
@@ -265,7 +299,7 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT query_id, vec_id,
                    round({_cos_sql("embedding", "qv")}, 6) AS cosine
             FROM embeddings JOIN qs
-              ON {_BATCH_BUCKET.format(v="embedding")} = qb
+              ON {_adapt_bucket_sql("embedding")} = qb
         ),
         negs AS (
             SELECT s.* FROM scored s
@@ -284,7 +318,11 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.hard_negative_topk): per query vector, the "
     "top-3 most-similar corpus vectors that are NOT its positives "
     "(positives = every same-label vector — the labeled-dataset shape). "
-    "Batch-ANN bucket equi-join (never |C|x|Q|), positives removed by a "
+    "Batch-ANN bucket equi-join (never |C|x|Q|) with ADAPTIVE hot-bucket "
+    "sub-splitting — the corpus-driven hot set applied to both sides "
+    "(two_sided_adaptive_bucket), so mining negatives for EVERY training "
+    "example (queries ≈ corpus) stays linear instead of replaying the "
+    "fixed-bucket quadratic round 5 measured. Positives removed by a "
     "broadcast LEFT ANTI join BEFORE the ranking window so a positive "
     "never eats a negative slot. At 100 TB the positive-pair table is "
     "training-label-sized and broadcasts; the corpus joins per bucket.",
@@ -307,7 +345,10 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "vec_id")
     )
-    return hard_negative_topk(emb, queries, positives, k=3, num_bits=_BBITS)
+    return hard_negative_topk(
+        emb, queries, positives, k=3, num_bits=_BBITS,
+        extra_bits=_XTRA, max_bucket_size=_MAXB,
+    )
 
 
 def _pq_oracle_sql(

@@ -62,44 +62,45 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cosine_topk", "ivf_topk", "minhash_lsh_pairs",
     "phrases_demo", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- round 7: the former rows-only set, now driver-checkable.
-    # Three upgraded IN PLACE to full value-hash oracles (unrolled-CTE
-    # replays of the iterative training loops):
-    "kmeans_ivf_clusters", "pq_ann_topk", "bpe_learned_merges",
-    # Two genuinely engine-specific sketch ops stay rows-only but get
-    # SELF-VALIDATING oracle twins (exact side + within-tolerance flags
-    # replayed by DuckDB):
-    "approx_distinct_within_tolerance", "sketch_merge_consistency",
-    # and the rows-only originals keep their driver rows-only rows,
-    # each description pointing at its witness:
-    "approx_distinct_parts", "mergeable_sketches",
-    # ---- round-7 additions (new operators that round; two rotated OUT
-    # of the window in round 11 — incident_click_attribution_adaptive and
-    # adpcm_stereo_features, both freshly witnessed in CORRECTNESS_r10 —
-    # to make room for the late round-11 additions below):
-    "bpe_encode_segments", "bloom_incremental_dedup_stats",
-    "ivfadc_topk", "crosscorpus_neardup_candidates",
-    "crosscorpus_neardup_verified", "bigram_lm_quality_scores",
-    # ---- round-9 additions:
-    "substring_dedup_spans", "substring_dedup_cleaned",
-    # ---- round-10 additions (VERDICT r10 "what's wrong" #1: these were
-    # omitted from the window in round 10 — the only ledger leak — so
-    # they take priority slots now; tests/test_registry.py's
-    # never-witnessed guard mechanically prevents a repeat):
-    "substring_dedup_incremental", "substring_dedup_incremental_cleaned",
-    # ---- round-11 additions:
-    "ivf_bucketed_probe_topk", "streaming_substring_scrub_replay",
-    "hard_negatives_topk", "temperature_mixture_sample",
-    "curriculum_quality_buckets", "diversity_sample_clusters",
-    "eval_contamination_report", "packing_efficiency_stats",
-    # NOTE on rotation (VERDICT r10 ask #7 asked for 2-3 refreshed stale
-    # witnesses): the late round-11 additions above filled the window to
-    # exactly 50, displacing the q10/tfidf rotation slots per the stated
-    # policy — new queries get their independent driver witness first.
-    # Round 12 should take its rotation slots from
-    # `python tools/witness_ledger.py` (current stalest, family-diverse:
-    # cube_order_stats, scalar_functions_projection,
-    # simhash_hamming_pairs — all last witnessed r1).
+    # ---- round-12 changed plans (re-witness at the new shape; every
+    # round-7..11 addition previously here has a green CORRECTNESS_r11
+    # row, so those slots are free):
+    #   hard_negatives_topk / batch_ann_topk — adaptive two-sided
+    #     hot-bucket sub-splitting (VERDICT r11 ask #3);
+    #   temperature_mixture_sample — alpha-generalized rate arithmetic +
+    #     non-positive-weight stratum drop;
+    #   curriculum_quality_buckets — NULL-score bucket handling.
+    "hard_negatives_topk", "batch_ann_topk",
+    "temperature_mixture_sample", "curriculum_quality_buckets",
+    # ---- round-12 additions:
+    "temperature_mixture_alpha25", "temperature_mixture_alpha75",
+    "epoch_repeat_mixture",
+    # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
+    # slots that new additions must NOT displace — guard-tested by
+    # tests/test_registry.py::test_rotation_reserved_block_in_window.
+    # Future rounds refresh the names from `tools/witness_ledger.py`
+    # but keep the block size >= 3.) This round: the entire r1 and r2
+    # stale-witness tail:
+    "cube_order_stats", "distinct_agg_combo", "running_customer_totals",
+    "scalar_functions_projection", "simhash_hamming_pairs",
+    "dynamic_props_filter", "line_input_gzip", "union_concat",
+    # ---- additional round-12 rotations (stalest family-diverse r3-r5
+    # witnesses per witness_ledger; displaceable by later round-12
+    # additions, freshest first from the tail):
+    "incremental_agg_refresh", "jpeg_pixel_decode", "lang_id_pred",
+    "mapreduce_api_chained", "merge_upsert_customers",
+    "mix_corpus_to_target", "partitioned_layout_pruned",
+    "sql_interface_revenue", "bucketed_join_revenue",
+    "streaming_dedup_replay",
+)
+
+# Rotation slots that later additions may never displace (see the
+# reserved block comment above; tests/test_registry.py enforces both
+# membership in the checked window and a minimum size).
+_ROTATION_RESERVED: tuple[str, ...] = (
+    "cube_order_stats", "distinct_agg_combo", "running_customer_totals",
+    "scalar_functions_projection", "simhash_hamming_pairs",
+    "dynamic_props_filter", "line_input_gzip", "union_concat",
 )
 
 

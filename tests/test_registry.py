@@ -112,3 +112,23 @@ def test_oracled_queries_have_nonempty_sql():
     assert len(rows_only) <= 6, rows_only
     for s in oracled:
         assert "SELECT" in s.oracle.upper(), s.name
+
+
+def test_rotation_reserved_block_in_window():
+    """ADVICE r11: round-11's planned rotation slots were displaced by
+    new additions, starving the stalest witnesses another round. The
+    registry now reserves explicit rotation slots (_ROTATION_RESERVED)
+    that additions may NOT displace: every reserved name must sit inside
+    the driver's 50-query window, and the block must keep at least 3
+    slots so each round refreshes witnesses even at maximum addition
+    pressure."""
+    from appengine_mapreduce_spark.plans.registry import _ROTATION_RESERVED
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+    assert len(_ROTATION_RESERVED) >= 3
+    displaced = [n for n in _ROTATION_RESERVED if n not in window]
+    assert not displaced, (
+        f"reserved rotation slots displaced from the driver window "
+        f"(shrink the additions list, not the reserved block): {displaced}"
+    )

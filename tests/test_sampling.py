@@ -272,19 +272,46 @@ def test_quantile_buckets_partition_and_monotone(spark):
     assert b.select("id").distinct().count() == 8_000
 
 
+def test_quantile_buckets_null_scores_get_null_bucket(spark):
+    """NULL scores must come out with a NULL bucket — not silently as
+    bucket 1 — and must not shift the cuts (percentile ignores nulls,
+    matching DuckDB quantile_cont)."""
+    from appengine_mapreduce_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None), (101, None)],
+        "id long, score double",
+    )
+    b = quantile_buckets(df, "score")
+    null_rows = b.filter(F.col("score").isNull()).collect()
+    assert len(null_rows) == 2
+    assert all(r.bucket is None for r in null_rows)
+    # cuts unaffected: scored rows bucket exactly as a null-free input
+    clean = quantile_buckets(df.filter("score IS NOT NULL"), "score")
+    assert sorted((r.id, r.bucket) for r in clean.collect()) == sorted(
+        (r.id, r.bucket) for r in b.filter("score IS NOT NULL").collect()
+    )
+
+
 def test_temperature_cut_bit_identical_to_duckdb_on_random_weights(spark):
     """Engine-portability stress for the temperature_sample rate
-    arithmetic: over many random stratum weight profiles (including
-    near-boundary and degenerate ones), the per-stratum acceptance cut
-    Spark computes must equal DuckDB evaluating the same fixed-order
-    double expression — the property the sf-level oracle MATCH relies
-    on, checked here across far more weight profiles than the fixtures
-    contain."""
+    arithmetic at EVERY supported alpha: over many random stratum weight
+    profiles (including near-boundary and degenerate ones), the
+    per-stratum acceptance cut Spark computes must equal DuckDB
+    evaluating the same fixed-order double expression — the property
+    the sf-level oracle MATCH relies on, checked here across far more
+    weight profiles than the fixtures contain. Cuts are read from
+    temperature_rates (the rates side), so EVERY stratum is compared —
+    including strata whose single row the sample excludes (the gap the
+    round-11 version had: only kept strata were asserted)."""
     import random
 
     import duckdb
 
-    from appengine_mapreduce_spark.operators.sampling import temperature_sample
+    from appengine_mapreduce_spark.operators.sampling import (
+        alpha_weight_sql,
+        temperature_rates,
+    )
 
     rng = random.Random(23)
     profiles = []
@@ -293,33 +320,60 @@ def test_temperature_cut_bit_identical_to_duckdb_on_random_weights(spark):
         profiles.append([rng.randint(1, 10**rng.randint(0, 12)) for _ in range(k)])
     profiles += [[1], [1, 1], [10**12, 1], [3, 3, 3]]
 
-    for weights in profiles:
-        rows = [(f"s{i}", w) for i, w in enumerate(weights)]
-        df = spark.createDataFrame(rows, "s string, w long")
-        # one row per stratum with weight_col -> stratum weight = w
-        kept = temperature_sample(
-            df, key="s", strata_col="s", weight_col="w", out_permyriad=2500
-        )
-        spark_cuts = {
-            r.s: r.mix_cut for r in
-            df.join(
-                kept.select("s", "mix_cut").distinct(), "s", "left"
-            ).collect() if r.mix_cut is not None
-        }
-        duck = duckdb.sql(
-            "WITH per AS (SELECT s, CAST(w AS BIGINT) AS w_s, "
-            "CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS sq_s "
-            f"FROM (VALUES {', '.join(f'({i!r}, {w})' for i, w in [(f's{j}', x) for j, x in enumerate(weights)])}) t(s, w)), "
-            "tot AS (SELECT CAST(sum(w_s) AS BIGINT) w_tot, CAST(sum(sq_s) AS BIGINT) sq_tot FROM per) "
-            "SELECT s, CAST(floor(least(10000.0, 2500.0 * ((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s) / w_s)) AS BIGINT) AS cut "
-            "FROM per, tot"
-        ).fetchall()
-        duck_cuts = dict(duck)
-        # Spark cuts only observable for kept rows; every kept stratum's
-        # cut must equal DuckDB's, and strata with no kept row must have
-        # a cut that excludes their single row under the same hash.
-        for s, c in spark_cuts.items():
-            assert c == duck_cuts[s], (weights, s, c, duck_cuts[s])
+    for alpha in (0.25, 0.5, 0.75):
+        aw = alpha_weight_sql("CAST(w AS DOUBLE)", alpha)
+        for weights in profiles:
+            rows = [(f"s{i}", w) for i, w in enumerate(weights)]
+            df = spark.createDataFrame(rows, "s string, w long")
+            # one row per stratum with weight_col -> stratum weight = w
+            spark_cuts = {
+                r.s: r.mix_cut
+                for r in temperature_rates(
+                    df, "s", weight_col="w", out_permyriad=2500, alpha=alpha
+                ).collect()
+            }
+            vals = ", ".join(f"('s{j}', {x})" for j, x in enumerate(weights))
+            duck = duckdb.sql(
+                "WITH per AS (SELECT s, CAST(w AS BIGINT) AS w_s, "
+                f"CAST(floor({aw}) AS BIGINT) AS sq_s "
+                f"FROM (VALUES {vals}) t(s, w)), "
+                "tot AS (SELECT CAST(sum(w_s) AS BIGINT) w_tot, "
+                "CAST(sum(sq_s) AS BIGINT) sq_tot FROM per) "
+                "SELECT s, CAST(floor(least(10000.0, 2500.0 * "
+                "((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s) / w_s)) AS BIGINT) "
+                "AS cut FROM per, tot"
+            ).fetchall()
+            duck_cuts = dict(duck)
+            assert spark_cuts == duck_cuts, (alpha, weights)
+
+
+def test_temperature_sample_drops_nonpositive_weight_strata(spark):
+    """A stratum whose weight_col sums to zero (or negative) has zero
+    share of any temperature mixture: it must be DROPPED entirely (no
+    NaN rate, no keep-in-full surprise) and must not perturb the other
+    strata's cuts (it contributes 0 to both w_tot and sq_tot either
+    way)."""
+    from appengine_mapreduce_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 400), ("a", 2, 600), ("zero", 3, 0), ("neg", 4, -5),
+         ("b", 5, 100)],
+        "s string, k long, w long",
+    )
+    rates = {r.s: r.mix_cut for r in
+             temperature_rates(df, "s", weight_col="w").collect()}
+    assert set(rates) == {"a", "b"}
+    kept = temperature_sample(df, key="k", strata_col="s", weight_col="w",
+                              out_permyriad=10000)
+    assert {r.s for r in kept.collect()} <= {"a", "b"}
+    # the positive strata's cuts are what a zero-free input yields
+    clean = df.filter("w > 0")
+    clean_rates = {r.s: r.mix_cut for r in
+                   temperature_rates(clean, "s", weight_col="w").collect()}
+    assert rates == clean_rates
 
 
 def test_eval_contamination_report_planted(spark):
@@ -355,3 +409,41 @@ def test_eval_contamination_report_planted(spark):
         0: (2, 1, 2, 0.5),   # 1 of 2 grams leaked, into 2 train docs
         1: (1, 0, 0, 0.0),   # clean eval doc still reported
     }
+
+
+def test_epoch_repeat_counts_and_determinism(spark):
+    """Epoch repetition contract: floor(e) copies per row plus a
+    hash-chosen extra with probability frac(e); epoch ids are 1..n;
+    0-epoch strata disappear (the sequence(1,0)-descends Spark trap is
+    guarded); repeat counts are deterministic per key; and the
+    fractional share lands near its target across many keys."""
+    from appengine_mapreduce_spark.operators.sampling import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, ["keep", "double", "half", "drop"][i % 4]) for i in range(4000)],
+        "k long, s string",
+    )
+    out = epoch_repeat(
+        df, key="k", strata_col="s",
+        epochs_permyriad={"double": 20000, "half": 5000, "drop": 0},
+        default_permyriad=10000,
+    )
+    rows = out.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r.k, r.s), []).append(r.epoch)
+    assert all(r.s != "drop" for r in rows)
+    for (k, s), epochs in by_key.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1)), (k, epochs)
+        if s == "keep":
+            assert len(epochs) == 1
+        elif s == "double":
+            assert len(epochs) == 2
+        elif s == "half":
+            assert len(epochs) == 1  # kept rows appear exactly once
+    # fractional strata: ~half the 1000 'half' keys survive
+    n_half = sum(1 for (k, s) in by_key if s == "half")
+    assert 400 <= n_half <= 600, n_half
+    # deterministic: same plan re-collected yields identical multiset
+    again = {(r.k, r.s, r.epoch) for r in out.collect()}
+    assert again == {(r.k, r.s, r.epoch) for r in rows}

@@ -192,3 +192,73 @@ def test_hard_negative_topk_excludes_positives_and_matches_bruteforce(emb):
     expect = [(r.vec_id, r.c) for r in cands]
     got = [(h.vec_id, h.cosine) for h in sorted(by_q.get(0, []), key=lambda r: r.rank)]
     assert got == expect, (got, expect)
+
+
+def test_two_sided_adaptive_bucket_bounds_hot_buckets(spark):
+    """Planted-hot-bucket test (VERDICT r11 ask #3): a base bucket holding
+    200 corpus rows (max_bucket_size=20) must sub-split into extended
+    buckets of bounded size; a cold bucket must keep its base id; and the
+    corpus-driven hot set must apply identically to the QUERY side, so a
+    query that agrees with a corpus vector on every sign bit cohabits
+    with it after the split — the property that keeps recall while
+    bounding per-bucket join blocks to ~max(bucket)/2^extra_bits."""
+    from appengine_mapreduce_spark.operators.similarity import (
+        sign_lsh_batch_topk,
+        two_sided_adaptive_bucket,
+    )
+
+    dim = 12
+    rows = []
+    # hot bucket: first 6 coords positive (base bucket 63); coords 7..10
+    # cycle deterministically through all 16 sign patterns -> the 4 extra
+    # bits split the 200 rows into exactly 12-13 per extended bucket.
+    for i in range(200):
+        pat = i % 16
+        v = [1.0 + (i % 7) * 0.01] * 6
+        v += [(1.0 if (pat >> j) & 1 else -1.0) for j in range(4)]
+        v += [0.5] * (dim - 10)
+        rows.append((i, v))
+    # planted near-dup pair inside the hot bucket: ids 500/501, identical
+    # signs, cosine ~1
+    twin = [2.0] * 6 + [1.0, -1.0, 1.0, -1.0] + [0.25] * (dim - 10)
+    rows.append((500, twin))
+    rows.append((501, [x * 1.001 for x in twin]))
+    # cold bucket: first coord negative, only 5 rows
+    for i in range(600, 605):
+        rows.append((i, [-1.0] + [1.0] * (dim - 1)))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(9500, twin), (9600, [-1.0] + [1.0] * (dim - 1))],
+        "query_id long, embedding array<double>",
+    )
+
+    cb, qb = two_sided_adaptive_bucket(
+        corpus, queries.select("query_id", F.col("embedding").alias("_qv")),
+        base_bits=6, extra_bits=4, max_bucket_size=20,
+        corpus_vec_col="embedding", query_vec_col="_qv",
+    )
+    sizes = {r._b: r.n for r in
+             cb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the 202-row hot base bucket is gone; every extended piece is small
+    assert max(sizes.values()) <= 20, sizes
+    # extended ids carry the 2^10 offset; the cold bucket keeps base id
+    cold_b = [r._b for r in qb.filter("query_id = 9600").collect()][0]
+    assert cold_b < (1 << 10)
+    assert sizes[cold_b] == 5
+    # cohabitation: the twin query lands in the same extended bucket as
+    # both planted corpus twins
+    twin_qb = [r._b for r in qb.filter("query_id = 9500").collect()][0]
+    assert twin_qb >= (1 << 10)
+    twin_cb = {r._b for r in cb.filter("vec_id IN (500, 501)").collect()}
+    assert twin_cb == {twin_qb}
+
+    # end-to-end: adaptive batch ANN still finds the planted twins
+    hits = sign_lsh_batch_topk(
+        corpus, queries, k=2, num_bits=6, extra_bits=4, max_bucket_size=20
+    ).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r)
+    twin_hits = sorted(by_q[9500], key=lambda r: -r.cosine)
+    assert {h.vec_id for h in twin_hits} == {500, 501}
+    assert twin_hits[0].cosine == pytest.approx(1.0, abs=1e-4)

@@ -176,3 +176,30 @@ def test_round5_codec_throughput_floors():
     packbits_decode(enc, len(raw))
     rate = 100_000 / (time.perf_counter() - t0)
     assert rate >= 10_000_000, f"PackBits decode {rate:.0f} B/s"
+
+
+def test_seam_decomposition_current():
+    """VERDICT r11 condition on the dispatch-rate floor semantics: the
+    five-variant seam decomposition in SCALING.md proves the generator
+    adapter sits within ~5% of a fully-vectorized pandas body, and that
+    proof is only valid for the adapter it measured. SCALING.md records
+    the md5 of core/adapters.py at measurement time; if this assert
+    fires, you changed the adapter — re-run the decomposition on a quiet
+    box, update the table, and refresh the fingerprint line."""
+    import hashlib
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    adapters = os.path.join(
+        repo, "appengine_mapreduce_spark", "core", "adapters.py")
+    with open(adapters, "rb") as fh:
+        live = hashlib.md5(fh.read()).hexdigest()
+    with open(os.path.join(repo, "SCALING.md")) as fh:
+        m = re.search(r"Adapter fingerprint: `([0-9a-f]{32})`", fh.read())
+    assert m, "SCALING.md lost its adapter fingerprint line"
+    assert m.group(1) == live, (
+        "core/adapters.py changed since the seam decomposition was "
+        "measured — re-run the five-variant decomposition (SCALING.md "
+        "'Seam throughput decomposition') and update the fingerprint"
+    )
