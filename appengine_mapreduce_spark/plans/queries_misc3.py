@@ -890,7 +890,8 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(50)
 
 
-def kmeans_cte_chain(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+def kmeans_cte_chain(k: int = 8, dim: int = 64, n_iter: int = 3,
+                     where: str = "") -> str:
     """Unrolled Lloyd's CTE chain (same technique as the PageRank
     oracle): fixed iterations -> chained CTE stages, ending at
     ``c{n_iter}`` = (cluster, dim, val) final centroids, with ``v`` =
@@ -902,18 +903,22 @@ def kmeans_cte_chain(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
     convergence break is consistent with the fixed unroll because a
     converged stage is a fixpoint. Shared by the centroid oracle below
     and the cluster-profile oracle in queries_text2 (which appends a
-    final assignment stage)."""
+    final assignment stage). ``where`` (e.g. " WHERE vec_id >= 50")
+    restricts BOTH the training vectors and the init pick to a corpus
+    slice — the stored-corpus side of incremental index maintenance;
+    the default empty string leaves the emitted SQL byte-identical to
+    the pre-parameter version."""
     head = f"""
         WITH v AS MATERIALIZED (
             SELECT vec_id,
                    unnest(generate_series(0, {dim - 1})) AS dim,
                    unnest(list_transform(generate_series(1, {dim}),
                           i -> CAST(embedding[i] AS DOUBLE))) AS val
-            FROM embeddings
+            FROM embeddings{where}
         ),
         init AS (
             SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-            FROM embeddings ORDER BY vec_id LIMIT {k}
+            FROM embeddings{where} ORDER BY vec_id LIMIT {k}
         ),
         c0 AS MATERIALIZED (
             -- no rounding: float32 -> double is exact and identical in

@@ -256,6 +256,118 @@ def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign_incremental_oracle_sql(
+    k: int = 8, dim: int = 64, n_iter: int = 3, split: int = 50
+) -> str:
+    """Incremental index maintenance replay: train the Lloyd's chain on
+    the STORED slice only (vec_id >= split, via kmeans_cte_chain's
+    ``where``), then assign both sides against the frozen final
+    centroids — the stored side re-derives list sizes, the NEW batch
+    (vec_id < split) gets distances without any retraining pass. Same
+    argmin/rounding conventions as the kmeans_ivf_clusters oracle."""
+    from appengine_mapreduce_spark.plans.queries_misc3 import kmeans_cte_chain
+
+    return (
+        kmeans_cte_chain(k, dim, n_iter, where=f" WHERE vec_id >= {split}")
+        + f""",
+        dstored AS (
+            SELECT v.vec_id, c.cluster,
+                   sum((v.val - c.val) * (v.val - c.val)) AS dist
+            FROM v JOIN c{n_iter} c USING (dim)
+            GROUP BY v.vec_id, c.cluster
+        ),
+        astored AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM dstored
+            ) WHERE rn = 1
+        ),
+        vb AS (
+            SELECT vec_id,
+                   unnest(generate_series(0, {dim - 1})) AS dim,
+                   unnest(list_transform(generate_series(1, {dim}),
+                          i -> CAST(embedding[i] AS DOUBLE))) AS val
+            FROM embeddings WHERE vec_id < {split}
+        ),
+        dnew AS (
+            SELECT b.vec_id, c.cluster,
+                   sum((b.val - c.val) * (b.val - c.val)) AS dist
+            FROM vb b JOIN c{n_iter} c USING (dim)
+            GROUP BY b.vec_id, c.cluster
+        ),
+        anew AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT vec_id, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM dnew
+            ) WHERE rn = 1
+        ),
+        lists AS (SELECT unnest(generate_series(0, {k - 1})) AS cluster)
+        SELECT CAST(l.cluster AS INT) AS cluster,
+               CAST(coalesce(s.n, 0) AS BIGINT) AS n_stored,
+               CAST(coalesce(n.n, 0) AS BIGINT) AS n_new,
+               round(n.mean_d, 6) AS mean_new_dist_sq
+        FROM lists l
+        LEFT JOIN (SELECT cluster, count(*) AS n FROM astored GROUP BY 1) s
+          ON l.cluster = s.cluster
+        LEFT JOIN (SELECT cluster, count(*) AS n,
+                          avg(round(dist, 6)) AS mean_d
+                   FROM anew GROUP BY 1) n
+          ON l.cluster = n.cluster
+    """
+    )
+
+
+@register(
+    "ivf_assign_incremental",
+    oracle=_ivf_assign_incremental_oracle_sql(),
+    description="Incremental IVF index maintenance: a NEW embedding batch "
+    "(vec_id < 50) is assigned to the FROZEN centroids trained on the "
+    "stored corpus (vec_id >= 50) — no retraining, no second pass over "
+    "history; per-list report of stored size, new arrivals, and mean new "
+    "distance (the index-side analogue of dedup_incremental's "
+    "batch-vs-store contract). At 100 TB the model is k x dim floats "
+    "broadcast into statically-unrolled JVM distance expressions; the "
+    "stored corpus is touched only by the (amortized) training job, "
+    "never by batch arrival. FULL ORACLE: the unrolled Lloyd's CTE "
+    "chain now takes a corpus-slice filter, and both assignment passes "
+    "replay in DuckDB with the proven argmin/round conventions.",
+    tags=("similarity", "ivf", "iterative", "clustering", "training-data"),
+)
+def ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from appengine_mapreduce_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") >= 50)
+    batch = emb.filter(F.col("vec_id") < 50)
+    centroids, assigned = kmeans(stored, k=8, n_iterations=3)
+    new_assigned = assign_clusters(batch, centroids).select(
+        "vec_id", "cluster", F.round("dist_sq", 6).alias("dist_sq")
+    )
+    lists = spark.range(0, 8).select(F.col("id").cast("int").alias("cluster"))
+    s = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_ns"))
+    n = new_assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_nn"),
+        F.avg("dist_sq").alias("_md"),
+    )
+    return (
+        lists.join(F.broadcast(s), "cluster", "left")
+        .join(F.broadcast(n), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("_ns"), F.lit(0)).cast("bigint").alias("n_stored"),
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("bigint").alias("n_new"),
+            F.round(F.col("_md"), 6).alias("mean_new_dist_sq"),
+        )
+    )
+
+
 def _diversity_sample_oracle_sql(k: int = 8, dim: int = 64, n_iter: int = 3,
                                  m: int = 10) -> str:
     """Replay of cluster-balanced diversity sampling: the proven unrolled

@@ -74,7 +74,7 @@ _CURATED_FIRST: tuple[str, ...] = (
     "temperature_mixture_sample", "curriculum_quality_buckets",
     # ---- round-12 additions:
     "temperature_mixture_alpha25", "temperature_mixture_alpha75",
-    "epoch_repeat_mixture",
+    "epoch_repeat_mixture", "ivf_assign_incremental",
     # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
     # slots that new additions must NOT displace — guard-tested by
     # tests/test_registry.py::test_rotation_reserved_block_in_window.
@@ -91,7 +91,6 @@ _CURATED_FIRST: tuple[str, ...] = (
     "mapreduce_api_chained", "merge_upsert_customers",
     "mix_corpus_to_target", "partitioned_layout_pruned",
     "sql_interface_revenue", "bucketed_join_revenue",
-    "streaming_dedup_replay",
 )
 
 # Rotation slots that later additions may never displace (see the

@@ -87,3 +87,48 @@ must be the most central rows per cluster"
     # determinism: same call -> same kept set
     again = diversity_sample(assigned, per_cluster=7)
     assert {(r.cluster, r.vec_id) for r in again.collect()} == kept_ids
+
+
+def test_ivf_assign_incremental_no_retraining(spark):
+    """Incremental index maintenance: assigning a new batch against
+    frozen centroids must (a) give every new vector its true nearest
+    stored-corpus centroid, (b) leave the stored model bit-identical
+    (no retraining side effects), and (c) keep each planted near-copy
+    of a stored vector in that vector's list."""
+    import math
+
+    from appengine_mapreduce_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    # stored corpus: 3 tight blobs around distinct corners
+    corners = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(60):
+        c = corners[i % 3]
+        rows.append((100 + i, [x + (i % 5) * 0.01 for x in c]))
+    stored = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, assigned = kmeans(stored, k=3, n_iterations=3)
+    again, _ = kmeans(stored, k=3, n_iterations=3)
+    assert centroids == again  # deterministic, frozen model
+
+    # new batch: near-copies of corner vectors + one midpoint
+    batch = spark.createDataFrame(
+        [(0, [9.9, 0.05, 0.0]), (1, [0.05, 9.9, 0.0]), (2, [0.0, 0.05, 9.9]),
+         (3, [5.0, 5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.cluster, r.dist_sq)
+           for r in assign_clusters(batch, centroids).collect()}
+
+    def nearest(v):
+        ds = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in centroids]
+        return min(range(len(ds)), key=lambda i: (ds[i], i))
+
+    for r in batch.collect():
+        want = nearest([float(x) for x in r.embedding])
+        assert got[r.vec_id][0] == want, (r.vec_id, got[r.vec_id], want)
+    # the three near-copies land in three DISTINCT lists
+    assert len({got[i][0] for i in (0, 1, 2)}) == 3
+    assert all(not math.isnan(d) for _, d in got.values())
