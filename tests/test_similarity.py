@@ -262,3 +262,59 @@ def test_two_sided_adaptive_bucket_bounds_hot_buckets(spark):
     twin_hits = sorted(by_q[9500], key=lambda r: -r.cosine)
     assert {h.vec_id for h in twin_hits} == {500, 501}
     assert twin_hits[0].cosine == pytest.approx(1.0, abs=1e-4)
+
+
+def test_two_sided_adaptive_bucket_cohabitation_property(spark):
+    """Formal contract on random data: for ANY (corpus row, query) pair,
+    same bucket ⟺ (same base bits AND (bucket cold OR same extended
+    bits)). In particular pairs that agree on every sign bit ALWAYS
+    cohabit, and pairs differing in a base bit NEVER meet — the recall
+    floor and the candidate bound respectively."""
+    import random
+
+    from appengine_mapreduce_spark.operators.similarity import (
+        two_sided_adaptive_bucket,
+    )
+
+    rng = random.Random(7)
+    dim, base, extra, maxb = 12, 4, 3, 6
+    corpus_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    query_rows = [
+        (1000 + i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        query_rows, "query_id long, _qv array<double>")
+    cb, qb = two_sided_adaptive_bucket(
+        corpus, queries, base_bits=base, extra_bits=extra,
+        max_bucket_size=maxb, corpus_vec_col="embedding",
+        query_vec_col="_qv",
+    )
+    c = {r.vec_id: r._b for r in cb.collect()}
+    q = {r.query_id: r._b for r in qb.collect()}
+
+    def bits(v, n):
+        return tuple(x >= 0 for x in v[:n])
+
+    base_counts: dict = {}
+    for _, v in corpus_rows:
+        base_counts[bits(v, base)] = base_counts.get(bits(v, base), 0) + 1
+    hot = {b for b, n in base_counts.items() if n > maxb}
+
+    for qid, qv in query_rows:
+        for cid, cv in corpus_rows:
+            same_base = bits(qv, base) == bits(cv, base)
+            same_ext = bits(qv, base + extra) == bits(cv, base + extra)
+            is_hot = bits(cv, base) in hot
+            expected = same_base and (same_ext if is_hot else True)
+            assert (q[qid] == c[cid]) == expected, (qid, cid)
+    # every corpus bucket respects the bound OR is a cold base bucket
+    from collections import Counter
+
+    for b, n in Counter(c.values()).items():
+        if b >= (1 << (base + extra)):
+            continue  # extended buckets are the split result
+        assert n <= maxb, (b, n)
