@@ -22,6 +22,23 @@ def sample_bucket(key: Column, salt: str = "sample") -> Column:
     return stable_hash32(key.cast("string"), salt=salt) % 10000
 
 
+def _permyriad_case(
+    strata_col: str, mapping: dict[str, int], default: int
+) -> Column:
+    """CASE over a model-sized stratum → permyriad mapping (sorted for a
+    deterministic when-chain), falling back to ``default`` — the shared
+    builder behind stratified_sample's cuts, mix_to_target's targets,
+    and epoch_repeat's epoch counts."""
+    expr = None
+    for stratum, permyriad in sorted(mapping.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(int(permyriad)))
+        expr = branch if expr is None else expr.when(
+            F.col(strata_col) == stratum, F.lit(int(permyriad))
+        )
+    return (expr.otherwise(F.lit(int(default)))
+            if expr is not None else F.lit(int(default)))
+
+
 def deterministic_sample(
     df: DataFrame, key: str, fraction: float, salt: str = "sample"
 ) -> DataFrame:
@@ -55,14 +72,11 @@ def stratified_sample(
     the filter is a pure row-local expression evaluated inside the scan
     (whole-stage codegen), regardless of corpus size.
     """
-    cut = None
-    for stratum, frac in sorted(fractions.items()):
-        branch = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 10000)))
-        cut = branch if cut is None else cut.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * 10000))
-        )
-    cut = (cut.otherwise(F.lit(int(default_fraction * 10000)))
-           if cut is not None else F.lit(int(default_fraction * 10000)))
+    cut = _permyriad_case(
+        strata_col,
+        {s: int(f * 10000) for s, f in fractions.items()},
+        int(default_fraction * 10000),
+    )
     return df.filter(sample_bucket(F.col(key), salt) < cut)
 
 
@@ -145,14 +159,7 @@ def mix_to_target(
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
     total = df.agg(F.count(F.lit(1)).alias("_n_total"))
-    tgt = None
-    for stratum, tp in sorted(target_permyriad.items()):
-        branch_val = F.lit(int(tp))
-        if tgt is None:
-            tgt = F.when(F.col(strata_col) == stratum, branch_val)
-        else:
-            tgt = tgt.when(F.col(strata_col) == stratum, branch_val)
-    tgt = tgt.otherwise(F.lit(0)) if tgt is not None else F.lit(0)
+    tgt = _permyriad_case(strata_col, target_permyriad, 0)
 
     # integer cut: min(10000, target_share * n_out DIV n_s)
     rates = (
@@ -337,20 +344,13 @@ def epoch_repeat(
     broadcast beyond the recipe literals. Downstream global_shuffle /
     pack_by_token_budget treat (key, epoch) as the new row identity.
     """
-    tp = None
-    for stratum, permyriad in sorted(epochs_permyriad.items()):
-        branch = F.when(F.col(strata_col) == stratum, F.lit(int(permyriad)))
-        tp = branch if tp is None else tp.when(
-            F.col(strata_col) == stratum, F.lit(int(permyriad))
-        )
-    tp = (tp.otherwise(F.lit(int(default_permyriad)))
-          if tp is not None else F.lit(int(default_permyriad)))
+    tp = _permyriad_case(strata_col, epochs_permyriad, default_permyriad)
     n_full = (tp / F.lit(10000)).cast("int")
     frac_cut = tp % F.lit(10000)
     extra = F.when(
         sample_bucket(F.col(key), salt) < frac_cut, F.lit(1)
     ).otherwise(F.lit(0))
-    n = (n_full + extra).alias("_n_epochs")
+    n = n_full + extra
     # sequence(1, 0) would DESCEND in Spark — guard zero-repeat rows to
     # an empty array so explode drops them (DuckDB generate_series(1,0)
     # is empty, so the guard keeps the engines aligned).

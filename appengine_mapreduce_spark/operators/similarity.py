@@ -194,6 +194,50 @@ def two_sided_adaptive_bucket(
     return _assign(ctag), _assign(qtag)
 
 
+def _bucket_both_sides(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_bits: int,
+    extra_bits: int,
+    max_bucket_size: int | None,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared bucket assignment for the two-sided ANN shapes: adaptive
+    (corpus-driven hot set, both sides) when BOTH ``extra_bits`` and
+    ``max_bucket_size`` are given, fixed sign buckets when NEITHER is.
+    A half-specified pair raises — silently falling back to fixed
+    buckets would reintroduce the corpus-scale quadratic the adaptive
+    parameters exist to prevent (round-12 review finding)."""
+    adaptive = extra_bits > 0 and max_bucket_size is not None
+    if (extra_bits > 0) != (max_bucket_size is not None):
+        raise ValueError(
+            "pass BOTH extra_bits (> 0) and max_bucket_size for adaptive "
+            "bucketing, or neither for fixed buckets — got "
+            f"extra_bits={extra_bits}, max_bucket_size={max_bucket_size}"
+        )
+    if adaptive:
+        c_in = corpus.select(F.col(id_col), F.col(vec_col))
+        q_in = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        )
+        return two_sided_adaptive_bucket(
+            c_in, q_in, base_bits=num_bits, extra_bits=extra_bits,
+            max_bucket_size=max_bucket_size,
+            corpus_vec_col=vec_col, query_vec_col="_qv",
+        )
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("_b"),
+    )
+    return cb, qb
+
+
 def sign_lsh_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,25 +269,10 @@ def sign_lsh_batch_topk(
     """
     from pyspark.sql import Window
 
-    if extra_bits > 0 and max_bucket_size is not None:
-        c_in = corpus.select(F.col(id_col), F.col(vec_col))
-        q_in = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv")
-        )
-        cb, qb = two_sided_adaptive_bucket(
-            c_in, q_in, base_bits=num_bits, extra_bits=extra_bits,
-            max_bucket_size=max_bucket_size,
-            corpus_vec_col=vec_col, query_vec_col="_qv",
-        )
-    else:
-        cb = corpus.select(
-            F.col(id_col), F.col(vec_col),
-            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-        )
-        qb = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv"),
-            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-        )
+    cb, qb = _bucket_both_sides(
+        corpus, queries, num_bits, extra_bits, max_bucket_size,
+        id_col, vec_col, query_id_col,
+    )
     scored = cb.join(qb, "_b").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -293,25 +322,10 @@ def hard_negative_topk(
     before adaptive splitting."""
     from pyspark.sql import Window
 
-    if extra_bits > 0 and max_bucket_size is not None:
-        c_in = corpus.select(F.col(id_col), F.col(vec_col))
-        q_in = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv")
-        )
-        cb, qb = two_sided_adaptive_bucket(
-            c_in, q_in, base_bits=num_bits, extra_bits=extra_bits,
-            max_bucket_size=max_bucket_size,
-            corpus_vec_col=vec_col, query_vec_col="_qv",
-        )
-    else:
-        cb = corpus.select(
-            F.col(id_col), F.col(vec_col),
-            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-        )
-        qb = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv"),
-            sign_bucket(F.col(vec_col), num_bits).alias("_b"),
-        )
+    cb, qb = _bucket_both_sides(
+        corpus, queries, num_bits, extra_bits, max_bucket_size,
+        id_col, vec_col, query_id_col,
+    )
     scored = cb.join(qb, "_b").select(
         F.col(query_id_col),
         F.col(id_col),

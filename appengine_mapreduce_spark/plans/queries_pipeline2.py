@@ -453,11 +453,6 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEMP_HASH = (
-    "('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-)
-
-
 def _temperature_oracle(alpha: float, out_permyriad: int, salt: str) -> str:
     """DuckDB replay of operators/sampling.temperature_sample at the
     given alpha — the exponent built ONLY from correctly-rounded
@@ -498,59 +493,6 @@ def _temperature_oracle(alpha: float, out_permyriad: int, salt: str) -> str:
     """
 
 
-@register(
-    "temperature_mixture_sample",
-    oracle=f"""
-        WITH per AS (
-            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_s,
-                   CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
-                       AS sq_s
-            FROM documents GROUP BY lang
-            HAVING sum(n_chars) > 0
-        ),
-        tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
-                       CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM per),
-        rates AS (
-            SELECT lang,
-                   CAST(floor(least(10000.0,
-                        2500.0 * ((CAST(w_tot AS DOUBLE) / sq_tot) * sq_s)
-                               / w_s)) AS BIGINT) AS cut
-            FROM per, tot
-        )
-        SELECT lang, cut AS cut_permyriad, count(*) AS n_kept,
-               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
-               min(doc_id) AS first_doc
-        FROM documents JOIN rates USING (lang)
-        WHERE {_TEMP_HASH} % 10000 < cut
-        GROUP BY lang, cut
-    """,
-    description="Temperature-based mixture resampling (alpha = 0.5): kept "
-    "weight per language proportional to sqrt(natural char weight) — the "
-    "multilingual-pretraining knob interpolating natural vs uniform mix, "
-    "with rates DERIVED from measured per-stratum weights entirely "
-    "in-plan (operators/sampling.temperature_sample; mix_corpus_to_target "
-    "is the stated-target sibling). alpha is 0.5 because IEEE sqrt is "
-    "correctly rounded, hence bit-portable; the double rate expression "
-    "has fixed parenthesization over <2^53 integers, so the oracle "
-    "replays the cut exactly. One stratum aggregate + broadcast rate "
-    "join + row-local md5 acceptance — the corpus never shuffles.",
-    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
-)
-def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from appengine_mapreduce_spark.operators.sampling import temperature_sample
-
-    docs = load(spark, sf_dir, "documents")
-    kept = temperature_sample(
-        docs, key="doc_id", strata_col="lang", weight_col="n_chars",
-        out_permyriad=2500, salt="temp",
-    )
-    return kept.groupBy("lang", F.col("mix_cut").alias("cut_permyriad")).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").alias("kept_chars"),
-        F.min("doc_id").alias("first_doc"),
-    )
-
-
 def _temperature_query(alpha: float, out_permyriad: int, salt: str):
     def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from appengine_mapreduce_spark.operators.sampling import (
@@ -571,6 +513,25 @@ def _temperature_query(alpha: float, out_permyriad: int, salt: str):
         )
 
     return _fn
+
+
+register(
+    "temperature_mixture_sample",
+    oracle=_temperature_oracle(0.5, 2500, "temp"),
+    description="Temperature-based mixture resampling (alpha = 0.5): kept "
+    "weight per language proportional to sqrt(natural char weight) — the "
+    "multilingual-pretraining knob interpolating natural vs uniform mix, "
+    "with rates DERIVED from measured per-stratum weights entirely "
+    "in-plan (operators/sampling.temperature_sample; mix_corpus_to_target "
+    "is the stated-target sibling). IEEE sqrt is correctly rounded, hence "
+    "bit-portable; the double rate expression has fixed parenthesization "
+    "over <2^53 integers, so the oracle replays the cut exactly. One "
+    "stratum aggregate + broadcast rate join + row-local md5 acceptance — "
+    "the corpus never shuffles. Registered via the same factory/oracle "
+    "pair as the alpha-25/75 variants so the three parameterizations "
+    "cannot drift apart (round-12 review finding).",
+    tags=("sampling", "training-data", "pipeline", "scalar-cross"),
+)(_temperature_query(0.5, 2500, "temp"))
 
 
 register(

@@ -172,19 +172,39 @@ def registry_fingerprint() -> str:
     """Stable 12-hex-digit digest of the registry CONTENT: sorted names,
     each query's oracle TEXT (not just presence — editing an oracle must
     invalidate sweeps, per ADVICE r10), and a digest of the plan
-    function's source. Artifacts that sweep the whole registry
-    (PLAN_AUDIT.md, PARITY_r*.md) embed it so a sweep generated against
-    an older registry — renamed, added, OR logic-edited — is mechanically
+    function's source PLUS any scalar closure/default parameters.
+    Closure values matter (round-12 review finding): a factory-built
+    query like ``_temperature_query(0.25, 2500, "temp25")`` has
+    byte-identical ``getsource`` for every parameterization, so without
+    the cell contents a Spark-side parameter edit would be mechanically
+    undetectable. Artifacts that sweep the whole registry
+    (PLAN_AUDIT.md, PARITY_r*.md) embed the digest so a sweep generated
+    against an older registry — renamed, added, OR logic-edited — is
     detectable as stale; tests compare the embedded value against the
     live one."""
     import hashlib
     import inspect
 
+    _SCALAR = (int, float, str, bool, bytes, tuple, frozenset, type(None))
+
     def _fn_src(s: QuerySpec) -> str:
         try:
-            return inspect.getsource(s.fn)
+            src = inspect.getsource(s.fn)
         except (OSError, TypeError):  # builtins / dynamically built fns
-            return repr(s.fn)
+            src = repr(s.fn)
+        extras = []
+        for cell in s.fn.__closure__ or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:  # empty cell
+                continue
+            if isinstance(v, _SCALAR):
+                extras.append(repr(v))
+        if s.fn.__defaults__:
+            extras.extend(
+                repr(v) for v in s.fn.__defaults__ if isinstance(v, _SCALAR)
+            )
+        return src + "|" + "|".join(extras)
 
     surface = "\n".join(
         f"{n}:{hashlib.md5((s.oracle or 'rows-only').encode()).hexdigest()}"

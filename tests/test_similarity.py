@@ -318,3 +318,21 @@ def test_two_sided_adaptive_bucket_cohabitation_property(spark):
         if b >= (1 << (base + extra)):
             continue  # extended buckets are the split result
         assert n <= maxb, (b, n)
+
+
+def test_bucket_both_sides_rejects_half_specified_adaptive(spark):
+    """Silently falling back to fixed buckets when only one of
+    extra_bits/max_bucket_size is given would reintroduce the
+    corpus-scale quadratic; the pair must be all-or-nothing."""
+    from appengine_mapreduce_spark.operators.similarity import (
+        sign_lsh_batch_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 0.9])],
+        "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="extra_bits"):
+        sign_lsh_batch_topk(df, q, extra_bits=4)
+    with pytest.raises(ValueError, match="extra_bits"):
+        sign_lsh_batch_topk(df, q, max_bucket_size=10)
