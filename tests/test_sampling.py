@@ -447,3 +447,48 @@ def test_epoch_repeat_counts_and_determinism(spark):
     # deterministic: same plan re-collected yields identical multiset
     again = {(r.k, r.s, r.epoch) for r in out.collect()}
     assert again == {(r.k, r.s, r.epoch) for r in rows}
+
+
+def test_epoch_repeat_counts_bit_identical_to_duckdb_on_random_recipes(spark):
+    """Engine-portability stress for epoch_repeat's per-key repeat
+    count (integer div + md5 hash compare): over random recipes and
+    keys, the (key, n) multiset Spark materializes must equal DuckDB
+    evaluating the same arithmetic — the property the
+    epoch_repeat_mixture oracle MATCH relies on, checked across far
+    more permyriad values than the fixture recipe contains."""
+    import random
+
+    import duckdb
+
+    from appengine_mapreduce_spark.operators.sampling import epoch_repeat
+
+    rng = random.Random(41)
+    for trial in range(5):
+        strata = [f"s{j}" for j in range(rng.randint(1, 5))]
+        recipe = {s: rng.choice([0, 1, 4999, 5000, 9999, 10000, 10001,
+                                 25000, rng.randint(0, 40000)])
+                  for s in strata}
+        default = rng.choice([0, 10000, 15000])
+        rows = [(i, strata[i % len(strata)] if i % 7 else "unlisted")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = {}
+        out = epoch_repeat(df, key="k", strata_col="s",
+                           epochs_permyriad=recipe,
+                           default_permyriad=default, salt="epoch")
+        for r in out.collect():
+            got[r.k] = max(got.get(r.k, 0), r.epoch)
+        case = " ".join(f"WHEN '{s}' THEN {p}" for s, p in recipe.items())
+        vals = ", ".join(f"({k}, '{s}')" for k, s in rows)
+        duck = duckdb.sql(f"""
+            WITH t AS (SELECT * FROM (VALUES {vals}) v(k, s)),
+            r AS (
+              SELECT k, (tp // 10000) +
+                     (CASE WHEN ('0x' || substr(md5('epoch:' ||
+                        CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000
+                        < tp % 10000 THEN 1 ELSE 0 END) AS n
+              FROM (SELECT k, CASE s {case} ELSE {default} END AS tp FROM t)
+            )
+            SELECT k, n FROM r WHERE n >= 1
+        """).fetchall()
+        assert got == dict(duck), (trial, recipe, default)
