@@ -96,6 +96,11 @@ _CURATED_FIRST: tuple[str, ...] = (
 # Rotation slots that later additions may never displace (see the
 # reserved block comment above; tests/test_registry.py enforces both
 # membership in the checked window and a minimum size).
+# Round-13 rotation picks, precomputed from `tools/witness_ledger.py`
+# at round-12 close (stalest family-diverse after this round's 21
+# rotations land): customer_order_totals, dedup_exact_stats,
+# zip_toc_members — all last witnessed r2. Refresh this block with
+# those names (plus ledger re-run) at round-13 open.
 _ROTATION_RESERVED: tuple[str, ...] = (
     "cube_order_stats", "distinct_agg_combo", "running_customer_totals",
     "scalar_functions_projection", "simhash_hamming_pairs",
