@@ -185,6 +185,20 @@ def mix_to_target(
     )
 
 
+def _validate_alpha(alpha: float) -> None:
+    """Reject non-portable alphas EAGERLY (ADVICE r12): dispatch is on
+    exact float equality, so a computed 0.75000000001 or a numpy
+    float32(0.5) must fail at the ``temperature_sample`` /
+    ``temperature_rates`` call site, not lazily from ``_alpha_weight``
+    deep inside plan construction."""
+    if type(alpha) is not float or alpha not in (0.25, 0.5, 0.75):
+        raise ValueError(
+            f"alpha={alpha!r} not portable: only float {{0.25, 0.5, 0.75}} "
+            "compose from correctly-rounded sqrt/multiply; arbitrary alpha "
+            "needs pow, whose last-ulp behavior differs between engines"
+        )
+
+
 def _alpha_weight(w: Column, alpha: float) -> Column:
     """w**alpha for alpha ∈ {0.25, 0.5, 0.75} as a composition of IEEE
     correctly-rounded operations only — sqrt and multiply — so the value
@@ -201,28 +215,22 @@ def _alpha_weight(w: Column, alpha: float) -> Column:
     a closer w**alpha but its last-ulp behavior is libm-specific, hence
     banned here.
     """
+    _validate_alpha(alpha)
     if alpha == 0.5:
         return F.sqrt(w)
     if alpha == 0.25:
         return F.sqrt(F.sqrt(w))
-    if alpha == 0.75:
-        return F.sqrt(w) * F.sqrt(F.sqrt(w))
-    raise ValueError(
-        f"alpha={alpha!r} not portable: only {{0.25, 0.5, 0.75}} compose "
-        "from correctly-rounded sqrt/multiply; arbitrary alpha needs pow, "
-        "whose last-ulp behavior differs between engines"
-    )
+    return F.sqrt(w) * F.sqrt(F.sqrt(w))
 
 
 def alpha_weight_sql(expr: str, alpha: float) -> str:
     """The DuckDB mirror of :func:`_alpha_weight` — keep in lockstep."""
+    _validate_alpha(alpha)
     if alpha == 0.5:
         return f"sqrt({expr})"
     if alpha == 0.25:
         return f"sqrt(sqrt({expr}))"
-    if alpha == 0.75:
-        return f"(sqrt({expr}) * sqrt(sqrt({expr})))"
-    raise ValueError(f"unsupported alpha {alpha!r}")
+    return f"(sqrt({expr}) * sqrt(sqrt({expr})))"
 
 
 def temperature_sample(
@@ -265,6 +273,7 @@ def temperature_sample(
     At 100 TB: one stratum-count aggregate (model-sized), one broadcast
     join, a row-local hash filter — the corpus never shuffles.
     """
+    _validate_alpha(alpha)
     rates = temperature_rates(
         df, strata_col, weight_col=weight_col,
         out_permyriad=out_permyriad, alpha=alpha,
@@ -288,6 +297,7 @@ def temperature_rates(
     stratum, including strata whose every row the sample excludes
     (the kept rows' ``mix_cut`` column shows cuts for kept strata only).
     """
+    _validate_alpha(alpha)
     w = (F.count(F.lit(1)) if weight_col is None
          else F.sum(weight_col)).cast("bigint")
     per = df.groupBy(strata_col).agg(w.alias("_w_s")).filter(F.col("_w_s") > 0)
@@ -344,9 +354,17 @@ def epoch_repeat(
     broadcast beyond the recipe literals. Downstream global_shuffle /
     pack_by_token_budget treat (key, epoch) as the new row identity.
     """
-    tp = _permyriad_case(strata_col, epochs_permyriad, default_permyriad)
-    n_full = (tp / F.lit(10000)).cast("int")
-    frac_cut = tp % F.lit(10000)
+    # Full epochs via INTEGER division (`DIV`), structurally identical
+    # to the DuckDB oracle's `tp // 10000` — the double-divide-then-
+    # truncate form was numerically equivalent for every realistic
+    # permyriad but only by argument-range analysis (ADVICE r12); DIV
+    # makes the two engines the same function by construction, like
+    # mix_to_target's cut.
+    staged = df.withColumn(
+        "_ep_tp", _permyriad_case(strata_col, epochs_permyriad, default_permyriad)
+    )
+    n_full = F.expr("_ep_tp DIV 10000").cast("int")
+    frac_cut = F.col("_ep_tp") % F.lit(10000)
     extra = F.when(
         sample_bucket(F.col(key), salt) < frac_cut, F.lit(1)
     ).otherwise(F.lit(0))
@@ -357,7 +375,7 @@ def epoch_repeat(
     seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    return df.withColumn("epoch", F.explode(seq))
+    return staged.withColumn("epoch", F.explode(seq)).drop("_ep_tp")
 
 
 def quantile_buckets(

@@ -173,47 +173,77 @@ def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in all_queries().items() if v.bench}
 
 
+_SCALAR = (int, float, str, bool, bytes, tuple, frozenset, type(None))
+
+
+def _canon_value(v: object) -> str | None:
+    """Canonical repr of a closure/default value for fingerprinting, or
+    None to skip. Scalars repr directly; dicts/lists/sets canonicalize
+    by sorted repr (a factory parameterized by a recipe dict — e.g. an
+    epochs_permyriad mapping — must change the fingerprint when the
+    dict changes; the scalar-only scan silently skipped those, the
+    exact gap the round-12 hardening set out to close — ADVICE r12).
+    Callables/modules/DataFrames etc. stay skipped: their identity is
+    environment-dependent and their LOGIC is already covered by
+    getsource of the plan function that calls them."""
+    if isinstance(v, _SCALAR):
+        return repr(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_canon_value(k)}:{_canon_value(x)}" for k, x in sorted(
+                v.items(), key=lambda kv: repr(kv[0]))
+        ) + "}"
+    if isinstance(v, (list, set)):
+        items = sorted(v, key=repr) if isinstance(v, set) else v
+        return "[" + ",".join(str(_canon_value(x)) for x in items) + "]"
+    return None
+
+
+def _fn_fingerprint_src(fn: QueryFn) -> str:
+    """Source text + canonicalized closure/default parameters — the
+    per-query payload :func:`registry_fingerprint` digests."""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins / dynamically built fns
+        src = repr(fn)
+    extras = []
+    for cell in fn.__closure__ or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:  # empty cell
+            continue
+        c = _canon_value(v)
+        if c is not None:
+            extras.append(c)
+    for v in fn.__defaults__ or ():
+        c = _canon_value(v)
+        if c is not None:
+            extras.append(c)
+    return src + "|" + "|".join(extras)
+
+
 def registry_fingerprint() -> str:
     """Stable 12-hex-digit digest of the registry CONTENT: sorted names,
     each query's oracle TEXT (not just presence — editing an oracle must
     invalidate sweeps, per ADVICE r10), and a digest of the plan
-    function's source PLUS any scalar closure/default parameters.
-    Closure values matter (round-12 review finding): a factory-built
-    query like ``_temperature_query(0.25, 2500, "temp25")`` has
-    byte-identical ``getsource`` for every parameterization, so without
-    the cell contents a Spark-side parameter edit would be mechanically
+    function's source PLUS any closure/default parameters (scalars AND
+    dict/list recipes — ADVICE r12). Closure values matter (round-12
+    review finding): a factory-built query like
+    ``_temperature_query(0.25, 2500, "temp25")`` has byte-identical
+    ``getsource`` for every parameterization, so without the cell
+    contents a Spark-side parameter edit would be mechanically
     undetectable. Artifacts that sweep the whole registry
     (PLAN_AUDIT.md, PARITY_r*.md) embed the digest so a sweep generated
     against an older registry — renamed, added, OR logic-edited — is
     detectable as stale; tests compare the embedded value against the
     live one."""
     import hashlib
-    import inspect
-
-    _SCALAR = (int, float, str, bool, bytes, tuple, frozenset, type(None))
-
-    def _fn_src(s: QuerySpec) -> str:
-        try:
-            src = inspect.getsource(s.fn)
-        except (OSError, TypeError):  # builtins / dynamically built fns
-            src = repr(s.fn)
-        extras = []
-        for cell in s.fn.__closure__ or ():
-            try:
-                v = cell.cell_contents
-            except ValueError:  # empty cell
-                continue
-            if isinstance(v, _SCALAR):
-                extras.append(repr(v))
-        if s.fn.__defaults__:
-            extras.extend(
-                repr(v) for v in s.fn.__defaults__ if isinstance(v, _SCALAR)
-            )
-        return src + "|" + "|".join(extras)
 
     surface = "\n".join(
         f"{n}:{hashlib.md5((s.oracle or 'rows-only').encode()).hexdigest()}"
-        f":{hashlib.md5(_fn_src(s).encode()).hexdigest()}"
+        f":{hashlib.md5(_fn_fingerprint_src(s.fn).encode()).hexdigest()}"
         for n, s in sorted(all_queries().items())
     )
     return hashlib.md5(surface.encode()).hexdigest()[:12]

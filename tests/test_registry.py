@@ -132,3 +132,33 @@ def test_rotation_reserved_block_in_window():
         f"reserved rotation slots displaced from the driver window "
         f"(shrink the additions list, not the reserved block): {displaced}"
     )
+
+
+def test_fingerprint_sees_dict_and_list_closure_params():
+    """ADVICE r12: a factory parameterized by a dict or list recipe (the
+    epoch_repeat pattern) has byte-identical getsource across
+    parameterizations — the fingerprint must still distinguish them, or
+    editing a recipe would leave every sweep artifact mechanically
+    'fresh'. Scalars were covered in round 12; this pins the container
+    types, including nesting and dict key order irrelevance."""
+    from appengine_mapreduce_spark.plans.registry import (
+        _canon_value,
+        _fn_fingerprint_src,
+    )
+
+    def factory(recipe, weights):
+        def q(spark, sf_dir):
+            return recipe, weights
+        return q
+
+    a = _fn_fingerprint_src(factory({"fr": 25000, "zh": 5000}, [1, 2]))
+    b = _fn_fingerprint_src(factory({"fr": 25000, "zh": 9999}, [1, 2]))
+    c = _fn_fingerprint_src(factory({"fr": 25000, "zh": 5000}, [2, 1]))
+    d = _fn_fingerprint_src(factory({"zh": 5000, "fr": 25000}, [1, 2]))
+    assert a != b, "dict value edit must change the fingerprint payload"
+    assert a != c, "list order is meaningful and must be captured"
+    assert a == d, "dict insertion order is not meaningful"
+    # nested containers canonicalize too
+    assert _canon_value({"a": [1, {"b": 2}]}) != _canon_value({"a": [1, {"b": 3}]})
+    # non-capturable values skip without error and without collision noise
+    assert _canon_value(object()) is None

@@ -492,3 +492,46 @@ def test_epoch_repeat_counts_bit_identical_to_duckdb_on_random_recipes(spark):
             SELECT k, n FROM r WHERE n >= 1
         """).fetchall()
         assert got == dict(duck), (trial, recipe, default)
+
+
+def test_temperature_alpha_validated_eagerly():
+    """Non-portable alphas must fail AT THE CALL SITE (ADVICE r12):
+    dispatch is exact-float, so a computed 0.75000000001 — or any
+    non-float type that merely compares equal, like numpy float32(0.5)
+    — raises from temperature_sample/temperature_rates directly, not
+    lazily from _alpha_weight inside plan construction."""
+    import numpy as np
+    import pytest as _pt
+
+    from appengine_mapreduce_spark.operators.sampling import (
+        _validate_alpha,
+        alpha_weight_sql,
+        temperature_rates,
+        temperature_sample,
+    )
+
+    for bad in (0.75000000001, 0.6, 1.0, 0, np.float32(0.5),
+                np.float64(0.25), "0.5", None):
+        with _pt.raises(ValueError, match="not portable"):
+            _validate_alpha(bad)
+        with _pt.raises(ValueError, match="not portable"):
+            # df arg never touched before validation -> None suffices,
+            # proving the check fires before any plan is built
+            temperature_sample(None, key="k", strata_col="s", alpha=bad)
+        with _pt.raises(ValueError, match="not portable"):
+            temperature_rates(None, strata_col="s", alpha=bad)
+        with _pt.raises(ValueError, match="not portable"):
+            alpha_weight_sql("w", bad)
+    for ok in (0.25, 0.5, 0.75):
+        _validate_alpha(ok)  # does not raise
+
+
+def test_epoch_repeat_drops_internal_column(spark):
+    """The DIV-staged permyriad column is implementation detail — output
+    schema is input schema + epoch, nothing else."""
+    from appengine_mapreduce_spark.operators.sampling import epoch_repeat
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    out = epoch_repeat(df, key="k", strata_col="s",
+                       epochs_permyriad={"a": 20000})
+    assert out.columns == ["k", "s", "epoch"]
