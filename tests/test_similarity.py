@@ -263,6 +263,24 @@ def test_two_sided_adaptive_bucket_bounds_hot_buckets(spark):
     assert {h.vec_id for h in twin_hits} == {500, 501}
     assert twin_hits[0].cosine == pytest.approx(1.0, abs=1e-4)
 
+    # DEFAULT path (VERDICT r12 ask #3: adaptive is now the default —
+    # extra_bits=4, max_bucket_size=64): the 202-row hot bucket exceeds
+    # the default bound too, so calling with NO bucketing args must
+    # sub-split (bounded buckets) AND still find the planted twins.
+    cb_d, qb_d = two_sided_adaptive_bucket(
+        corpus, queries.select("query_id", F.col("embedding").alias("_qv")),
+        base_bits=6, extra_bits=4, max_bucket_size=64,
+        corpus_vec_col="embedding", query_vec_col="_qv",
+    )
+    d_sizes = [r.n for r in
+               cb_d.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(d_sizes) <= 64, d_sizes
+    d_hits = sign_lsh_batch_topk(corpus, queries, k=2, num_bits=6).collect()
+    d_by_q = {}
+    for r in d_hits:
+        d_by_q.setdefault(r.query_id, []).append(r)
+    assert {h.vec_id for h in d_by_q[9500]} == {500, 501}
+
 
 def test_two_sided_adaptive_bucket_cohabitation_property(spark):
     """Formal contract on random data: for ANY (corpus row, query) pair,
@@ -332,7 +350,13 @@ def test_bucket_both_sides_rejects_half_specified_adaptive(spark):
         [(0, [1.0, 1.0]), (1, [1.0, 0.9])],
         "vec_id long, embedding array<double>")
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    # defaults are ADAPTIVE (r12 flip); overriding only half the pair
+    # toward fixed must raise, both directions
     with pytest.raises(ValueError, match="extra_bits"):
-        sign_lsh_batch_topk(df, q, extra_bits=4)
+        sign_lsh_batch_topk(df, q, extra_bits=0)
     with pytest.raises(ValueError, match="extra_bits"):
-        sign_lsh_batch_topk(df, q, max_bucket_size=10)
+        sign_lsh_batch_topk(df, q, max_bucket_size=None)
+    # explicit full fixed-bucket opt-out still works
+    assert sign_lsh_batch_topk(
+        df, q, num_bits=2, extra_bits=0, max_bucket_size=None
+    ).count() > 0
