@@ -62,49 +62,58 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cosine_topk", "ivf_topk", "minhash_lsh_pairs",
     "phrases_demo", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- round-12 changed plans (re-witness at the new shape; every
-    # round-7..11 addition previously here has a green CORRECTNESS_r11
-    # row, so those slots are free):
-    #   hard_negatives_topk / batch_ann_topk — adaptive two-sided
-    #     hot-bucket sub-splitting (VERDICT r11 ask #3);
-    #   temperature_mixture_sample — alpha-generalized rate arithmetic +
-    #     non-positive-weight stratum drop;
-    #   curriculum_quality_buckets — NULL-score bucket handling.
-    "hard_negatives_topk", "batch_ann_topk",
-    "temperature_mixture_sample", "curriculum_quality_buckets",
-    # ---- round-12 additions:
-    "temperature_mixture_alpha25", "temperature_mixture_alpha75",
-    "epoch_repeat_mixture", "ivf_assign_incremental",
+    # ---- round-13 changed plans (re-witness at the new shape; every
+    # round-12 entry previously here has a green CORRECTNESS_r12 row,
+    # so those slots are free):
+    #   epoch_repeat_mixture — DIV-exact integer epoch division
+    #     (ADVICE r12; oracle unchanged, Spark plan changed).
+    "epoch_repeat_mixture",
+    # ---- round-13 additions:
+    #   data_recipe_pack_stats — the end-to-end epoch_repeat →
+    #     temperature_sample → pack_by_token_budget recipe capstone
+    #     (VERDICT r12 ask #4).
+    "data_recipe_pack_stats",
     # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
     # slots that new additions must NOT displace — guard-tested by
     # tests/test_registry.py::test_rotation_reserved_block_in_window.
     # Future rounds refresh the names from `tools/witness_ledger.py`
-    # but keep the block size >= 3.) This round: the entire r1 and r2
-    # stale-witness tail:
-    "cube_order_stats", "distinct_agg_combo", "running_customer_totals",
-    "scalar_functions_projection", "simhash_hamming_pairs",
-    "dynamic_props_filter", "line_input_gzip", "union_concat",
-    # ---- additional round-12 rotations (stalest family-diverse r3-r5
-    # witnesses per witness_ledger; displaceable by later round-12
-    # additions, freshest first from the tail):
-    "incremental_agg_refresh", "jpeg_pixel_decode", "lang_id_pred",
-    "mapreduce_api_chained", "merge_upsert_customers",
-    "mix_corpus_to_target", "partitioned_layout_pruned",
-    "sql_interface_revenue", "bucketed_join_revenue",
+    # but keep the block size >= 3.) This round: the ENTIRE r2-era
+    # stale-witness tail (15 — includes the three picks pre-named at
+    # round-12 close: customer_order_totals, dedup_exact_stats,
+    # zip_toc_members; VERDICT r12 ask #1 suggested widening, so the
+    # whole bucket goes at once and the histogram starts at r3):
+    "customer_order_totals", "dedup_exact_stats", "dedup_normalized",
+    "embedding_near_dup_pairs", "event_type_pivot",
+    "median_quantity_by_flag", "minhash_signatures",
+    "orders_with_heavy_items", "q10_returned_customers",
+    "q14_promo_revenue", "q19_disjunctive_filter", "rollup_order_stats",
+    "set_ops_users", "top_customers_per_nation", "zip_toc_members",
+    # ---- additional round-13 rotations (stalest family-diverse r3
+    # witnesses per witness_ledger; displaceable by later round-13
+    # additions):
+    "cc_star_components", "csv_roundtrip", "daily_active_users",
+    "glob_file_lines", "ngram_jaccard_pairs", "png_decode_meta",
+    "q11_important_stock", "records_roundtrip",
 )
 
 # Rotation slots that later additions may never displace (see the
 # reserved block comment above; tests/test_registry.py enforces both
 # membership in the checked window and a minimum size).
-# Round-13 rotation picks, precomputed from `tools/witness_ledger.py`
-# at round-12 close (stalest family-diverse after this round's 21
-# rotations land): customer_order_totals, dedup_exact_stats,
-# zip_toc_members — all last witnessed r2. Refresh this block with
-# those names (plus ledger re-run) at round-13 open.
+# Round-14 rotation picks, precomputed from `tools/witness_ledger.py`
+# at round-13 close (the r3-era leftovers after this round's 23
+# rotations land — the whole remaining r3 bucket, family-diverse by
+# construction): consecutive_longs, dynamic_props_agg,
+# json_lines_roundtrip, line_input_offsets, pii_scan_redact,
+# q11 is witnessed this round so next-stalest tpch is in r4;
+# tfidf_top_terms, weekly_retention, zip_line_records. Refresh this
+# block with those names (plus a ledger re-run) at round-14 open.
 _ROTATION_RESERVED: tuple[str, ...] = (
-    "cube_order_stats", "distinct_agg_combo", "running_customer_totals",
-    "scalar_functions_projection", "simhash_hamming_pairs",
-    "dynamic_props_filter", "line_input_gzip", "union_concat",
+    "customer_order_totals", "dedup_exact_stats", "dedup_normalized",
+    "embedding_near_dup_pairs", "event_type_pivot",
+    "median_quantity_by_flag", "minhash_signatures",
+    "orders_with_heavy_items", "q10_returned_customers",
+    "q14_promo_revenue", "q19_disjunctive_filter", "rollup_order_stats",
+    "set_ops_users", "top_customers_per_nation", "zip_toc_members",
 )
 
 

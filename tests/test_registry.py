@@ -162,3 +162,57 @@ def test_fingerprint_sees_dict_and_list_closure_params():
     assert _canon_value({"a": [1, {"b": 2}]}) != _canon_value({"a": [1, {"b": 3}]})
     # non-capturable values skip without error and without collision noise
     assert _canon_value(object()) is None
+
+
+def test_witness_staleness_bounded():
+    """Rotation-debt ceiling (VERDICT r12 ask #7): the never-witnessed
+    guard above only catches queries with NO driver row ever; nothing
+    stopped a once-witnessed query from going stale indefinitely. This
+    bounds the tail: every registry query must either sit in the
+    CURRENT window (scheduled for the next driver run) or have a green
+    driver row within MAX_STALENESS_ROUNDS of the newest committed
+    artifact. The threshold passes at the round-13 state (worst
+    non-window witness is r3 against the r12 artifact, gap 9) and
+    FORCES each round's rotation to keep draining the oldest bucket —
+    tighten it as the tail clears (target: ~5 once the r4/r5 buckets
+    are gone)."""
+    import glob
+    import json
+    import os
+    import re
+
+    MAX_STALENESS_ROUNDS = 9
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    newest = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        newest = max(newest, rnd)
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if name not in qs:
+                    continue
+                full = row.get("hash_match") and row.get("rows_match")
+                rows_only = (
+                    qs[name].oracle is None
+                    and row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if full or rows_only:
+                    last[name] = max(last.get(name, 0), rnd)
+
+    too_stale = sorted(
+        (newest - rnd, name)
+        for name, rnd in last.items()
+        if name not in window and newest - rnd > MAX_STALENESS_ROUNDS
+    )
+    assert not too_stale, (
+        f"queries last driver-witnessed more than {MAX_STALENESS_ROUNDS} "
+        f"rounds before the newest artifact (r{newest}) and NOT scheduled "
+        f"in the current window — rotate them into _CURATED_FIRST: "
+        f"{too_stale}"
+    )
