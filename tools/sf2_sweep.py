@@ -3,6 +3,11 @@
 run the frozen 25-headliner bench suite at an sf2 fixture
 (tools/gen_sf.py --mult 20) and report per-query sf1→sf2 exponents
 (log2 ratio over the 2× data growth, so 1.0 = linear, 0.0 = flat).
+Round 13 additions (VERDICT r12 asks #5/#6): a STANDING sf4 phase
+(tools/gen_sf.py --mult 40) re-measuring the capstones plus this run's
+worst noop anchors for a third doubling each round, and limit-preserving
+noop twins for the TakeOrderedAndProject suspects (q3/q5) so they
+self-classify from the artifact instead of out-of-band re-measurement.
 
 Each suite runs in its OWN subprocess: a shared JVM measured sf1-then-
 sf2 inflated the sf2 numbers ~15% with 2× run-to-run spread (accumulated
@@ -84,6 +89,43 @@ for name in {noop_queries!r}:
 print("@@RESULT@@" + json.dumps(out))
 """
 
+# Limit-preserving noop twins (VERDICT r12 ask #6): q3/q5 could not be
+# noop-timed directly — a noop sink rewrites an ORDER BY + LIMIT plan
+# from TakeOrderedAndProject into a global sort (measured 3x slower on
+# q21), so round 12 had to re-measure them out-of-band when their
+# in-suite collect exponents wobbled. Twins that time the USER'S plan
+# with zero driver buffers:
+#   q3: count+sum over the top-k subquery — the aggregate consumes the
+#       sort column, so TakeOrderedAndProject(limit=10) survives intact
+#       (plan-verified round 13); the wrapper adds one 10-row aggregate.
+#   q5: a direct noop write — its plan has no ORDER BY at all (it was
+#       only excluded from _NOOP_QUERIES as small-result), so the noop
+#       sink changes nothing.
+_LIMIT_NOOP_QUERIES = ("q3_top_orders", "q5_region_revenue")
+_LIMIT_NOOP_CODE = """
+import sys, json, time, statistics
+sys.path.insert(0, {repo!r})
+from appengine_mapreduce_spark.session import get_spark
+from appengine_mapreduce_spark.plans import bench_queries
+from pyspark.sql import functions as F
+spark = get_spark(app_name={label!r})
+spark.sparkContext.setLogLevel("ERROR")
+specs = bench_queries()
+out = {{}}
+for name in {noop_queries!r}:
+    runs = []
+    for rnd in range(4):  # round 0 = warmup, discarded
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, {sf_dir!r})
+        if name == "q3_top_orders":
+            df = df.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("revenue").alias("s"))
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    out[name] = round(statistics.median(runs[1:]), 4)
+print("@@RESULT@@" + json.dumps(out))
+"""
+
 
 # Capstone anchor (VERDICT r9 ask #6): the two whole-pipeline plans at
 # sf2, closing the sf0.1 -> sf1 -> sf2 exponent series. collect()-timed
@@ -135,9 +177,10 @@ def _cpu_stat() -> "tuple[int, int, int]":
     return steal, idle, io_us
 
 
-def _child(code_tmpl: str, sf_dir: str, label: str) -> dict:
+def _child(code_tmpl: str, sf_dir: str, label: str,
+           queries: "tuple | None" = None) -> dict:
     code = code_tmpl.format(repo=REPO, sf_dir=sf_dir, label=label,
-                            noop_queries=_NOOP_QUERIES,
+                            noop_queries=queries or _NOOP_QUERIES,
                             capstones=_CAPSTONE_NAMES)
     # Per-phase host-CPU attribution (round 10): the round-10 first sweep
     # attempt was silently wrecked by a host steal burst during the sf1
@@ -168,19 +211,54 @@ def _suite(sf_dir: str, label: str) -> dict:
     return _child(_CHILD_CODE, sf_dir, label)
 
 
+def _noop_merge(out: dict) -> None:
+    """Recompute the sf1→sf2 noop exponents from the (possibly twin-
+    merged) per-SF noop maps."""
+    out["noop_exponent_sf1_to_sf2_log2"] = {
+        n: round(math.log2(
+            max(out["sf2_noop_queries"][n], 1e-4)
+            / max(out["sf1_noop_queries"][n], 1e-4)), 2)
+        for n in out["sf1_noop_queries"]
+        if n in out["sf2_noop_queries"]
+    }
+    out["worst_noop_exponent"] = max(
+        out["noop_exponent_sf1_to_sf2_log2"].values())
+
+
+def _sf4_merge(out: dict) -> None:
+    """Recompute the sf2→sf4 exponents (third doubling) for whatever
+    anchors the sf4 noop phase measured, plus the capstones."""
+    if "sf4_noop_queries" in out:
+        out["noop_exponent_sf2_to_sf4_log2"] = {
+            n: round(math.log2(
+                max(out["sf4_noop_queries"][n], 1e-4)
+                / max(out["sf2_noop_queries"][n], 1e-4)), 2)
+            for n in out["sf4_noop_queries"]
+            if n in out["sf2_noop_queries"]
+        }
+        out["worst_noop_exponent_sf2_to_sf4"] = max(
+            out["noop_exponent_sf2_to_sf4_log2"].values())
+    for blk in out["capstones"].values():
+        if "sf4_sec" in blk:
+            blk["scaling_exponent_sf2_to_sf4_log2"] = round(
+                math.log2(max(blk["sf4_sec"], 1e-4)
+                          / max(blk["sf2_sec"], 1e-4)), 2)
+
+
 def _redo_phases(artifact: str, phases: "list[str]",
-                 sf1_dir: str, sf2_dir: str) -> None:
+                 sf_dirs: "dict[str, str]") -> None:
     """Re-measure selected phases and merge into an existing artifact —
     burst recovery on a shared host: when phase_cpu shows a steal burst
     wrecked one phase (round-10 hit three sweeps in a row in different
     windows), re-run just that phase in a quiet window instead of
-    rolling the dice on the whole ~35 min sweep again. Updated
+    rolling the dice on the whole ~40 min sweep again. Updated
     phase_cpu entries ride along, so the artifact still self-attributes."""
     with open(artifact) as fh:
         out = json.load(fh)
     for ph in phases:
-        sf_dir = sf1_dir if ph.endswith("sf1") else sf2_dir
-        key = "sf1" if ph.endswith("sf1") else "sf2"
+        key = ph.rsplit("sf", 1)[-1]
+        key = f"sf{key}"
+        sf_dir = sf_dirs[key]
         if ph.startswith("cap"):
             res = _child(_CAPSTONE_CODE, sf_dir, ph)
             for n, v in res.items():
@@ -189,17 +267,30 @@ def _redo_phases(artifact: str, phases: "list[str]",
                 blk["scaling_exponent_log2"] = round(
                     math.log2(max(blk["sf2_sec"], 1e-4)
                               / max(blk["sf1_sec"], 1e-4)), 2)
+            _sf4_merge(out)
+        elif ph.startswith("limitnoop"):
+            res = _child(_LIMIT_NOOP_CODE, sf_dir, ph,
+                         queries=_LIMIT_NOOP_QUERIES)
+            out[f"{key}_noop_queries"].update(res)
+            _noop_merge(out)
+        elif ph.startswith("noop") and key == "sf4":
+            anchors = tuple(n for n in out.get("sf4_noop_queries", ())
+                            if n not in _LIMIT_NOOP_QUERIES)
+            res = _child(_NOOP_CODE, sf_dir, ph, queries=anchors)
+            res.update(_child(_LIMIT_NOOP_CODE, sf_dir, f"limit{ph}",
+                              queries=_LIMIT_NOOP_QUERIES))
+            out["sf4_noop_queries"] = res
+            _sf4_merge(out)
         elif ph.startswith("noop"):
+            prev = out.get(f"{key}_noop_queries", {})
             res = _child(_NOOP_CODE, sf_dir, ph)
+            # keep the limit twins' previous numbers (they are measured
+            # by their own limitnoop-{sf} phase, not this one)
+            for n in _LIMIT_NOOP_QUERIES:
+                if n in prev:
+                    res[n] = prev[n]
             out[f"{key}_noop_queries"] = res
-            out["noop_exponent_sf1_to_sf2_log2"] = {
-                n: round(math.log2(
-                    max(out["sf2_noop_queries"][n], 1e-4)
-                    / max(out["sf1_noop_queries"][n], 1e-4)), 2)
-                for n in out["sf1_noop_queries"]
-            }
-            out["worst_noop_exponent"] = max(
-                out["noop_exponent_sf1_to_sf2_log2"].values())
+            _noop_merge(out)
         else:
             res = _child(_CHILD_CODE, sf_dir, ph)
             out[f"{key}_total"] = res["value"]
@@ -220,10 +311,12 @@ def _redo_phases(artifact: str, phases: "list[str]",
     print(f"# merged phases {phases} into {artifact}", file=sys.stderr)
     print(json.dumps({k: out[k] for k in (
         "sf1_total", "sf2_total", "worst_exponent",
-        "worst_noop_exponent", "capstones")}))
+        "worst_noop_exponent", "capstones") if k in out}))
 
 
-_VALID_PHASES = ("sf1", "sf2", "noop-sf1", "noop-sf2", "cap-sf1", "cap-sf2")
+_VALID_PHASES = ("sf1", "sf2", "noop-sf1", "noop-sf2", "cap-sf1",
+                 "cap-sf2", "limitnoop-sf1", "limitnoop-sf2",
+                 "noop-sf4", "cap-sf4")
 
 
 def main() -> None:
@@ -252,29 +345,63 @@ def main() -> None:
         REPO, "testdata", "sf2")
     sf1_dir = args[1] if len(args) > 1 else os.path.join(
         REPO, "testdata", "sf1")
+    sf4_dir = args[2] if len(args) > 2 else os.path.join(
+        REPO, "testdata", "sf4")
     if not os.path.isdir(sf2_dir):
         raise SystemExit(f"missing sf2 fixture {sf2_dir} — run "
                          "tools/gen_sf.py --mult 20 first")
+    if not os.path.isdir(sf4_dir):
+        # STANDING sf4 phase (VERDICT r12 ask #5): the third doubling
+        # regenerates every round, not once — hence a hard error, like sf2.
+        raise SystemExit(f"missing sf4 fixture {sf4_dir} — run "
+                         "tools/gen_sf.py --mult 40 first")
     import bench  # for _round_number only — no session in this process
 
     if redo:
         artifact = os.path.join(
             REPO, f"BENCH_SF2_r{bench._round_number()}.json")
-        _redo_phases(artifact, redo[0].split(","), sf1_dir, sf2_dir)
+        _redo_phases(artifact, redo[0].split(","),
+                     {"sf1": sf1_dir, "sf2": sf2_dir, "sf4": sf4_dir})
         return
 
     sf1 = _suite(sf1_dir, "sf1")
     sf2 = _suite(sf2_dir, "sf2")
     noop1 = _child(_NOOP_CODE, sf1_dir, "noop-sf1")
     noop2 = _child(_NOOP_CODE, sf2_dir, "noop-sf2")
+    # limit-preserving twins for the TakeOrderedAndProject suspects
+    # (VERDICT r12 ask #6) — merged into the noop maps so q3/q5
+    # self-classify in the same exponent table as the other anchors
+    noop1.update(_child(_LIMIT_NOOP_CODE, sf1_dir, "limitnoop-sf1",
+                        queries=_LIMIT_NOOP_QUERIES))
+    noop2.update(_child(_LIMIT_NOOP_CODE, sf2_dir, "limitnoop-sf2",
+                        queries=_LIMIT_NOOP_QUERIES))
     cap1 = _child(_CAPSTONE_CODE, sf1_dir, "cap-sf1")
     cap2 = _child(_CAPSTONE_CODE, sf2_dir, "cap-sf2")
+    noop_exponents = {
+        n: round(math.log2(max(noop2[n], 1e-4) / max(noop1[n], 1e-4)), 2)
+        for n in noop1
+    }
+    # third doubling (sf2 → sf4): capstones + this run's worst noop
+    # anchors + the limit twins, so the linearity evidence regenerates
+    # each round instead of resting on the round-12 one-off
+    worst_anchors = tuple(
+        n for n, _ in sorted(noop_exponents.items(),
+                             key=lambda t: -t[1])
+        if n not in _LIMIT_NOOP_QUERIES
+    )[:3]
+    noop4 = _child(_NOOP_CODE, sf4_dir, "noop-sf4", queries=worst_anchors)
+    noop4.update(_child(_LIMIT_NOOP_CODE, sf4_dir, "limitnoop-sf4",
+                        queries=_LIMIT_NOOP_QUERIES))
+    cap4 = _child(_CAPSTONE_CODE, sf4_dir, "cap-sf4")
     capstones = {
         n: {
             "sf1_sec": cap1[n],
             "sf2_sec": cap2[n],
+            "sf4_sec": cap4[n],
             "scaling_exponent_log2": round(
                 math.log2(max(cap2[n], 1e-4) / max(cap1[n], 1e-4)), 2),
+            "scaling_exponent_sf2_to_sf4_log2": round(
+                math.log2(max(cap4[n], 1e-4) / max(cap2[n], 1e-4)), 2),
         }
         for n in cap1
     }
@@ -284,9 +411,9 @@ def main() -> None:
                       / max(sf1["queries"][n], 1e-4)), 2)
         for n in sf1["queries"]
     }
-    noop_exponents = {
-        n: round(math.log2(max(noop2[n], 1e-4) / max(noop1[n], 1e-4)), 2)
-        for n in noop1
+    noop_exponents_sf4 = {
+        n: round(math.log2(max(noop4[n], 1e-4) / max(noop2[n], 1e-4)), 2)
+        for n in noop4 if n in noop2
     }
     out = {
         "metric": "sf2_sweep",
@@ -302,6 +429,9 @@ def main() -> None:
         "sf2_noop_queries": noop2,
         "noop_exponent_sf1_to_sf2_log2": noop_exponents,
         "worst_noop_exponent": max(noop_exponents.values()),
+        "sf4_noop_queries": noop4,
+        "noop_exponent_sf2_to_sf4_log2": noop_exponents_sf4,
+        "worst_noop_exponent_sf2_to_sf4": max(noop_exponents_sf4.values()),
         "capstones": capstones,
         "phase_cpu": _PHASE_CPU,
         "calibration_sec_sf1": sf1["calibration_sec"],
