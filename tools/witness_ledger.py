@@ -68,6 +68,21 @@ def main() -> int:
     print("last-witness-round histogram:",
           {k: hist[k] for k in sorted(hist)})
 
+    # Staleness gap (mirrors tests/test_registry.py::
+    # test_witness_staleness_bounded): worst (newest_artifact - witness)
+    # among queries NOT scheduled in the current window — the number the
+    # guard bounds at 9 and that each round's rotation must keep down.
+    newest = max(last.values(), default=0)
+    gaps = sorted(
+        ((newest - rnd, n) for n, rnd in last.items() if n not in window),
+        reverse=True,
+    )
+    if gaps:
+        worst_gap, worst_name = gaps[0]
+        print(f"worst non-window staleness gap: {worst_gap} rounds "
+              f"({worst_name}, r{newest - worst_gap} vs newest artifact "
+              f"r{newest}; guard bound 9)")
+
     # Stalest rotation candidates, at most one per leading family tag so
     # the rotation spreads across operator families.
     stale = sorted(
