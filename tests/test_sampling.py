@@ -535,3 +535,122 @@ def test_epoch_repeat_drops_internal_column(spark):
     out = epoch_repeat(df, key="k", strata_col="s",
                        epochs_permyriad={"a": 20000})
     assert out.columns == ["k", "s", "epoch"]
+
+
+def test_recipe_composition_bit_identical_to_duckdb_on_random_recipes(spark):
+    """Cross-engine property test for the COMPOSED recipe pipeline
+    (epoch_repeat → row_key identity → temperature_sample →
+    pack_by_token_budget), the chain data_recipe_pack_stats registers
+    with one fixed recipe: over random epoch recipes, alphas, budgets
+    and out-shares — including dropped strata, fractional epochs and
+    zero-weight rows — the per-(stratum, epoch) packing stats Spark
+    materializes must equal DuckDB replaying the same arithmetic. Pins
+    the composition ORDER (temperature rates measured on the
+    post-repetition mass; packing over kept rows in row_key order), not
+    just each stage."""
+    import random
+
+    import duckdb
+
+    from appengine_mapreduce_spark.operators.sampling import (
+        epoch_repeat,
+        pack_by_token_budget,
+        temperature_sample,
+    )
+
+    rng = random.Random(137)
+    for trial in range(3):
+        strata = [f"s{j}" for j in range(rng.randint(2, 4))]
+        recipe = {s: rng.choice([0, 5000, 10000, 15000, 25000,
+                                 rng.randint(0, 30000)])
+                  for s in strata}
+        default = rng.choice([0, 10000])
+        alpha = rng.choice([0.25, 0.5, 0.75])
+        out_pm = rng.choice([2500, 6000, 9000])
+        budget = rng.choice([64, 256, 1024])
+        rows = [(i, strata[i % len(strata)] if i % 5 else "unlisted",
+                 rng.randint(0, 40))
+                for i in range(250)]
+        df = spark.createDataFrame(rows, "k long, s string, w int")
+
+        rep = epoch_repeat(df, key="k", strata_col="s",
+                           epochs_permyriad=recipe,
+                           default_permyriad=default, salt="rcp")
+        keyed = rep.withColumn(
+            "row_key",
+            F.concat(F.lpad(F.col("k").cast("string"), 12, "0"),
+                     F.lit(":"), F.col("epoch").cast("string")))
+        kept = temperature_sample(
+            keyed, key="row_key", strata_col="s", weight_col="w",
+            out_permyriad=out_pm, salt="rcpt", alpha=alpha)
+        packed = pack_by_token_budget(
+            kept, tokens_col="w", budget=budget,
+            order_col="row_key", partition_col="s")
+        got = {
+            (r.s, r.epoch): (r.n, r.tot, r.nb, r.b0, r.b1)
+            for r in packed.groupBy("s", "epoch").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("w").alias("tot"),
+                F.countDistinct("bin").alias("nb"),
+                F.min("bin").alias("b0"),
+                F.max("bin").alias("b1"),
+            ).collect()
+        }
+
+        from appengine_mapreduce_spark.operators.sampling import (
+            alpha_weight_sql,
+        )
+
+        case = " ".join(f"WHEN '{s}' THEN {p}" for s, p in recipe.items())
+        vals = ", ".join(f"({k}, '{s}', {w})" for k, s, w in rows)
+        aw = alpha_weight_sql("CAST(sum(w) AS DOUBLE)", alpha)
+        duck = duckdb.sql(f"""
+            WITH t AS (SELECT * FROM (VALUES {vals}) v(k, s, w)),
+            rep AS (
+              SELECT k, s, w, (tp // 10000) +
+                 (CASE WHEN ('0x' || substr(md5('rcp:' ||
+                    CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000
+                    < tp % 10000 THEN 1 ELSE 0 END) AS n
+              FROM (SELECT *, CASE s {case} ELSE {default} END AS tp FROM t)
+            ),
+            keyed AS (
+              SELECT k, s, w, epoch,
+                     lpad(CAST(k AS VARCHAR), 12, '0') || ':' ||
+                         CAST(epoch AS VARCHAR) AS row_key
+              FROM (SELECT k, s, w,
+                           CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+                    FROM rep WHERE n >= 1)
+            ),
+            per AS (
+              SELECT s, CAST(sum(w) AS BIGINT) AS w_s,
+                     CAST(floor({aw}) AS BIGINT) AS sq_s
+              FROM keyed GROUP BY s HAVING sum(w) > 0
+            ),
+            tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+                           CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM per),
+            rates AS (
+              SELECT s, CAST(floor(least(10000.0,
+                   {float(out_pm)} * ((CAST(w_tot AS DOUBLE) / sq_tot)
+                       * sq_s) / w_s)) AS BIGINT) AS cut
+              FROM per, tot
+            ),
+            kept AS (
+              SELECT k2.* FROM keyed k2 JOIN rates r USING (s)
+              WHERE ('0x' || substr(md5('rcpt:' || row_key), 1, 8))::BIGINT
+                    % 10000 < cut
+            ),
+            binned AS (
+              SELECT s, epoch, w,
+                     CAST(floor((sum(w) OVER (PARTITION BY s
+                           ORDER BY row_key ROWS UNBOUNDED PRECEDING)
+                         - w) / {float(budget)}) AS BIGINT) AS bin
+              FROM kept
+            )
+            SELECT s, epoch, count(*) AS n, CAST(sum(w) AS BIGINT) AS tot,
+                   count(DISTINCT bin) AS nb,
+                   min(bin) AS b0, max(bin) AS b1
+            FROM binned GROUP BY s, epoch
+        """).fetchall()
+        want = {(s, e): (n, tot, nb, b0, b1)
+                for s, e, n, tot, nb, b0, b1 in duck}
+        assert got == want, (trial, recipe, default, alpha, out_pm, budget)
