@@ -177,8 +177,27 @@ def _cpu_stat() -> "tuple[int, int, int]":
     return steal, idle, io_us
 
 
+def _pretouch(sf_dir: str) -> None:
+    """Stream the fixture's parquet through the page cache before a
+    timed child. Round-13 sf8 finding: this host pins page cache at
+    ~4 GB, so a fresh child's first pass pays partially-cold reads at
+    whatever the SF's byte size is — at 2-6 s query runtimes that IO
+    term swamped the doubling signal (>50% swing between identical
+    children). The warmup round inside the child does NOT fully absorb
+    it (shuffle/JVM churn evicts). Exponents should measure compute,
+    not cold disk — so warm the files, and let the artifact's
+    io_stall_us_d show any residual."""
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def _child(code_tmpl: str, sf_dir: str, label: str,
            queries: "tuple | None" = None) -> dict:
+    _pretouch(sf_dir)
     code = code_tmpl.format(repo=REPO, sf_dir=sf_dir, label=label,
                             noop_queries=queries or _NOOP_QUERIES,
                             capstones=_CAPSTONE_NAMES)
