@@ -359,12 +359,16 @@ def epoch_repeat(
     # truncate form was numerically equivalent for every realistic
     # permyriad but only by argument-range analysis (ADVICE r12); DIV
     # makes the two engines the same function by construction, like
-    # mix_to_target's cut.
+    # mix_to_target's cut. The staged column name must not clobber a
+    # caller's column (the pre-DIV implementation added none).
+    tp_col = "_ep_tp"
+    while tp_col in df.columns:
+        tp_col += "_"
     staged = df.withColumn(
-        "_ep_tp", _permyriad_case(strata_col, epochs_permyriad, default_permyriad)
+        tp_col, _permyriad_case(strata_col, epochs_permyriad, default_permyriad)
     )
-    n_full = F.expr("_ep_tp DIV 10000").cast("int")
-    frac_cut = F.col("_ep_tp") % F.lit(10000)
+    n_full = F.expr(f"`{tp_col}` DIV 10000").cast("int")
+    frac_cut = F.col(tp_col) % F.lit(10000)
     extra = F.when(
         sample_bucket(F.col(key), salt) < frac_cut, F.lit(1)
     ).otherwise(F.lit(0))
@@ -375,7 +379,7 @@ def epoch_repeat(
     seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    return staged.withColumn("epoch", F.explode(seq)).drop("_ep_tp")
+    return staged.withColumn("epoch", F.explode(seq)).drop(tp_col)
 
 
 def quantile_buckets(

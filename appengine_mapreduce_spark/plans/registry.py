@@ -182,29 +182,44 @@ def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in all_queries().items() if v.bench}
 
 
-_SCALAR = (int, float, str, bool, bytes, tuple, frozenset, type(None))
+_SCALAR = (int, float, str, bool, bytes, type(None))
 
 
 def _canon_value(v: object) -> str | None:
     """Canonical repr of a closure/default value for fingerprinting, or
-    None to skip. Scalars repr directly; dicts/lists/sets canonicalize
-    by sorted repr (a factory parameterized by a recipe dict — e.g. an
+    None to skip. Scalars (and all-scalar tuples, whose repr is already
+    deterministic — kept on the repr fast path for digest compatibility
+    with earlier rounds) repr directly; dicts/lists/sets/frozensets and
+    mixed tuples canonicalize recursively with sorted keys/elements, so
+    insertion order and per-process hash order never leak into the
+    digest (a factory parameterized by a recipe dict — e.g. an
     epochs_permyriad mapping — must change the fingerprint when the
-    dict changes; the scalar-only scan silently skipped those, the
-    exact gap the round-12 hardening set out to close — ADVICE r12).
-    Callables/modules/DataFrames etc. stay skipped: their identity is
+    dict changes, and must NOT change it when only ordering does; the
+    scalar-only scan silently skipped containers entirely — ADVICE
+    r12, tightened for nested containers by the round-13 review).
+    A container holding any un-canonicalizable element (callable,
+    module, DataFrame…) is skipped WHOLE — a bare repr there would
+    embed a memory address and make the fingerprint differ every
+    process. Callables etc. themselves stay skipped: their identity is
     environment-dependent and their LOGIC is already covered by
     getsource of the plan function that calls them."""
     if isinstance(v, _SCALAR):
         return repr(v)
+    if isinstance(v, tuple) and all(isinstance(x, _SCALAR) for x in v):
+        return repr(v)
     if isinstance(v, dict):
-        return "{" + ",".join(
-            f"{_canon_value(k)}:{_canon_value(x)}" for k, x in sorted(
-                v.items(), key=lambda kv: repr(kv[0]))
-        ) + "}"
-    if isinstance(v, (list, set)):
-        items = sorted(v, key=repr) if isinstance(v, set) else v
-        return "[" + ",".join(str(_canon_value(x)) for x in items) + "]"
+        parts = [(_canon_value(k), _canon_value(x)) for k, x in sorted(
+            v.items(), key=lambda kv: repr(kv[0]))]
+        if any(a is None or b is None for a, b in parts):
+            return None
+        return "{" + ",".join(f"{a}:{b}" for a, b in parts) + "}"
+    if isinstance(v, (list, tuple, set, frozenset)):
+        items = (sorted(v, key=repr) if isinstance(v, (set, frozenset))
+                 else list(v))
+        parts = [_canon_value(x) for x in items]
+        if any(p is None for p in parts):
+            return None
+        return "[" + ",".join(parts) + "]"  # type: ignore[arg-type]
     return None
 
 

@@ -162,6 +162,19 @@ def test_fingerprint_sees_dict_and_list_closure_params():
     assert _canon_value({"a": [1, {"b": 2}]}) != _canon_value({"a": [1, {"b": 3}]})
     # non-capturable values skip without error and without collision noise
     assert _canon_value(object()) is None
+    # round-13 review hardening: containers INSIDE tuples/frozensets
+    # canonicalize too (raw repr leaked dict insertion order and memory
+    # addresses), and a container holding any un-canonicalizable element
+    # is skipped whole rather than embedding an address
+    assert _canon_value(({"a": 1, "b": 2},)) == _canon_value(({"b": 2, "a": 1},))
+    assert _canon_value((object(),)) is None
+    assert _canon_value([1, object()]) is None
+    assert _canon_value({"k": object()}) is None
+    # frozensets canonicalize in sorted order, not per-process hash order
+    assert _canon_value(frozenset({"x", "y"})) == _canon_value(frozenset({"y", "x"}))
+    # all-scalar tuples keep their repr (digest compatibility with the
+    # round-12 fast path)
+    assert _canon_value((1, "a", 2.5)) == repr((1, "a", 2.5))
 
 
 def test_witness_staleness_bounded():

@@ -71,3 +71,14 @@ def test_limit_noop_queries_are_bench_anchors():
     for n in m._LIMIT_NOOP_QUERIES:
         assert n in specs, n
     assert "q3_top_orders" in m._LIMIT_NOOP_QUERIES
+
+
+def test_child_rejects_explicit_empty_query_list():
+    """`queries or _NOOP_QUERIES` silently ran the full 12-query suite
+    when a redo computed an empty anchor set (round-13 review); an
+    explicit empty tuple must be an error, None must mean default."""
+    import pytest
+
+    m = _load_sweep()
+    with pytest.raises(SystemExit, match="empty query list"):
+        m._child(m._NOOP_CODE, "/nonexistent", "noop-test", queries=())

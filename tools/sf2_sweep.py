@@ -19,7 +19,8 @@ round-over-round comparability, so the extra decade is additive
 evidence committed as BENCH_SF2_r{N}.json, not a change to the driver's
 per-round bench contract.
 
-Usage: python tools/sf2_sweep.py [sf2_dir] [sf1_dir]
+Usage: python tools/sf2_sweep.py [sf2_dir] [sf1_dir] [sf4_dir]
+                                 [--redo=PHASE[,PHASE...]]
 """
 
 from __future__ import annotations
@@ -197,9 +198,17 @@ def _pretouch(sf_dir: str) -> None:
 
 def _child(code_tmpl: str, sf_dir: str, label: str,
            queries: "tuple | None" = None) -> dict:
+    if queries is not None and not queries:
+        # an explicitly-empty anchor set must not silently fall back to
+        # the full 12-query suite (review r13: --redo=noop-sf4 against a
+        # partial artifact would run a multi-hour phase by accident)
+        raise SystemExit(
+            f"phase {label}: empty query list — the artifact being "
+            "redone has no anchors recorded for this phase")
     _pretouch(sf_dir)
     code = code_tmpl.format(repo=REPO, sf_dir=sf_dir, label=label,
-                            noop_queries=queries or _NOOP_QUERIES,
+                            noop_queries=(_NOOP_QUERIES if queries is None
+                                          else queries),
                             capstones=_CAPSTONE_NAMES)
     # Per-phase host-CPU attribution (round 10): the round-10 first sweep
     # attempt was silently wrecked by a host steal burst during the sf1
@@ -292,6 +301,9 @@ def _redo_phases(artifact: str, phases: "list[str]",
                          queries=_LIMIT_NOOP_QUERIES)
             out[f"{key}_noop_queries"].update(res)
             _noop_merge(out)
+            # twin sf2 numbers are denominators of the sf2->sf4
+            # exponents too (review r13)
+            _sf4_merge(out)
         elif ph.startswith("noop") and key == "sf4":
             anchors = tuple(n for n in out.get("sf4_noop_queries", ())
                             if n not in _LIMIT_NOOP_QUERIES)
@@ -310,6 +322,9 @@ def _redo_phases(artifact: str, phases: "list[str]",
                     res[n] = prev[n]
             out[f"{key}_noop_queries"] = res
             _noop_merge(out)
+            # a redone sf2 map also re-bases the sf2->sf4 exponents
+            # (review r13: stale denominators otherwise)
+            _sf4_merge(out)
         else:
             res = _child(_CHILD_CODE, sf_dir, ph)
             out[f"{key}_total"] = res["value"]
@@ -369,9 +384,14 @@ def main() -> None:
     if not os.path.isdir(sf2_dir):
         raise SystemExit(f"missing sf2 fixture {sf2_dir} — run "
                          "tools/gen_sf.py --mult 20 first")
-    if not os.path.isdir(sf4_dir):
-        # STANDING sf4 phase (VERDICT r12 ask #5): the third doubling
-        # regenerates every round, not once — hence a hard error, like sf2.
+    # STANDING sf4 phase (VERDICT r12 ask #5): the third doubling
+    # regenerates every round, not once — hence a hard error like sf2
+    # for a full sweep. A redo only needs the fixtures of the phases it
+    # actually re-measures (review r13: an sf1/sf2-only redo must not
+    # demand sf4 back).
+    needs_sf4 = not redo or any(p.endswith("sf4")
+                                for p in redo[0].split(","))
+    if needs_sf4 and not os.path.isdir(sf4_dir):
         raise SystemExit(f"missing sf4 fixture {sf4_dir} — run "
                          "tools/gen_sf.py --mult 40 first")
     import bench  # for _round_number only — no session in this process

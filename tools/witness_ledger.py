@@ -37,8 +37,10 @@ def main() -> int:
     window = set(list(qs)[:50])
 
     last: dict[str, int] = {}
+    newest_artifact = 0
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        newest_artifact = max(newest_artifact, rnd)
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if name not in qs:
@@ -72,7 +74,10 @@ def main() -> int:
     # test_witness_staleness_bounded): worst (newest_artifact - witness)
     # among queries NOT scheduled in the current window — the number the
     # guard bounds at 9 and that each round's rotation must keep down.
-    newest = max(last.values(), default=0)
+    # Newest comes from the FILENAME round like the test, not from the
+    # witness values — a green-less newest artifact must not shrink the
+    # printed gap below what the guard enforces (review r13).
+    newest = newest_artifact
     gaps = sorted(
         ((newest - rnd, n) for n, rnd in last.items() if n not in window),
         reverse=True,
