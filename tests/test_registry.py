@@ -47,27 +47,23 @@ def test_every_family_has_driver_visible_evidence():
     assert not missing, f"families with no driver-visible evidence: {missing}"
 
 
-def test_never_witnessed_queries_are_in_the_driver_window():
-    """Mechanical window guard (VERDICT r10 "what's wrong" #1): round 10
-    shipped two queries that fell outside the driver's 50-query window
-    and therefore had NO driver witness in any round — the family-tag
-    test above couldn't catch it because the family was already covered.
-    This guard closes that hole: every registry query that has never
-    produced a driver row in any committed CORRECTNESS_r{N}.json (full
-    hash witness for oracled queries; a rows-only row with spark_rows
-    recorded counts for oracle-less queries) MUST sit in the first 50 of
-    ``queries()`` so the NEXT driver run witnesses it. Would have failed
-    on the round-10 repo state."""
+def _witness_rounds(qs) -> "tuple[dict[str, int], int]":
+    """Last green driver-witness round per query (full hash witness for
+    oracled queries; a rows-only row with spark_rows recorded for
+    oracle-less ones) plus the newest committed artifact's round number
+    — shared by the never-witnessed and staleness guards, mirrored by
+    tools/witness_ledger.py."""
     import glob
     import json
     import os
-
-    qs = all_queries()
-    window = set(list(qs)[:50])
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    witnessed: set[str] = set()
+    last: dict[str, int] = {}
+    newest = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        newest = max(newest, rnd)
         with open(path) as f:
             for name, row in json.load(f).items():
                 if name not in qs:
@@ -79,7 +75,24 @@ def test_never_witnessed_queries_are_in_the_driver_window():
                     and row.get("spark_rows") is not None
                 )
                 if full or rows_only:
-                    witnessed.add(name)
+                    last[name] = max(last.get(name, 0), rnd)
+    return last, newest
+
+
+def test_never_witnessed_queries_are_in_the_driver_window():
+    """Mechanical window guard (VERDICT r10 "what's wrong" #1): round 10
+    shipped two queries that fell outside the driver's 50-query window
+    and therefore had NO driver witness in any round — the family-tag
+    test above couldn't catch it because the family was already covered.
+    This guard closes that hole: every registry query that has never
+    produced a driver row in any committed CORRECTNESS_r{N}.json (full
+    hash witness for oracled queries; a rows-only row with spark_rows
+    recorded counts for oracle-less queries) MUST sit in the first 50 of
+    ``queries()`` so the NEXT driver run witnesses it. Would have failed
+    on the round-10 repo state."""
+    qs = all_queries()
+    window = set(list(qs)[:50])
+    witnessed, _ = _witness_rounds(qs)
 
     orphans = [n for n in qs if n not in witnessed and n not in window]
     assert not orphans, (
@@ -189,34 +202,11 @@ def test_witness_staleness_bounded():
     FORCES each round's rotation to keep draining the oldest bucket —
     tighten it as the tail clears (target: ~5 once the r4/r5 buckets
     are gone)."""
-    import glob
-    import json
-    import os
-    import re
-
     MAX_STALENESS_ROUNDS = 9
 
     qs = all_queries()
     window = set(list(qs)[:50])
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
-    newest = 0
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        newest = max(newest, rnd)
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if name not in qs:
-                    continue
-                full = row.get("hash_match") and row.get("rows_match")
-                rows_only = (
-                    qs[name].oracle is None
-                    and row.get("err") == "no_oracle"
-                    and row.get("spark_rows") is not None
-                )
-                if full or rows_only:
-                    last[name] = max(last.get(name, 0), rnd)
+    last, newest = _witness_rounds(qs)
 
     too_stale = sorted(
         (newest - rnd, name)
