@@ -80,12 +80,23 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key), salt) < cut)
 
 
+# Composite bin id stride for the sharded packing mode: bin =
+# shard * 2^40 + local_bin. 2^40 local bins per shard ≈ 1.1e12 —
+# at a 2048-token budget that is ~2.25e15 tokens per (partition, shard)
+# stream before overflow, far beyond any single shard's share of a
+# 100 TB corpus; and with shards ≤ ~8e6 the composite stays inside
+# BIGINT. Exact integer arithmetic in any engine.
+PACK_SHARD_STRIDE = 1 << 40
+
+
 def pack_by_token_budget(
     df: DataFrame,
     tokens_col: str,
     budget: int,
     order_col: str,
     partition_col: str | None = None,
+    shards: int | None = None,
+    shard_salt: str = "pack",
 ) -> DataFrame:
     """Assign each row a ``bin`` id so consecutive rows (in ``order_col``
     order, optionally per ``partition_col``) chunk into ≈``budget``-token
@@ -95,12 +106,48 @@ def pack_by_token_budget(
     shuffle on the partition key; bins may overshoot by at most one
     document (documented, not first-fit bin packing).
 
-    Scale note: omitting ``partition_col`` makes the window GLOBAL — a
-    single-partition sort, fine for dimension-sized inputs only. A 100 TB
-    corpus must pass a partition column (language, source, shard) so the
-    cumsum distributes.
+    Scale note (VERDICT r13): a plain ``partition_col`` is NOT enough at
+    corpus scale. Omitting it makes the window GLOBAL (single-partition
+    sort — dimension-sized inputs only), and a low-cardinality/skewed
+    column like language funnels the dominant stratum (often 60-90% of a
+    pretraining corpus) through ONE sequential window task. Pass
+    ``shards=K`` to split every partition into K independent packing
+    streams: rows route by an engine-portable md5 hash of ``order_col``
+    (``pmod(stable_hash32(shard_salt:order_col), K)``, replayable
+    bit-exactly in the DuckDB oracle), the window partitions by
+    ``(partition_col, _pack_shard)``, and bin ids become the composite
+    ``shard * 2^40 + local_bin`` (exact BIGINT arithmetic; see
+    ``PACK_SHARD_STRIDE``). Training pipelines only need packing order
+    WITHIN a shard — the same shard semantics as the reference's
+    sharded output (python output_writers.py _HashingGCSOutputWriter,
+    java HashingSharder.java), so sharded bins are the drop-in contract.
+    Each extra shard costs at most one under-filled remainder bin per
+    (partition, shard); pick K ≈ executor-core count per heavy stratum.
+
+    The output carries a ``_pack_shard`` column in sharded mode (kept —
+    downstream rollups and plan assertions read it; drop it if unwanted).
     """
     from pyspark.sql import Window
+
+    from appengine_mapreduce_spark.functions.hashing import stable_hash32
+
+    if shards is not None:
+        if shards < 1:
+            raise ValueError("shards must be >= 1")
+        shard = F.pmod(
+            stable_hash32(F.col(order_col).cast("string"), shard_salt),
+            F.lit(shards),
+        ).cast("int")
+        sharded = df.withColumn("_pack_shard", shard)
+        part_keys = ([partition_col] if partition_col else []) + ["_pack_shard"]
+        w = Window.partitionBy(*part_keys).orderBy(order_col)
+        cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+        local_bin = F.floor(cum_before / F.lit(budget))
+        return sharded.withColumn(
+            "bin",
+            F.col("_pack_shard").cast("bigint") * F.lit(PACK_SHARD_STRIDE)
+            + local_bin,
+        )
 
     if partition_col:
         w = Window.partitionBy(partition_col).orderBy(order_col)

@@ -62,58 +62,74 @@ _CURATED_FIRST: tuple[str, ...] = (
     "cosine_topk", "ivf_topk", "minhash_lsh_pairs",
     "phrases_demo", "q18_large_orders",
     "simhash_fingerprints", "decontaminate_overlap",
-    # ---- round-13 changed plans (re-witness at the new shape; every
-    # round-12 entry previously here has a green CORRECTNESS_r12 row,
+    # ---- round-14 changed plans (re-witness at the new shape; every
+    # round-13 entry previously here has a green CORRECTNESS_r13 row,
     # so those slots are free):
-    #   epoch_repeat_mixture — DIV-exact integer epoch division
-    #     (ADVICE r12; oracle unchanged, Spark plan changed).
-    "epoch_repeat_mixture",
-    # ---- round-13 additions:
-    #   data_recipe_pack_stats — the end-to-end epoch_repeat →
-    #     temperature_sample → pack_by_token_budget recipe capstone
-    #     (VERDICT r12 ask #4).
-    "data_recipe_pack_stats",
+    #   data_recipe_pack_stats / token_budget_packing /
+    #   packing_efficiency_stats — pack_by_token_budget switched to the
+    #   SHARDED window (VERDICT r13 ask #3: partition by
+    #   (lang, md5-shard(order_col)) so a dominant language no longer
+    #   funnels through one window partition; composite bin ids; oracle
+    #   replays the shard hash bit-exactly).
+    "data_recipe_pack_stats", "token_budget_packing",
+    "packing_efficiency_stats",
     # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
     # slots that new additions must NOT displace — guard-tested by
     # tests/test_registry.py::test_rotation_reserved_block_in_window.
     # Future rounds refresh the names from `tools/witness_ledger.py`
-    # but keep the block size >= 3.) This round: the ENTIRE r2-era
-    # stale-witness tail (15 — includes the three picks pre-named at
-    # round-12 close: customer_order_totals, dedup_exact_stats,
-    # zip_toc_members; VERDICT r12 ask #1 suggested widening, so the
-    # whole bucket goes at once and the histogram starts at r3):
-    "customer_order_totals", "dedup_exact_stats", "dedup_normalized",
-    "embedding_near_dup_pairs", "event_type_pivot",
-    "median_quantity_by_flag", "minhash_signatures",
-    "orders_with_heavy_items", "q10_returned_customers",
-    "q14_promo_revenue", "q19_disjunctive_filter", "rollup_order_stats",
-    "set_ops_users", "top_customers_per_nation", "zip_toc_members",
-    # ---- additional round-13 rotations (stalest family-diverse r3
-    # witnesses per witness_ledger; displaceable by later round-13
-    # additions):
-    "cc_star_components", "csv_roundtrip", "daily_active_users",
-    "glob_file_lines", "ngram_jaccard_pairs", "png_decode_meta",
-    "q11_important_stock", "records_roundtrip",
+    # but keep the block size >= 3.) This round (VERDICT r13 ask #1):
+    # the ENTIRE remaining r3-era tail (8, pre-named at round-13 close
+    # in this very block's comment) plus 14 family-diverse r4-era picks
+    # — the r3 bucket hits 0 and r4 drops 24→10:
+    "consecutive_longs", "dynamic_props_agg", "json_lines_roundtrip",
+    "line_input_offsets", "pii_scan_redact", "tfidf_top_terms",
+    "weekly_retention", "zip_line_records",
+    # ---- r4-era picks (witness_ledger r4 bucket, one per family where
+    # possible: video, cdc, pipeline, quality, dedup, sinks, jpeg,
+    # tpch×2, skew-join, semantic-dedup, sessionization, streaming,
+    # layout):
+    "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
+    "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
+    "footer_stats_orders", "jpeg_progressive_decode",
+    "q12_late_shipment_priority", "q4_order_priority",
+    "salted_join_priority_revenue", "semantic_dedup_keepers",
+    "session_window_stats", "streaming_dedup_replay",
+    "zorder_layout_scan",
 )
 
 # Rotation slots that later additions may never displace (see the
 # reserved block comment above; tests/test_registry.py enforces both
-# membership in the checked window and a minimum size).
-# Round-14 rotation picks, precomputed from `tools/witness_ledger.py`
-# at round-13 close (the r3-era leftovers after this round's 23
-# rotations land — the whole remaining r3 bucket, family-diverse by
-# construction): consecutive_longs, dynamic_props_agg,
-# json_lines_roundtrip, line_input_offsets, pii_scan_redact,
-# q11 is witnessed this round so next-stalest tpch is in r4;
-# tfidf_top_terms, weekly_retention, zip_line_records. Refresh this
-# block with those names (plus a ledger re-run) at round-14 open.
+# membership in the checked window and a minimum size). Refreshed at
+# round-14 open from `tools/witness_ledger.py`.
 _ROTATION_RESERVED: tuple[str, ...] = (
-    "customer_order_totals", "dedup_exact_stats", "dedup_normalized",
-    "embedding_near_dup_pairs", "event_type_pivot",
-    "median_quantity_by_flag", "minhash_signatures",
-    "orders_with_heavy_items", "q10_returned_customers",
-    "q14_promo_revenue", "q19_disjunctive_filter", "rollup_order_stats",
-    "set_ops_users", "top_customers_per_nation", "zip_toc_members",
+    "consecutive_longs", "dynamic_props_agg", "json_lines_roundtrip",
+    "line_input_offsets", "pii_scan_redact", "tfidf_top_terms",
+    "weekly_retention", "zip_line_records",
+    "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
+    "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
+    "footer_stats_orders", "jpeg_progressive_decode",
+    "q12_late_shipment_priority", "q4_order_priority",
+    "salted_join_priority_revenue", "semantic_dedup_keepers",
+    "session_window_stats", "streaming_dedup_replay",
+    "zorder_layout_scan",
+)
+
+# Pre-named NEXT-round rotation picks (VERDICT r13 ask #2: make the
+# staleness ratchet green at every snapshot WITHOUT losing its teeth).
+# These are next-window OBLIGATIONS, not exemptions forever: the
+# staleness guard (tests/test_registry.py::test_witness_staleness_bounded)
+# lets a name listed here run at most ONE round past
+# MAX_STALENESS_ROUNDS; past that it must actually sit in the driver
+# window or the suite hard-fails. Round-15 picks, precomputed from
+# `tools/witness_ledger.py` at round-14 open: the 10 r4-era leftovers
+# after this round's 14 r4 rotations land (refresh this block plus
+# _ROTATION_RESERVED, and re-run the ledger, at every round open).
+_NEXT_ROTATION: tuple[str, ...] = (
+    "jpeg_progressive_color_decode", "mp3_decode_meta",
+    "q13_order_count_distribution", "q22_idle_customers",
+    "q7_nation_volume", "q8_market_share", "streaming_hourly_replay",
+    "streaming_sessionize_replay", "text_dedup_keepers",
+    "winnow_doc_fingerprints",
 )
 
 
@@ -208,17 +224,25 @@ def _canon_value(v: object) -> str | None:
     if isinstance(v, tuple) and all(isinstance(x, _SCALAR) for x in v):
         return repr(v)
     if isinstance(v, dict):
-        parts = [(_canon_value(k), _canon_value(x)) for k, x in sorted(
-            v.items(), key=lambda kv: repr(kv[0]))]
+        # sort by the CANONICALIZED key, not raw repr: a frozenset used
+        # as a dict key (or nested inside one) has per-process repr
+        # order under PYTHONHASHSEED randomization — exactly the
+        # nondeterminism this function exists to prevent (ADVICE r13).
+        # For scalar keys canon == repr, so the common-case ordering is
+        # unchanged.
+        parts = [(_canon_value(k), _canon_value(x)) for k, x in v.items()]
         if any(a is None or b is None for a, b in parts):
             return None
+        parts.sort(key=lambda ab: ab[0])  # type: ignore[arg-type,return-value]
         return "{" + ",".join(f"{a}:{b}" for a, b in parts) + "}"
     if isinstance(v, (list, tuple, set, frozenset)):
-        items = (sorted(v, key=repr) if isinstance(v, (set, frozenset))
-                 else list(v))
-        parts = [_canon_value(x) for x in items]
+        parts = [_canon_value(x) for x in v]
         if any(p is None for p in parts):
             return None
+        if isinstance(v, (set, frozenset)):
+            # unordered: sort by canonical form (repr would leak
+            # per-process hash order for nested containers)
+            parts.sort()  # type: ignore[arg-type]
         return "[" + ",".join(parts) + "]"  # type: ignore[arg-type]
     return None
 

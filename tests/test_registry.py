@@ -188,34 +188,95 @@ def test_fingerprint_sees_dict_and_list_closure_params():
     # all-scalar tuples keep their repr (digest compatibility with the
     # round-12 fast path)
     assert _canon_value((1, "a", 2.5)) == repr((1, "a", 2.5))
+    # ADVICE r13: dict items sort by CANONICALIZED key and set elements
+    # by canonical form — a frozenset dict key's raw repr order varies
+    # per process under hash randomization; the canon form must not.
+    fs_ab = frozenset({"a", "b"})
+    fs_ba = frozenset({"b", "a"})
+    assert _canon_value({fs_ab: 1, "z": 2}) == _canon_value({fs_ba: 1, "z": 2})
+    assert _canon_value(frozenset({fs_ab, frozenset({"c"})})) == \
+        _canon_value(frozenset({frozenset({"c"}), fs_ba}))
+    # the canonical form of a frozenset-keyed dict is itself stable text
+    assert _canon_value({fs_ab: 1}) == "{['a','b']:1}"
 
 
 def test_witness_staleness_bounded():
-    """Rotation-debt ceiling (VERDICT r12 ask #7): the never-witnessed
-    guard above only catches queries with NO driver row ever; nothing
-    stopped a once-witnessed query from going stale indefinitely. This
-    bounds the tail: every registry query must either sit in the
-    CURRENT window (scheduled for the next driver run) or have a green
-    driver row within MAX_STALENESS_ROUNDS of the newest committed
-    artifact. The threshold passes at the round-13 state (worst
-    non-window witness is r3 against the r12 artifact, gap 9) and
-    FORCES each round's rotation to keep draining the oldest bucket —
-    tighten it as the tail clears (target: ~5 once the r4/r5 buckets
-    are gone)."""
+    """Rotation-debt ceiling (VERDICT r12 ask #7), snapshot-consistent
+    since round 14 (VERDICT r13 asks #1/#2): every registry query must
+    either sit in the CURRENT window (scheduled for the next driver
+    run), have a green driver row within MAX_STALENESS_ROUNDS of the
+    newest committed artifact, or — for at most ONE extra round — be a
+    pre-named next-window obligation in ``_NEXT_ROTATION``.
+
+    Why the one-round grace tier exists: the driver drops
+    CORRECTNESS_r{N}.json AFTER the builder's last round-N commit, so
+    ``newest`` advances by one between the final commit and the next
+    round's first edit. Under the old single-tier rule that made the
+    suite red for the whole inter-round window every round (the r13
+    judge ran pytest at the snapshot and saw exactly that). The grace
+    tier keeps the suite green at every snapshot while keeping the
+    teeth: a name may be deferred via _NEXT_ROTATION at most once —
+    past MAX+1 it must actually be IN the window (i.e. the round that
+    opens after the deferral must rotate it in), enforced by the hard
+    assertion below.
+
+    Bound schedule: 9 passes at the round-14 state (r4-era leftovers
+    are gap 9 against the r13 artifact, gap 10-with-grace once r14
+    lands). Tighten as the tail clears — the r4 bucket empties in round
+    15 and r5 in round 16 at the current ~20-rotations/round pace;
+    target ~5 once both are gone."""
     MAX_STALENESS_ROUNDS = 9
+
+    from appengine_mapreduce_spark.plans.registry import _NEXT_ROTATION
 
     qs = all_queries()
     window = set(list(qs)[:50])
     last, newest = _witness_rounds(qs)
 
+    # soft tier: stale names must be scheduled — current window or the
+    # pre-named next-round rotation block
+    scheduled = window | set(_NEXT_ROTATION)
     too_stale = sorted(
         (newest - rnd, name)
         for name, rnd in last.items()
-        if name not in window and newest - rnd > MAX_STALENESS_ROUNDS
+        if name not in scheduled and newest - rnd > MAX_STALENESS_ROUNDS
     )
     assert not too_stale, (
         f"queries last driver-witnessed more than {MAX_STALENESS_ROUNDS} "
         f"rounds before the newest artifact (r{newest}) and NOT scheduled "
-        f"in the current window — rotate them into _CURATED_FIRST: "
-        f"{too_stale}"
+        f"in the current window or _NEXT_ROTATION — rotate them into "
+        f"_CURATED_FIRST: {too_stale}"
     )
+
+    # hard tier: the _NEXT_ROTATION deferral is single-use — one round
+    # past the bound the name must actually sit in the driver window
+    overdue = sorted(
+        (newest - rnd, name)
+        for name, rnd in last.items()
+        if name not in window and newest - rnd > MAX_STALENESS_ROUNDS + 1
+    )
+    assert not overdue, (
+        f"queries deferred past the one-round _NEXT_ROTATION grace "
+        f"(gap > {MAX_STALENESS_ROUNDS + 1} vs r{newest}) and still not "
+        f"in the driver window — the rotation MUST happen now: {overdue}"
+    )
+
+
+def test_next_rotation_block_well_formed():
+    """Companion to the staleness grace tier: _NEXT_ROTATION names must
+    be real registry queries, and the block may only name queries that
+    actually need deferring — anything already inside the window (or
+    fresh enough to not need the grace) sitting in the block would
+    quietly widen the exemption surface for future edits."""
+    from appengine_mapreduce_spark.plans.registry import _NEXT_ROTATION
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+    unknown = [n for n in _NEXT_ROTATION if n not in qs]
+    assert not unknown, f"_NEXT_ROTATION names not in the registry: {unknown}"
+    redundant = [n for n in _NEXT_ROTATION if n in window]
+    assert not redundant, (
+        f"_NEXT_ROTATION names already in the driver window (remove them "
+        f"from the block — they are witnessed this round): {redundant}"
+    )
+    assert len(_NEXT_ROTATION) == len(set(_NEXT_ROTATION))

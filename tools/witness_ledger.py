@@ -86,7 +86,17 @@ def main() -> int:
         worst_gap, worst_name = gaps[0]
         print(f"worst non-window staleness gap: {worst_gap} rounds "
               f"({worst_name}, r{newest - worst_gap} vs newest artifact "
-              f"r{newest}; guard bound 9)")
+              f"r{newest}; guard bound 9, +1 round grace for "
+              f"_NEXT_ROTATION names)")
+        from appengine_mapreduce_spark.plans.registry import _NEXT_ROTATION
+        deferred = [n for g, n in gaps if g > 9 and n in set(_NEXT_ROTATION)]
+        hard = [n for g, n in gaps
+                if g > 9 and n not in set(_NEXT_ROTATION)]
+        if deferred:
+            print(f"  deferred via _NEXT_ROTATION (must enter the window "
+                  f"at the NEXT round open): {deferred}")
+        if hard:
+            print(f"  GUARD VIOLATIONS (not scheduled anywhere): {hard}")
 
     # Stalest rotation candidates, at most one per leading family tag so
     # the rotation spreads across operator families.
