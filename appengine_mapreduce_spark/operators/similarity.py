@@ -270,6 +270,14 @@ def sign_lsh_batch_topk(
     grow quadratically when the query side scales too; opting out
     requires saying so explicitly — pass ``extra_bits=0,
     max_bucket_size=None`` together (a half-specified pair raises).
+
+    .. note:: BREAKING result change for default-arg callers (round 13,
+       flagged by ADVICE r13): the adaptive default changes the RETURNED
+       top-k, not just the cost — sub-splitting shrinks hot candidate
+       buckets, so neighbors that the fixed-bucket plan surfaced can
+       drop out (recall shifts toward the sub-split buckets' locality).
+       Callers pinning the pre-r13 result set must pass
+       ``extra_bits=0, max_bucket_size=None`` explicitly.
     """
     from pyspark.sql import Window
 
@@ -325,7 +333,15 @@ def hard_negative_topk(
     so per-bucket blocks grow quadratically — the exact shape round 5
     measured superlinear (exponent 1.45) on semantic dedup before
     adaptive splitting. Opting out requires the explicit pair
-    ``extra_bits=0, max_bucket_size=None`` (half-specified raises)."""
+    ``extra_bits=0, max_bucket_size=None`` (half-specified raises).
+
+    .. note:: BREAKING result change for default-arg callers (round 13,
+       flagged by ADVICE r13): the adaptive default changes WHICH
+       negatives are returned, not just the cost — sub-splitting
+       shrinks hot candidate buckets, so negatives the fixed-bucket
+       plan surfaced can drop out of the top-k. Callers pinning the
+       pre-r13 result set must pass ``extra_bits=0,
+       max_bucket_size=None`` explicitly."""
     from pyspark.sql import Window
 
     cb, qb = _bucket_both_sides(

@@ -299,7 +299,10 @@ def _redo_phases(artifact: str, phases: "list[str]",
         elif ph.startswith("limitnoop"):
             res = _child(_LIMIT_NOOP_CODE, sf_dir, ph,
                          queries=_LIMIT_NOOP_QUERIES)
-            out[f"{key}_noop_queries"].update(res)
+            # setdefault: a --redo against an artifact that predates the
+            # twin merge (or a partial phase run) must not KeyError
+            # (ADVICE r13)
+            out.setdefault(f"{key}_noop_queries", {}).update(res)
             _noop_merge(out)
             # twin sf2 numbers are denominators of the sf2->sf4
             # exponents too (review r13)
