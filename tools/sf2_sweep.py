@@ -132,7 +132,11 @@ print("@@RESULT@@" + json.dumps(out))
 # sf2, closing the sf0.1 -> sf1 -> sf2 exponent series. collect()-timed
 # like bench._run_capstones (results are per-doc/per-vec summaries, not
 # SF-scaled blobs); own subprocess per SF like the suites.
-_CAPSTONE_NAMES = ("corpus_build_pipeline", "semantic_dedup_keepers")
+# data_recipe_pack_stats joined round 14: the recipe capstone's packing
+# window went SHARDED (VERDICT r13 ask #3), so its doubling exponents are
+# the standing evidence that the sharded plan scales.
+_CAPSTONE_NAMES = ("corpus_build_pipeline", "semantic_dedup_keepers",
+                   "data_recipe_pack_stats")
 _CAPSTONE_CODE = """
 import sys, json, time, statistics
 sys.path.insert(0, {repo!r})
@@ -267,7 +271,7 @@ def _sf4_merge(out: dict) -> None:
         out["worst_noop_exponent_sf2_to_sf4"] = max(
             out["noop_exponent_sf2_to_sf4_log2"].values())
     for blk in out["capstones"].values():
-        if "sf4_sec" in blk:
+        if "sf4_sec" in blk and "sf2_sec" in blk:
             blk["scaling_exponent_sf2_to_sf4_log2"] = round(
                 math.log2(max(blk["sf4_sec"], 1e-4)
                           / max(blk["sf2_sec"], 1e-4)), 2)
@@ -290,11 +294,15 @@ def _redo_phases(artifact: str, phases: "list[str]",
         if ph.startswith("cap"):
             res = _child(_CAPSTONE_CODE, sf_dir, ph)
             for n, v in res.items():
-                out["capstones"][n][f"{key}_sec"] = v
+                # setdefault: a redo may introduce a capstone name added
+                # to _CAPSTONE_NAMES after the artifact was written
+                # (round 14 added the recipe capstone this way)
+                out["capstones"].setdefault(n, {})[f"{key}_sec"] = v
             for n, blk in out["capstones"].items():
-                blk["scaling_exponent_log2"] = round(
-                    math.log2(max(blk["sf2_sec"], 1e-4)
-                              / max(blk["sf1_sec"], 1e-4)), 2)
+                if "sf1_sec" in blk and "sf2_sec" in blk:
+                    blk["scaling_exponent_log2"] = round(
+                        math.log2(max(blk["sf2_sec"], 1e-4)
+                                  / max(blk["sf1_sec"], 1e-4)), 2)
             _sf4_merge(out)
         elif ph.startswith("limitnoop"):
             res = _child(_LIMIT_NOOP_CODE, sf_dir, ph,
