@@ -101,40 +101,56 @@ def adaptive_sign_bucket(
     max_bucket_size: int = 64,
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Sign-LSH bucket with HOT-BUCKET SUB-SPLITTING: rows get the
-    ``base_bits`` bucket unless that bucket holds more than
-    ``max_bucket_size`` rows, in which case they move to an extended
-    ``base_bits + extra_bits`` bucket (same hyperplanes, so the extended
-    id refines the base id; the +2^(base+extra) offset keeps the two id
-    spaces disjoint).
+    """Sign-LSH bucket with DEPTH-ADAPTIVE hot-bucket sub-splitting: a
+    row in a ``base_bits`` bucket of ``c`` rows moves to the extended
+    ``base_bits + k`` bucket, where ``k`` is the SMALLEST depth with
+    ``c <= max_bucket_size * 2^k`` (capped at ``extra_bits``). The sign
+    signature is prefix-consistent (bit i comes from component i), so
+    every depth refines the previous one; the ``+2^(base+k)`` offset
+    keeps all depth ranges disjoint.
 
-    This is what makes bucketed pair generation LINEAR in corpus size:
-    with fixed bits, 10x the data means 10x rows per bucket and 100x
-    candidate pairs per bucket (measured: semantic dedup went
-    superlinear, exponent 1.45, at sf1). Sub-splitting bounds pairs per
-    row by ~max(bucket)·2^-extra; near-duplicate pairs — the ones dedup
-    must keep — agree on almost every sign bit, so they overwhelmingly
-    survive the refinement (recall tested on planted near-dup pairs).
+    Why depth-adaptive and not one fixed extra level (round 14): the
+    round-13 single-level split sent EVERY hot bucket to the same
+    ``base+extra`` depth, so once the corpus grows enough that the
+    extended buckets themselves exceed ``max_bucket_size`` there is
+    nowhere left to split and pair generation goes quadratic again —
+    measured at sf8: all 2^10 extended buckets occupied, max occupancy
+    334 vs the 64 cap, candidate pairs ~4x per corpus doubling
+    (sf1→sf8: 0.21M → 0.85M → 3.4M → 13.5M). Depth-adaptive splitting
+    makes the occupancy bound self-scaling: give it enough
+    ``extra_bits`` headroom (≤ vector dim − base) and a bucket of any
+    size c splits to depth ceil(log2(c / max_bucket_size)), restoring
+    ~linear pair growth; mildly-hot buckets split only one level, so
+    recall degrades only where density forces it. Near-duplicate pairs
+    agree on most sign bits and overwhelmingly survive refinement
+    (recall tested on planted near-dup pairs at multiple depths).
 
-    Cost: one extra aggregation over just the bucket id (column-pruned
-    scan) whose output is at most 2^base_bits rows — broadcast back, no
-    second shuffle of the corpus.
+    Cost: unchanged — one aggregation over just the base bucket id
+    (column-pruned scan), at most 2^base_bits rows broadcast back, no
+    second shuffle of the corpus; the depth CASE is a row-local
+    expression.
     """
-    b0 = sign_bucket(F.col(vec_col), base_bits)
-    b1 = sign_bucket(F.col(vec_col), base_bits + extra_bits)
-    tagged = df.withColumn("_b0", b0).withColumn("_b1", b1)
+    if extra_bits < 1:
+        raise ValueError("extra_bits must be >= 1")
+    full = sign_bucket(F.col(vec_col), base_bits + extra_bits)
+    tagged = df.withColumn("_bf", full).withColumn(
+        "_b0", F.pmod(F.col("_bf"), F.lit(1 << base_bits))
+    )
     counts = tagged.groupBy("_b0").agg(F.count(F.lit(1)).alias("_c"))
+    # smallest k with c <= max_bucket_size * 2^k, capped at extra_bits;
+    # built outermost-deepest so the first matching WHEN wins
+    bucket = F.col("_b0")
+    for k in range(1, extra_bits + 1):
+        needs_k = max_bucket_size * (1 << (k - 1))  # c > this → depth >= k
+        sub = (
+            F.pmod(F.col("_bf"), F.lit(1 << (base_bits + k)))
+            + F.lit(1 << (base_bits + k)).cast("bigint")
+        )
+        bucket = F.when(F.col("_c") > needs_k, sub).otherwise(bucket)
     return (
         tagged.join(F.broadcast(counts), "_b0")
-        .withColumn(
-            out_col,
-            F.when(
-                F.col("_c") > max_bucket_size,
-                F.col("_b1")
-                + F.lit(1 << (base_bits + extra_bits)).cast("bigint"),
-            ).otherwise(F.col("_b0")),
-        )
-        .drop("_b0", "_b1", "_c")
+        .withColumn(out_col, bucket)
+        .drop("_b0", "_bf", "_c")
     )
 
 

@@ -156,7 +156,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_BITS = 6
-_SEM_EXTRA_BITS = 4
+# 8 extra-bit headroom since round 14 (was 4): with DEPTH-ADAPTIVE
+# splitting only genuinely hot base buckets go deep, and the round-14
+# sf8 probe showed the old single-level split saturating (all 2^10
+# extended buckets occupied, max 334 rows vs the 64 cap, candidate
+# pairs ~4x per doubling). 6+8 = 14 bits ≤ the 64-dim embedding.
+_SEM_EXTRA_BITS = 8
 _SEM_MAX_BUCKET = 64
 
 
@@ -168,8 +173,24 @@ def _sem_bucket_sql(bits: int) -> str:
     ) + ")"
 
 
+def _sem_depth_case_sql() -> str:
+    """Depth-adaptive bucket id, mirroring similarity.adaptive_sign_bucket:
+    smallest k with c <= max * 2^k (capped at extra), id = low (base+k)
+    bits of the full signature + 2^(base+k). Outermost-deepest CASE so
+    the first matching WHEN wins — byte-identical decision order to the
+    Spark expression chain."""
+    whens = []
+    for k in range(_SEM_EXTRA_BITS, 0, -1):
+        needs_k = _SEM_MAX_BUCKET * (1 << (k - 1))
+        width = 1 << (_SEM_BITS + k)
+        whens.append(
+            f"WHEN c > {needs_k} THEN (sig % {width}) + {width}"
+        )
+    return "CASE " + " ".join(whens) + " ELSE bucket0 END"
+
+
 _SEM_BUCKET = _sem_bucket_sql(_SEM_BITS)
-_SEM_BUCKET_EXT = _sem_bucket_sql(_SEM_BITS + _SEM_EXTRA_BITS)
+_SEM_BUCKET_FULL = _sem_bucket_sql(_SEM_BITS + _SEM_EXTRA_BITS)
 _SEM_THRESH = 0.30
 
 
@@ -178,16 +199,14 @@ _SEM_THRESH = 0.30
     oracle=f"""
         WITH RECURSIVE b0 AS (
             SELECT vec_id, embedding, {_SEM_BUCKET} AS bucket0,
-                   {_SEM_BUCKET_EXT} AS bucket1,
+                   {_SEM_BUCKET_FULL} AS sig,
                    sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
             FROM embeddings
         ),
         cnt AS (SELECT bucket0, count(*) AS c FROM b0 GROUP BY bucket0),
         b AS (
             SELECT vec_id, embedding, nrm,
-                   CASE WHEN c > {_SEM_MAX_BUCKET}
-                        THEN bucket1 + {1 << (_SEM_BITS + _SEM_EXTRA_BITS)}
-                        ELSE bucket0 END AS bucket
+                   {_sem_depth_case_sql()} AS bucket
             FROM b0 JOIN cnt USING (bucket0)
         ),
         edges AS (
@@ -211,13 +230,16 @@ _SEM_THRESH = 0.30
     """,
     description="END-TO-END semantic dedup: sign-LSH-bucketed cosine "
     f"candidate pairs (≥ {_SEM_THRESH} within {_SEM_BITS}-bit buckets, "
-    f"hot buckets > {_SEM_MAX_BUCKET} rows sub-split with "
-    f"{_SEM_EXTRA_BITS} extra sign bits so pair generation stays LINEAR "
-    "in corpus size — fixed bits went superlinear, measured exponent "
-    "1.45 at sf1) → large-star/small-star connected components → "
-    "per-cluster keeper (min id) with every member labeled keep/drop — "
-    "the full embedding-channel dedup pipeline in one plan. Oracle "
-    "replays adaptive buckets + pairs + a recursive-CTE transitive "
+    f"hot buckets > {_SEM_MAX_BUCKET} rows sub-split DEPTH-ADAPTIVELY "
+    f"— to the smallest k ≤ {_SEM_EXTRA_BITS} extra sign bits that "
+    f"restores the occupancy cap — so pair generation stays ~LINEAR at "
+    "ANY corpus size: fixed bits went superlinear at sf1 (exponent "
+    "1.45), and round 14 measured the single-level split saturating at "
+    "sf8 (pairs ~4x per doubling once every extended bucket was hot)) "
+    "→ large-star/small-star connected components → per-cluster keeper "
+    "(min id) with every member labeled keep/drop — the full "
+    "embedding-channel dedup pipeline in one plan. Oracle replays "
+    "depth-adaptive buckets + pairs + a recursive-CTE transitive "
     "closure.",
     tags=("dedup", "similarity", "embedding", "graph", "pipeline"),
 )

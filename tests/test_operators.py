@@ -978,10 +978,12 @@ def test_global_shuffle_duplicate_and_null_keys(spark):
 
 
 def test_adaptive_sign_bucket_splits_hot_buckets_keeps_neardups(spark):
-    """Hot-bucket sub-splitting: buckets over the cap move to extended
-    ids (disjoint id space), cold buckets keep the base id, and planted
-    near-duplicate pairs (sign-identical vectors) always share a bucket
-    — the recall property dedup needs."""
+    """DEPTH-ADAPTIVE hot-bucket sub-splitting (round 14): a bucket of
+    c rows moves to the smallest depth k with c <= cap * 2^k — so a
+    mildly-hot bucket splits one level while a very hot one goes
+    deeper, id ranges per depth are disjoint, cold buckets keep the
+    base id, and planted near-duplicate pairs (sign-identical vectors)
+    always share a bucket — the recall property dedup needs."""
     import random
 
     from pyspark.sql import functions as F
@@ -993,13 +995,20 @@ def test_adaptive_sign_bucket_splits_hot_buckets_keeps_neardups(spark):
     rng = random.Random(7)
     rows = []
     # 200 vectors all positive in the first 6 coords -> ONE hot base
-    # bucket; extended bits differ via coords 7..10
+    # bucket; extended bits differ via coords 7..10. c=201 with the
+    # near-dup -> depth 2 (64*2 < 201 <= 64*4): ids in [2^8, 2^9)
     for i in range(200):
         vec = [1.0] * 6 + [rng.choice([-1.0, 1.0]) for _ in range(10)]
         rows.append((i, vec))
     # planted near-dup: same signs everywhere (tiny magnitude change)
     rows.append((1000, [v * 0.9 for v in rows[0][1]]))
-    # a cold bucket: first coord negative, 3 rows only
+    # a MILDLY hot bucket (second base coord negative): c=70 -> depth 1
+    # (64 < 70 <= 128): ids in [2^7, 2^8)
+    for i in range(70):
+        vec = [1.0, -1.0] + [1.0] * 4 + [
+            rng.choice([-1.0, 1.0]) for _ in range(10)]
+        rows.append((3000 + i, vec))
+    # a cold bucket: first coord negative, 3 rows only -> base id
     for i in range(3):
         rows.append((2000 + i, [-1.0] + [1.0] * 15))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -1008,10 +1017,13 @@ def test_adaptive_sign_bucket_splits_hot_buckets_keeps_neardups(spark):
     )
     got = {r.vec_id: r.bucket for r in out.collect()}
     assert len(got) == len(rows)
-    # cold rows keep base ids (< 2^6); hot rows moved to extended space
+    # cold rows keep base ids (< 2^6)
     for i in range(3):
         assert got[2000 + i] < 64
-    assert all(got[i] >= 1 << 10 for i in range(200))
+    # very hot bucket at depth 2: [2^8, 2^9)
+    assert all((1 << 8) <= got[i] < (1 << 9) for i in range(200))
+    # mildly hot bucket at depth 1 ONLY: [2^7, 2^8)
+    assert all((1 << 7) <= got[3000 + i] < (1 << 8) for i in range(70))
     # near-dup pair shares its (extended) bucket
     assert got[1000] == got[0]
     # sub-buckets actually split the hot bucket
