@@ -164,49 +164,62 @@ def two_sided_adaptive_bucket(
     query_vec_col: str = "embedding",
     out_col: str = "_b",
 ) -> tuple[DataFrame, DataFrame]:
-    """Corpus-driven adaptive sign-LSH bucketing for TWO-SIDED shapes
-    (batch ANN, hard-negative mining): hot base buckets — more than
-    ``max_bucket_size`` CORPUS rows — sub-split to ``base_bits +
-    extra_bits`` buckets, and BOTH sides apply the SAME corpus-derived
-    hot set, so a query and a corpus vector that agree on every sign bit
-    always cohabit (hot → same extended id, cold → same base id; the
-    +2^(base+extra) offset keeps the id spaces disjoint).
+    """Corpus-driven DEPTH-ADAPTIVE sign-LSH bucketing for TWO-SIDED
+    shapes (batch ANN, hard-negative mining): a base bucket holding
+    ``c`` CORPUS rows sub-splits to the SMALLEST depth k with
+    ``c <= max_bucket_size * 2^k`` (capped at ``extra_bits``), and BOTH
+    sides apply the SAME corpus-derived (count → depth) map, so a query
+    and a corpus vector that agree on every sign bit always cohabit
+    (same base bucket → same depth → same refined id; the +2^(base+k)
+    offset keeps every depth's id range disjoint).
 
     This is the fix for the fixed-bucket quadratic round 5 measured on
-    semantic dedup (exponent 1.45): with fixed bits, 10× corpus means
-    10× rows per bucket, and a corpus-scale query set (mining negatives
-    for EVERY training example) makes each bucket's block join 100×.
-    Sub-splitting bounds per-bucket blocks by ~max(bucket)·2^-extra.
+    semantic dedup (exponent 1.45) — and, since round 14, for the
+    SINGLE-LEVEL split's own saturation: one fixed extra depth re-goes
+    quadratic once the corpus is large enough that every extended
+    bucket is itself hot (measured on the one-sided twin at sf8:
+    candidate pairs ~4x per doubling). Depth-adaptive splitting keeps
+    per-bucket occupancy ~max_bucket_size at ANY corpus size given
+    enough ``extra_bits`` headroom, so per-bucket join blocks stay
+    bounded even when the query side scales with the corpus.
 
-    The hot set is an aggregation over just the corpus bucket id
-    (column-pruned scan) with at most 2^base_bits output rows —
-    broadcast to both sides; neither side shuffles for the assignment.
+    The (count → depth) map is an aggregation over just the corpus
+    bucket id (column-pruned scan) with at most 2^base_bits output rows
+    — broadcast to both sides; neither side shuffles for the
+    assignment. A query-side base bucket absent from the corpus keeps
+    its base id (no corpus rows → nothing to bound).
     """
-    b0c = sign_bucket(F.col(corpus_vec_col), base_bits)
-    b1c = sign_bucket(F.col(corpus_vec_col), base_bits + extra_bits)
-    ctag = corpus.withColumn("_b0", b0c).withColumn("_b1", b1c)
-    hot = (
-        ctag.groupBy("_b0").agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_bucket_size)
-        .withColumn("_hot", F.lit(True))
-        .select("_b0", "_hot")
+    if extra_bits < 1:
+        raise ValueError("extra_bits must be >= 1")
+    fc = sign_bucket(F.col(corpus_vec_col), base_bits + extra_bits)
+    ctag = corpus.withColumn("_bf", fc).withColumn(
+        "_b0", F.pmod(F.col("_bf"), F.lit(1 << base_bits))
     )
-    offset = F.lit(1 << (base_bits + extra_bits)).cast("bigint")
+    counts = ctag.groupBy("_b0").agg(F.count(F.lit(1)).alias("_c"))
 
     def _assign(tagged: DataFrame) -> DataFrame:
-        return (
-            tagged.join(F.broadcast(hot), "_b0", "left")
-            .withColumn(
-                out_col,
-                F.when(F.col("_hot"), F.col("_b1") + offset)
-                .otherwise(F.col("_b0")),
+        # smallest k with c <= max_bucket_size * 2^k, capped at
+        # extra_bits; outermost-deepest so the first matching WHEN wins.
+        # NULL _c (query-side bucket with no corpus rows) fails every
+        # WHEN -> base id.
+        bucket = F.col("_b0")
+        for k in range(1, extra_bits + 1):
+            needs_k = max_bucket_size * (1 << (k - 1))
+            sub = (
+                F.pmod(F.col("_bf"), F.lit(1 << (base_bits + k)))
+                + F.lit(1 << (base_bits + k)).cast("bigint")
             )
-            .drop("_b0", "_b1", "_hot")
+            bucket = F.when(F.col("_c") > needs_k, sub).otherwise(bucket)
+        return (
+            tagged.join(F.broadcast(counts), "_b0", "left")
+            .withColumn(out_col, bucket)
+            .drop("_b0", "_bf", "_c")
         )
 
-    b0q = sign_bucket(F.col(query_vec_col), base_bits)
-    b1q = sign_bucket(F.col(query_vec_col), base_bits + extra_bits)
-    qtag = queries.withColumn("_b0", b0q).withColumn("_b1", b1q)
+    fq = sign_bucket(F.col(query_vec_col), base_bits + extra_bits)
+    qtag = queries.withColumn("_bf", fq).withColumn(
+        "_b0", F.pmod(F.col("_bf"), F.lit(1 << base_bits))
+    )
     return _assign(ctag), _assign(qtag)
 
 

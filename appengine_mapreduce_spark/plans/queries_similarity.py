@@ -208,46 +208,61 @@ _BATCH_BUCKET = "(" + " + ".join(
     for i in range(_BBITS)
 ) + ")"
 
-# Adaptive two-sided bucketing (round 12, VERDICT r11 ask #3): hot base
-# buckets (> _MAXB corpus rows) sub-split to _BBITS + _XTRA bits; BOTH
-# sides apply the corpus-derived hot set, mirroring
-# operators/similarity.two_sided_adaptive_bucket. _MAXB = 10 is below
-# the sf0.01 max bucket occupancy (15), so the sf0.01 driver gate
-# exercises the hot-split branch, not just the cold path.
+# DEPTH-ADAPTIVE two-sided bucketing (round 12, VERDICT r11 ask #3;
+# depth-adaptive since round 14): a base bucket of c corpus rows
+# sub-splits to the smallest depth k with c <= _MAXB * 2^k (capped at
+# _XTRA); BOTH sides apply the corpus-derived (count -> depth) map,
+# mirroring operators/similarity.two_sided_adaptive_bucket. _MAXB = 10
+# is below the sf0.01 max bucket occupancy (15), so the sf0.01 driver
+# gate exercises the split branch, not just the cold path.
 _XTRA = 4
 _MAXB = 10
 _BATCH_BUCKET_X = "(" + " + ".join(
     f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
     for i in range(_BBITS + _XTRA)
 ) + ")"
-_ADAPT_HOT_CTE = f"""hot AS (
-            SELECT {_BATCH_BUCKET.format(v="embedding")} AS b0
-            FROM embeddings GROUP BY 1 HAVING count(*) > {_MAXB}
+
+
+def _adapt_depth_case_sql() -> str:
+    """Depth CASE over the broadcast corpus count c (columns b0/sig/c in
+    scope), outermost-deepest — byte-identical decision order to the
+    Spark WHEN chain; NULL c (no corpus rows in the bucket) falls
+    through every WHEN to the base id."""
+    whens = []
+    for k in range(_XTRA, 0, -1):
+        needs_k = _MAXB * (1 << (k - 1))
+        width = 1 << (_BBITS + k)
+        whens.append(f"WHEN c > {needs_k} THEN (sig % {width}) + {width}")
+    return "CASE " + " ".join(whens) + " ELSE b0 END"
+
+
+# tagged corpus + per-base-bucket counts + depth-adaptive bucket id —
+# the shared CTE prefix of both two-sided oracles
+_ADAPT_TAGGED_CTES = f"""eb AS (
+            SELECT vec_id, embedding, label,
+                   {_BATCH_BUCKET.format(v="embedding")} AS b0,
+                   {_BATCH_BUCKET_X.format(v="embedding")} AS sig
+            FROM embeddings
+        ),
+        cnt AS (SELECT b0, count(*) AS c FROM eb GROUP BY 1),
+        ebb AS (
+            SELECT eb.*, {_adapt_depth_case_sql()} AS b
+            FROM eb LEFT JOIN cnt USING (b0)
         )"""
-
-
-def _adapt_bucket_sql(v: str) -> str:
-    return (
-        f"(CASE WHEN {_BATCH_BUCKET.format(v=v)} IN (SELECT b0 FROM hot) "
-        f"THEN {_BATCH_BUCKET_X.format(v=v)} + {1 << (_BBITS + _XTRA)}::BIGINT "
-        f"ELSE {_BATCH_BUCKET.format(v=v)} END)"
-    )
 
 
 @register(
     "batch_ann_topk",
     oracle=f"""
-        WITH {_ADAPT_HOT_CTE},
+        WITH {_ADAPT_TAGGED_CTES},
         qs AS (
-            SELECT vec_id AS query_id, embedding AS qv,
-                   {_adapt_bucket_sql("embedding")} AS qb
-            FROM embeddings WHERE vec_id < 10
+            SELECT vec_id AS query_id, embedding AS qv, b AS qb
+            FROM ebb WHERE vec_id < 10
         ),
         scored AS (
             SELECT query_id, vec_id,
                    round({_cos_sql("embedding", "qv")}, 6) AS cosine
-            FROM embeddings JOIN qs
-              ON {_adapt_bucket_sql("embedding")} = qb
+            FROM ebb JOIN qs ON ebb.b = qs.qb
         )
         SELECT query_id, vec_id, cosine FROM (
             SELECT query_id, vec_id, cosine,
@@ -261,8 +276,9 @@ def _adapt_bucket_sql(v: str) -> str:
     "replaces the corpus × queries cross product with per-bucket blocks, "
     "then one per-query ranking window "
     "(operators/similarity.sign_lsh_batch_topk). Hot buckets sub-split "
-    "adaptively with a corpus-driven hot set applied to BOTH sides "
-    "(two_sided_adaptive_bucket), so per-bucket blocks stay bounded even "
+    "DEPTH-adaptively (round 14: to the smallest extra depth restoring "
+    "the occupancy cap) with the corpus-driven count map applied to BOTH "
+    "sides (two_sided_adaptive_bucket), so per-bucket blocks stay bounded "
     "when the query side scales with the corpus — fixed buckets would "
     "grow candidate pairs quadratically. The query side is "
     "benchmark-sized so at scale it broadcasts and the corpus never "
@@ -285,11 +301,11 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hard_negatives_topk",
     oracle=f"""
-        WITH {_ADAPT_HOT_CTE},
+        WITH {_ADAPT_TAGGED_CTES},
         qs AS (
             SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
-                   {_adapt_bucket_sql("embedding")} AS qb
-            FROM embeddings WHERE vec_id < 10
+                   b AS qb
+            FROM ebb WHERE vec_id < 10
         ),
         pos AS (  -- known positives: itself + every same-label bucket-mate
             SELECT q.query_id, e.vec_id
@@ -298,8 +314,7 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT query_id, vec_id,
                    round({_cos_sql("embedding", "qv")}, 6) AS cosine
-            FROM embeddings JOIN qs
-              ON {_adapt_bucket_sql("embedding")} = qb
+            FROM ebb JOIN qs ON ebb.b = qs.qb
         ),
         negs AS (
             SELECT s.* FROM scored s
@@ -318,8 +333,8 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.hard_negative_topk): per query vector, the "
     "top-3 most-similar corpus vectors that are NOT its positives "
     "(positives = every same-label vector — the labeled-dataset shape). "
-    "Batch-ANN bucket equi-join (never |C|x|Q|) with ADAPTIVE hot-bucket "
-    "sub-splitting — the corpus-driven hot set applied to both sides "
+    "Batch-ANN bucket equi-join (never |C|x|Q|) with DEPTH-ADAPTIVE "
+    "hot-bucket sub-splitting (round 14) — the corpus count map applied to both sides "
     "(two_sided_adaptive_bucket), so mining negatives for EVERY training "
     "example (queries ≈ corpus) stays linear instead of replaying the "
     "fixed-bucket quadratic round 5 measured. Positives removed by a "

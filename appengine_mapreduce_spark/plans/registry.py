@@ -73,6 +73,11 @@ _CURATED_FIRST: tuple[str, ...] = (
     #   replays the shard hash bit-exactly).
     "data_recipe_pack_stats", "token_budget_packing",
     "packing_efficiency_stats",
+    #   batch_ann_topk / hard_negatives_topk — two_sided_adaptive_bucket
+    #   went DEPTH-adaptive (round-14 sf8 probe: the single-level split
+    #   saturates and pair growth re-goes quadratic once every extended
+    #   bucket is hot); oracles replay the corpus-count depth CASE.
+    "batch_ann_topk", "hard_negatives_topk",
     # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
     # slots that new additions must NOT displace — guard-tested by
     # tests/test_registry.py::test_rotation_reserved_block_in_window.
@@ -86,12 +91,12 @@ _CURATED_FIRST: tuple[str, ...] = (
     "weekly_retention", "zip_line_records",
     # ---- r4-era picks (witness_ledger r4 bucket, one per family where
     # possible: video, cdc, pipeline, quality, dedup, sinks, jpeg,
-    # tpch×2, skew-join, semantic-dedup, sessionization, streaming,
-    # layout):
+    # tpch, skew-join, semantic-dedup, sessionization, streaming —
+    # q12/q4 moved to _NEXT_ROTATION mid-round to make room for the
+    # depth-adaptive ANN re-witnesses above):
     "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
     "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
     "footer_stats_orders", "jpeg_progressive_decode",
-    "q12_late_shipment_priority", "q4_order_priority",
     "salted_join_priority_revenue", "semantic_dedup_keepers",
     "session_window_stats", "streaming_dedup_replay",
     "zorder_layout_scan",
@@ -108,7 +113,6 @@ _ROTATION_RESERVED: tuple[str, ...] = (
     "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
     "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
     "footer_stats_orders", "jpeg_progressive_decode",
-    "q12_late_shipment_priority", "q4_order_priority",
     "salted_join_priority_revenue", "semantic_dedup_keepers",
     "session_window_stats", "streaming_dedup_replay",
     "zorder_layout_scan",
@@ -121,12 +125,15 @@ _ROTATION_RESERVED: tuple[str, ...] = (
 # lets a name listed here run at most ONE round past
 # MAX_STALENESS_ROUNDS; past that it must actually sit in the driver
 # window or the suite hard-fails. Round-15 picks, precomputed from
-# `tools/witness_ledger.py` at round-14 open: the 10 r4-era leftovers
-# after this round's 14 r4 rotations land (refresh this block plus
-# _ROTATION_RESERVED, and re-run the ledger, at every round open).
+# `tools/witness_ledger.py` at round-14 open: the 12 r4-era leftovers
+# after this round's 12 r4 rotations land (q12/q4 deferred here when the
+# depth-adaptive ANN re-witnesses took their window slots; refresh this
+# block plus _ROTATION_RESERVED, and re-run the ledger, at every round
+# open).
 _NEXT_ROTATION: tuple[str, ...] = (
     "jpeg_progressive_color_decode", "mp3_decode_meta",
-    "q13_order_count_distribution", "q22_idle_customers",
+    "q12_late_shipment_priority", "q13_order_count_distribution",
+    "q22_idle_customers", "q4_order_priority",
     "q7_nation_volume", "q8_market_share", "streaming_hourly_replay",
     "streaming_sessionize_replay", "text_dedup_keepers",
     "winnow_doc_fingerprints",
