@@ -9,7 +9,42 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from appengine_mapreduce_spark.plans.registry import register
 from appengine_mapreduce_spark.plans.tables import load
 
-_LSH_BITS = 6  # coarser buckets than ANN probing: recall matters more here
+# Shared sign-LSH channel parameters (embedding_near_dup_pairs and
+# semantic_dedup_keepers — same coarse 6-bit base as befits dedup
+# recall, 8 extra-bit depth headroom, 64-row occupancy cap; see
+# similarity.adaptive_sign_bucket for the depth-adaptive contract).
+_SEM_BITS = 6
+_SEM_EXTRA_BITS = 8
+_SEM_MAX_BUCKET = 64
+
+
+def _sem_bucket_sql(bits: int) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    ) + ")"
+
+
+def _depth_case_sql(base: int, extra: int, cap: int,
+                    b0: str = "bucket0") -> str:
+    """Depth-adaptive bucket id, mirroring similarity.adaptive_sign_bucket:
+    smallest k with c <= cap * 2^k (capped at extra), id = low (base+k)
+    bits of the full signature + 2^(base+k). Outermost-deepest CASE so
+    the first matching WHEN wins — byte-identical decision order to the
+    Spark expression chain. Columns ``c``/``sig``/``b0`` in scope."""
+    whens = []
+    for k in range(extra, 0, -1):
+        needs_k = cap * (1 << (k - 1))
+        width = 1 << (base + k)
+        whens.append(
+            f"WHEN c > {needs_k} THEN (sig % {width}) + {width}"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {b0} END"
+
+
+def _sem_depth_case_sql() -> str:
+    return _depth_case_sql(_SEM_BITS, _SEM_EXTRA_BITS, _SEM_MAX_BUCKET)
 
 
 @register(
@@ -43,19 +78,22 @@ _DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 )
-_BUCKET = "(" + " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
-    for i in range(_LSH_BITS)
-) + ")"
-
-
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-        WITH b AS (
-            SELECT vec_id, embedding, {_BUCKET} AS bucket,
+        WITH b0 AS (
+            SELECT vec_id, embedding,
+                   {_sem_bucket_sql(_SEM_BITS)} AS bucket0,
+                   {_sem_bucket_sql(_SEM_BITS + _SEM_EXTRA_BITS)} AS sig,
                    sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
             FROM embeddings
+        ),
+        cnt AS (SELECT bucket0, count(*) AS c FROM b0 GROUP BY bucket0),
+        b AS (
+            SELECT vec_id, embedding, nrm,
+                   {_depth_case_sql(_SEM_BITS, _SEM_EXTRA_BITS,
+                                    _SEM_MAX_BUCKET)} AS bucket
+            FROM b0 JOIN cnt USING (bucket0)
         )
         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                round({_DOT.format(a="x.embedding", b="y.embedding")}
@@ -65,21 +103,31 @@ _BUCKET = "(" + " + ".join(
         WHERE {_DOT.format(a="x.embedding", b="y.embedding")}
               / (x.nrm * y.nrm) >= 0.8
     """,
-    description=f"Embedding-cosine near-dup pairs: {_LSH_BITS}-bit sign-LSH "
-    "buckets bound the candidate set (~n²/2^bits pairs instead of n²), "
-    "exact cosine ≥ 0.8 within buckets — the semantic-dedup channel for "
-    "embedding-bearing corpora.",
+    description=f"Embedding-cosine near-dup pairs: {_SEM_BITS}-bit sign-LSH "
+    "buckets with DEPTH-ADAPTIVE hot-bucket sub-splitting (round 14: "
+    "fixed buckets generate ~n²/2^bits pairs — measured exactly 4x per "
+    "corpus doubling, 51M candidate pairs at sf8; depth-adaptive "
+    "splitting keeps occupancy ~the cap at any corpus size), exact "
+    "cosine ≥ 0.8 within buckets — the semantic-dedup channel for "
+    "embedding-bearing corpora. Oracle replays the corpus-count depth "
+    "CASE bit-exactly.",
     tags=("dedup", "similarity", "embedding"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.functions.vectors import dot, l2_norm
-    from appengine_mapreduce_spark.operators.similarity import sign_bucket
+    from appengine_mapreduce_spark.operators.similarity import (
+        adaptive_sign_bucket,
+    )
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        sign_bucket(F.col("embedding"), _LSH_BITS).alias("bucket"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    emb = adaptive_sign_bucket(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+        ),
+        base_bits=_SEM_BITS,
+        extra_bits=_SEM_EXTRA_BITS,
+        max_bucket_size=_SEM_MAX_BUCKET,
     )
     x, y = emb.alias("x"), emb.alias("y")
     cos = dot(F.col("x.embedding"), F.col("y.embedding")) / (
@@ -155,40 +203,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_BITS = 6
-# 8 extra-bit headroom since round 14 (was 4): with DEPTH-ADAPTIVE
-# splitting only genuinely hot base buckets go deep, and the round-14
-# sf8 probe showed the old single-level split saturating (all 2^10
-# extended buckets occupied, max 334 rows vs the 64 cap, candidate
-# pairs ~4x per doubling). 6+8 = 14 bits ≤ the 64-dim embedding.
-_SEM_EXTRA_BITS = 8
-_SEM_MAX_BUCKET = 64
-
-
-def _sem_bucket_sql(bits: int) -> str:
-    return "(" + " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 "
-        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
-        for i in range(bits)
-    ) + ")"
-
-
-def _sem_depth_case_sql() -> str:
-    """Depth-adaptive bucket id, mirroring similarity.adaptive_sign_bucket:
-    smallest k with c <= max * 2^k (capped at extra), id = low (base+k)
-    bits of the full signature + 2^(base+k). Outermost-deepest CASE so
-    the first matching WHEN wins — byte-identical decision order to the
-    Spark expression chain."""
-    whens = []
-    for k in range(_SEM_EXTRA_BITS, 0, -1):
-        needs_k = _SEM_MAX_BUCKET * (1 << (k - 1))
-        width = 1 << (_SEM_BITS + k)
-        whens.append(
-            f"WHEN c > {needs_k} THEN (sig % {width}) + {width}"
-        )
-    return "CASE " + " ".join(whens) + " ELSE bucket0 END"
-
-
+# (8 extra-bit headroom since round 14, was 4 single-level: the sf8
+# probe showed the single-level split saturating — all 2^10 extended
+# buckets occupied, max 334 rows vs the 64 cap, candidate pairs ~4x per
+# doubling. 6+8 = 14 bits ≤ the 64-dim embedding. Constants + depth
+# CASE helpers shared with embedding_near_dup_pairs at the top of this
+# module.)
 _SEM_BUCKET = _sem_bucket_sql(_SEM_BITS)
 _SEM_BUCKET_FULL = _sem_bucket_sql(_SEM_BITS + _SEM_EXTRA_BITS)
 _SEM_THRESH = 0.30

@@ -73,11 +73,13 @@ _CURATED_FIRST: tuple[str, ...] = (
     #   replays the shard hash bit-exactly).
     "data_recipe_pack_stats", "token_budget_packing",
     "packing_efficiency_stats",
-    #   batch_ann_topk / hard_negatives_topk — two_sided_adaptive_bucket
-    #   went DEPTH-adaptive (round-14 sf8 probe: the single-level split
+    #   batch_ann_topk / hard_negatives_topk /
+    #   embedding_near_dup_pairs — sign-LSH bucketing went
+    #   DEPTH-adaptive (round-14 sf8 probe: the single-level split
     #   saturates and pair growth re-goes quadratic once every extended
-    #   bucket is hot); oracles replay the corpus-count depth CASE.
-    "batch_ann_topk", "hard_negatives_topk",
+    #   bucket is hot; near-dup pairs had FIXED buckets, measured 4x
+    #   pairs per doubling); oracles replay the corpus-count depth CASE.
+    "batch_ann_topk", "hard_negatives_topk", "embedding_near_dup_pairs",
     # ---- RESERVED ROTATION BLOCK (VERDICT r11 ask #1 + ADVICE: fixed
     # slots that new additions must NOT displace — guard-tested by
     # tests/test_registry.py::test_rotation_reserved_block_in_window.
@@ -93,10 +95,11 @@ _CURATED_FIRST: tuple[str, ...] = (
     # possible: video, cdc, pipeline, quality, dedup, sinks, jpeg,
     # tpch, skew-join, semantic-dedup, sessionization, streaming —
     # q12/q4 moved to _NEXT_ROTATION mid-round to make room for the
-    # depth-adaptive ANN re-witnesses above):
+    # depth-adaptive ANN re-witnesses above; footer_stats_orders
+    # likewise deferred for embedding_near_dup_pairs):
     "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
     "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
-    "footer_stats_orders", "jpeg_progressive_decode",
+    "jpeg_progressive_decode",
     "salted_join_priority_revenue", "semantic_dedup_keepers",
     "session_window_stats", "streaming_dedup_replay",
     "zorder_layout_scan",
@@ -112,7 +115,7 @@ _ROTATION_RESERVED: tuple[str, ...] = (
     "weekly_retention", "zip_line_records",
     "avi_mjpeg_frame_decode", "cdc_snapshot_diff",
     "corpus_build_pipeline", "data_quality_checks", "dedup_incremental",
-    "footer_stats_orders", "jpeg_progressive_decode",
+    "jpeg_progressive_decode",
     "salted_join_priority_revenue", "semantic_dedup_keepers",
     "session_window_stats", "streaming_dedup_replay",
     "zorder_layout_scan",
@@ -125,12 +128,13 @@ _ROTATION_RESERVED: tuple[str, ...] = (
 # lets a name listed here run at most ONE round past
 # MAX_STALENESS_ROUNDS; past that it must actually sit in the driver
 # window or the suite hard-fails. Round-15 picks, precomputed from
-# `tools/witness_ledger.py` at round-14 open: the 12 r4-era leftovers
-# after this round's 12 r4 rotations land (q12/q4 deferred here when the
+# `tools/witness_ledger.py` at round-14 open: the 13 r4-era leftovers
+# after this round's 11 r4 rotations land (q12/q4 deferred here when the
 # depth-adaptive ANN re-witnesses took their window slots; refresh this
 # block plus _ROTATION_RESERVED, and re-run the ledger, at every round
 # open).
 _NEXT_ROTATION: tuple[str, ...] = (
+    "footer_stats_orders",
     "jpeg_progressive_color_decode", "mp3_decode_meta",
     "q12_late_shipment_priority", "q13_order_count_distribution",
     "q22_idle_customers", "q4_order_priority",
