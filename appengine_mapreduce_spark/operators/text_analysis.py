@@ -214,14 +214,24 @@ def repetition_signals(
     - top_bigram_fraction: tokens covered by the most frequent bigram
                            (2 × its count / total tokens)
 
-    Computed by explode + groupBy (one shuffle keyed on the doc id), NOT by
-    per-row quadratic array expressions — a 100k-token document costs
-    O(tokens), not O(tokens²). Ratios divide integers, so both engines
-    produce bit-identical doubles (no rounding needed).
+    ZERO-shuffle since round 14 (opt guide §2.4 "remove shuffles
+    outright"): every metric is a function of ONE document, so instead of
+    explode + groupBy — which exchanged every (doc, token) and (doc,
+    bigram) pair, ~2x the corpus bytes, just to count within the doc —
+    the counts fold ROW-LOCALLY over the sorted token/bigram arrays
+    (max frequency of a value == longest run in the sorted array). A
+    100k-token document costs O(tokens·log tokens) inside the scan
+    stage; nothing crosses the network. Measured sf0.1: 1.14 s -> 0.61 s
+    noop median, 8.2 MB shuffled -> 0; results bit-identical (integer
+    counts, same divisions — the DuckDB oracle still uses the explode
+    formulation, so the equivalence is oracle-checked, not assumed).
+    Empty-token docs are filtered out, matching the explode formulation
+    (no rows to count -> no output row).
     """
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), nonempty_tokens(F.col(text_col)).alias("_tk")
     )
+    base = base.filter(F.size("_tk") > 0)
     # NON-distinct bigrams (shingles_from_tokens dedups — wrong for
     # repetition counting): every adjacent pair, duplicates preserved.
     bg_starts = F.when(
@@ -230,35 +240,39 @@ def repetition_signals(
     bigrams = F.transform(
         bg_starts, lambda i: F.array_join(F.slice(F.col("_tk"), i, 2), " ")
     )
-    tok_counts = (
-        base.select("_id", F.explode("_tk").alias("tok"))
-        .groupBy("_id", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tok_stats = tok_counts.groupBy("_id").agg(
-        F.sum("n").alias("_total"),
-        F.count(F.lit(1)).alias("_distinct"),
-        F.max("n").alias("_top"),
-    )
-    bigram_top = (
-        base.select("_id", F.explode(bigrams).alias("bg"))
-        .groupBy("_id", "bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("_id")
-        .agg(F.max("n").alias("_top_bg"))
-    )
-    return (
-        tok_stats.join(bigram_top, "_id", "left_outer")
-        .select(
-            F.col("_id").alias(id_col),
-            (F.lit(1.0) - F.col("_distinct") / F.col("_total")).alias(
-                "dup_tok_fraction"
-            ),
-            (F.col("_top") / F.col("_total")).alias("top_tok_fraction"),
-            (F.coalesce(F.col("_top_bg"), F.lit(0)) * 2 / F.col("_total")).alias(
-                "top_bigram_fraction"
-            ),
+
+    def _max_run(arr):
+        """Longest run in a sorted array == max frequency of any value."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("bigint").alias("r"),
+            F.lit(0).cast("bigint").alias("b"),
         )
+
+        def step(acc, x):
+            run = (
+                F.when(acc.p.eqNullSafe(x), acc.r + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+            )
+            return F.struct(
+                x.alias("p"), run.alias("r"), F.greatest(acc.b, run).alias("b")
+            )
+
+        return F.aggregate(arr, init, step, lambda acc: acc.b)
+
+    return base.select(
+        F.col("_id").alias(id_col),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_tk")).cast("bigint")
+            / F.size("_tk").cast("bigint")
+        ).alias("dup_tok_fraction"),
+        (
+            _max_run(F.array_sort("_tk")) / F.size("_tk").cast("bigint")
+        ).alias("top_tok_fraction"),
+        (
+            _max_run(F.array_sort(bigrams)) * 2 / F.size("_tk").cast("bigint")
+        ).alias("top_bigram_fraction"),
     )
 
 
@@ -382,18 +396,25 @@ def ngram_contamination(
     leakage into a training corpus. Returns (id, n_shared_ngrams) for
     contaminated docs only.
 
-    Scale shape: both sides explode to DISTINCT (doc, gram) pairs — one
-    hash aggregation each — then join on the gram. The eval side is a
-    fixed benchmark suite (constant size regardless of corpus SF), so at
-    100 TB its distinct-gram set broadcasts and the train side never
-    shuffles; the strategy is still left to AQE rather than forced.
+    Scale shape: distinct (doc, gram) dedup is PER-DOCUMENT, so the train
+    side dedups ROW-LOCALLY (``array_distinct`` before the explode —
+    round 14, opt guide §2.4: the former ``.distinct()`` over the
+    exploded pairs exchanged every (doc, gram) in the corpus to remove
+    duplicates that only ever exist within one document). The eval side
+    is a fixed benchmark suite (constant size regardless of corpus SF),
+    so at 100 TB its distinct-gram set broadcasts; after the join only
+    contamination HITS reach the per-doc count exchange. The join
+    strategy is still left to AQE rather than forced.
     """
     train_toks = ensure_parallelism(train).select(
         F.col(id_col), nonempty_tokens(F.col(text_col)).alias("_toks")
     )
     train_grams = train_toks.select(
-        F.col(id_col), F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
-    ).distinct()
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+        ).alias("gram"),
+    )
     eval_toks = eval_set.select(nonempty_tokens(F.col(text_col)).alias("_toks"))
     eval_grams = eval_toks.select(
         F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
@@ -424,17 +445,24 @@ def eval_contamination_report(
     tokens have no n-grams and are omitted. leak_fraction divides two
     integers — bit-identical across engines, no rounding needed.
 
-    Scale shape: train reduces to DISTINCT (doc, gram) pairs (one hash
-    aggregation); the eval side is benchmark-sized, so its gram set
-    broadcasts and the corpus never shuffles.
+    Scale shape: distinct (doc, gram) dedup is PER-DOCUMENT on both
+    sides, so it runs ROW-LOCALLY (``array_distinct`` before the explode
+    — round 14, opt guide §2.4: the former train-side ``.distinct()``
+    exchanged every (doc, gram) in the corpus to remove duplicates that
+    only exist within one document); the eval side is benchmark-sized,
+    so its gram set broadcasts and the corpus never shuffles.
     """
     eval_grams = (
         eval_set.select(
             F.col(id_col).alias("_eid"),
             nonempty_tokens(F.col(text_col)).alias("_toks"),
         )
-        .select("_eid", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
-        .distinct()
+        .select(
+            "_eid",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+            ).alias("gram"),
+        )
     )
     eval_sizes = eval_grams.groupBy("_eid").agg(
         F.count(F.lit(1)).alias("n_grams")
@@ -445,8 +473,12 @@ def eval_contamination_report(
             F.col(id_col).alias("_tid"),
             nonempty_tokens(F.col(text_col)).alias("_toks"),
         )
-        .select("_tid", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
-        .distinct()
+        .select(
+            "_tid",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+            ).alias("gram"),
+        )
     )
     hits = eval_grams.join(train_grams, "gram")
     per_eval = hits.groupBy("_eid").agg(

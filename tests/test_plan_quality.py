@@ -605,6 +605,44 @@ def test_packing_window_is_sharded(spark, name):
     )
 
 
+def test_repetition_signals_is_shuffle_free(spark):
+    """Round-14 optimization (opt guide §2.4): every repetition metric is
+    a function of ONE document, so the operator folds over the sorted
+    token/bigram arrays inside the scan stage — the old explode +
+    groupBy formulation exchanged every (doc, token) and (doc, bigram)
+    pair (~2x corpus bytes; its FIRST aggregation had no map-side
+    collapse because distinct pairs stay pairs). The executed plan must
+    contain no hash/range exchange and no Generate at all — the only
+    exchange allowed is ensure_parallelism's round-robin widening, which
+    is a no-op on a many-split production scan."""
+    df = QUERIES["repetition_signals"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_q2_partsupp_aggregates_only_filtered_partkeys(spark):
+    """Round-14 optimization (opt guide §2.3/§3.2): q2's correlated min
+    is per ps_partkey — a group key — so the 0.3%-selective part filter
+    semi-joins into lineitem BELOW the partsupp aggregation. The
+    executed plan must show a LeftSemi join feeding the (l_partkey,
+    l_suppkey) aggregate, i.e. the semi sits under the pair-agg
+    exchange, not above it."""
+    df = QUERIES["q2_min_cost_supplier"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    lines = plan.splitlines()
+    # the pair aggregation must CONSUME the semi join's output: the semi
+    # prints below the partial HashAggregate on l_partkey
+    agg_idx = [i for i, l in enumerate(lines)
+               if "HashAggregate" in l and "l_partkey" in l]
+    semi_idx = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert agg_idx and semi_idx and semi_idx[0] > agg_idx[0], plan
+
+
 def test_plan_audit_artifact_not_stale():
     """Drift guard (VERDICT r9 ask #7): PLAN_AUDIT.md embeds the registry
     fingerprint it was generated against; if the live registry's

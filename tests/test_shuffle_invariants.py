@@ -24,8 +24,12 @@ SF_DIR = "/root/testdata/sf0.1"
 
 # query -> bytes measured at sf0.1 (BENCH_LOCAL_r05.json shuffle_bytes)
 ANCHORS = {
-    # 3-way join + window over ps_partkey; nation/region broadcast only
-    "q2_min_cost_supplier": 13_246_384,
+    # 3-way join + window over ps_partkey; nation/region broadcast only.
+    # Round 14: the part-key LEFT SEMI pre-filter moved below the partsupp
+    # aggregation (opt guide §2.3/§3.2), so the pair-agg exchange carries
+    # 0.3% of lineitem — re-measured 52 kB (was 13_246_384 at the r5 plan;
+    # the 250x drop IS the optimization, see OPTIMIZATION_r14.md)
+    "q2_min_cost_supplier": 52_000,
     # EXISTS/NOT-EXISTS as per-order distinct counts on ONE shuffle
     "q21_waiting_suppliers": 11_857_425,
     # 6-table profit join; partsupp shares the (partkey,suppkey) exchange
