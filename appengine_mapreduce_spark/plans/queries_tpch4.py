@@ -75,38 +75,59 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Both correlations reduce to per-order distinct-supplier COUNTS "
     "(EXISTS other supplier ⇔ n_suppliers ≥ 2; NOT EXISTS other late "
     "supplier ⇔ n_late_suppliers = 1, since the row's own supplier is "
-    "late): two partially-aggregated shuffles on the order key replace "
-    "semi/anti joins that would re-shuffle the raw fact table — smaller "
-    "exchanges at any scale, same rows out.",
+    "late). Round 14 (opt guide §2.4): SINGLE-PASS form — one lineitem ⨝ "
+    "F-orders join, one (orderkey, suppkey) aggregation carrying the "
+    "per-pair late-row count, and per-order counts as WINDOWS over the "
+    "pair rows. Restricting the distinct-supplier count to F orders is "
+    "exact (the status filter drops whole orders, never lineitems of a "
+    "surviving order, and only F orders reach the result). The join's "
+    "orderkey partitioning satisfies both the pair-agg and the window "
+    "clustering, so under shuffle join the plan has ONE lineitem-scale "
+    "exchange where the old shape had three (full-lineitem distinct "
+    "pairs, late pairs, and the late join) and THREE lineitem scans "
+    "became one. Measured sf0.1: shuffle bytes 11.9 MB -> 5.1 MB; noop "
+    "medians 2.83 -> 2.29 s pooled over alternating old/new process "
+    "blocks under residual host steal (per-block steal_d in "
+    "OPTIMIZATION_r14.md).",
     bench=True,
     tags=("analytics", "semi-join", "anti-join"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
     supp = load(spark, sf_dir, "supplier")
 
-    late = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("_n_late_rows"))
     )
-    # EXISTS/NOT EXISTS as per-order distinct-supplier counts: both
-    # aggregates partially combine map-side and share the orderkey shuffle
-    # key with the final joins — no re-shuffle of raw lineitem rows.
-    order_suppliers = li.groupBy(F.col("l_orderkey").alias("o2_key")).agg(
-        F.count_distinct("l_suppkey").alias("_n_supp")
+    w = Window.partitionBy("l_orderkey")
+    flagged = pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_n_late_rows",
+        F.count(F.lit(1)).over(w).alias("_n_supp"),
+        F.sum(F.when(F.col("_n_late_rows") > 0, 1).otherwise(0))
+        .over(w)
+        .alias("_n_late"),
     )
-    late_suppliers = late.groupBy(F.col("l_orderkey").alias("o3_key")).agg(
-        F.count_distinct("l_suppkey").alias("_n_late")
-    )
-    l1 = (
-        late.join(order_suppliers, F.col("l_orderkey") == F.col("o2_key"))
-        .join(late_suppliers, F.col("l_orderkey") == F.col("o3_key"))
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    l1 = flagged.filter(
+        (F.col("_n_late_rows") > 0)
+        & (F.col("_n_supp") >= 2)
+        & (F.col("_n_late") == 1)
     )
     return (
         l1.join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_rows").cast("long").alias("numwait"))
     )

@@ -30,8 +30,11 @@ ANCHORS = {
     # 0.3% of lineitem — re-measured 52 kB (was 13_246_384 at the r5 plan;
     # the 250x drop IS the optimization, see OPTIMIZATION_r14.md)
     "q2_min_cost_supplier": 52_000,
-    # EXISTS/NOT-EXISTS as per-order distinct counts on ONE shuffle
-    "q21_waiting_suppliers": 11_857_425,
+    # EXISTS/NOT-EXISTS as per-order distinct counts. Round 14: single-
+    # pass form (one lineitem⨝orders join feeding a pair agg + windows
+    # that reuse its orderkey partitioning) — re-measured 5.1 MB (was
+    # 11_857_425 at the three-scan r5 plan; see OPTIMIZATION_r14.md)
+    "q21_waiting_suppliers": 5_119_180,
     # 6-table profit join; partsupp shares the (partkey,suppkey) exchange
     "q9_profit_by_nation": 10_146_432,
     # as-of join: union + window, one order-key exchange
