@@ -31,8 +31,15 @@ def _dec(col: str):
     """,
     description="As-of join: latest order at-or-before each event, per user. "
     "Implemented single-pass (tag → union → window last ignorenulls), one "
-    "shuffle on the key — not a quadratic range join. Oracle: DuckDB's "
-    "native ASOF JOIN.",
+    "shuffle on the key — not a quadratic range join. Round 14 (opt guide "
+    "§2.4): the (o_custkey, o_orderdate) de-tie pre-aggregation is gone — "
+    "its max(o_orderkey) folds into the window ORDER BY as a tiebreak "
+    "(tied rows sort ascending, last() picks the max), deleting the "
+    "orders-side exchange + aggregation that existed only to de-tie; "
+    "the window's key exchange re-shuffled those rows anyway. Measured "
+    "sf0.1: 0.54 -> 0.35 s noop median, bit-identical. Oracle: DuckDB's "
+    "native ASOF JOIN over the pre-aggregated form — the equivalence "
+    "(dedup-by-max == tiebreak-ordered last) is oracle-checked.",
     bench=True,
     tags=("analytics", "join", "asof"),
 )
@@ -40,10 +47,8 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from appengine_mapreduce_spark.operators.joins import as_of_join
 
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))  # de-tie (key, ts)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
     )
     joined = as_of_join(
         events,
@@ -53,6 +58,7 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         right_key="o_custkey",
         payload_cols=["o_orderkey", "o_orderdate"],  # carry matched ts too
+        right_tiebreak="o_orderkey",  # de-tie (key, ts) inside the window
     )
     return joined.select(
         "event_id",

@@ -351,15 +351,22 @@ def random_strings_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— emitted when a phrase's corpus count passes a threshold AND more "
     "than half its occurrences come from a single source. The reference's "
     "two-pass reduce becomes one explode + (phrase, source) count + a "
-    "per-phrase HASH aggregation (two shuffles, both map-side combined, "
-    "no sort): a strict-majority source is necessarily the max_by source "
-    "(if n*2 > total then n is the unique maximum — two sources tied at "
-    "max n give total >= 2n, failing the filter), so the window-total "
-    "formulation collapses to sum/max/max_by per phrase. The SQL oracle "
-    "deliberately keeps the window formulation — two independent "
-    "derivations must hash-match. Measured 6% faster with a tighter "
-    "spread than the window plan at sf1 (interleaved A/B, 7 reps), and "
-    "drops the per-partition sort of the biggest intermediate at scale. "
+    "per-phrase aggregation: a strict-majority source is necessarily the "
+    "max_by source (if n*2 > total then n is the unique maximum — two "
+    "sources tied at max n give total >= 2n, failing the filter), so the "
+    "window-total formulation collapses to sum/max/max_by per phrase. The "
+    "SQL oracle deliberately keeps the window formulation — two "
+    "independent derivations must hash-match. Round 14 (opt guide §2.4 "
+    "'share one exchange'): both aggregations now sit above a single "
+    "repartition(phrase) — HashPartitioning(phrase) satisfies the "
+    "(phrase, source) clustering too, so the per-pair count and the "
+    "per-phrase rollup share ONE exchange where the old plan paid two "
+    "phrase-scale exchanges back to back. Map-side combining bought "
+    "nothing here by measurement (255,704 exploded rows vs 253,530 "
+    "distinct (phrase, source) pairs at sf0.1 — 4-gram phrases are "
+    "near-unique, so the 'combined' first exchange carried the same rows "
+    "the second then re-shipped). Measured sf0.1: 1.36 -> 0.84 s noop "
+    "median (-38%), exchanges 2 -> 1, results bit-identical. "
     "Deviations from the demo, documented: threshold 3 (not 10 — sized to "
     "the fixture), source column stands in for filename, and ALL sliding "
     "windows count (the demo's range(0, n-4) skips the final window).",
@@ -379,7 +386,13 @@ def phrases_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = F.when(F.size("_w") < 4, F.array(F.concat_ws(" ", "_w"))).otherwise(
         windows
     )
-    exploded = docs.select("source", F.explode(phrases).alias("phrase"))
+    # ONE exchange for both aggregations: hashpartitioning(phrase)
+    # satisfies the (phrase, source) clustering as well as the per-phrase
+    # rollup, and map-side combining is worthless on near-unique 4-grams
+    # (see description) — so partition once, below both.
+    exploded = docs.select("source", F.explode(phrases).alias("phrase")).repartition(
+        "phrase"
+    )
     counts = exploded.groupBy("phrase", "source").agg(F.count(F.lit(1)).alias("n"))
     # max_by ties are nondeterministic, but a tied max can never pass the
     # strict-majority filter, so ties never reach the output.

@@ -144,11 +144,16 @@ def test_q22_anti_join(spark):
 
 def test_asof_join_single_shuffle(spark):
     """The as-of join must shuffle each side once (union + window), never
-    a nested-loop/range join."""
+    a nested-loop/range join. Round 14 (opt guide §2.4): the orders-side
+    de-tie pre-aggregation is folded into the window ORDER BY as a
+    tiebreak, so the plan has exactly ONE exchange (the key partitioning
+    below the window) and no aggregation at all."""
     plan = plan_of(spark, "asof_join_latest_order")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_q11_reuses_perpart_exchange(spark):
@@ -732,3 +737,31 @@ def test_substring_digest_store_bucketed_probe_no_history_exchange(spark):
         l for l in plan.splitlines() if "bt_digest_store_test" in l
     )
     assert "Bucketed: true" in store_scan, store_scan
+
+
+def test_phrases_demo_single_exchange(spark):
+    """Round-14 optimization (opt guide §2.4 "share one exchange"): both
+    of phrases_demo's aggregations — the (phrase, source) count and the
+    per-phrase sum/max/max_by rollup — must sit above ONE
+    hashpartitioning(phrase) exchange: the explicit repartition(phrase)
+    satisfies both clusterings, and map-side combining bought nothing
+    (4-gram phrases are near-unique: 255,704 exploded rows vs 253,530
+    distinct pairs at sf0.1), so the old plan's second phrase-scale
+    exchange was pure re-shipment."""
+    plan = plan_of(spark, "phrases_demo")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(phrase#\d+", plan), plan
+
+
+def test_scd2_upsert_single_join_pass(spark):
+    """Round-14 optimization (opt guide §2.4): scd2_upsert's kept /
+    closed / opened branches must come from ONE evaluation of the
+    full-outer join — a per-row explode of output structs — not the old
+    union-of-three-filters, which evaluated the same join three times
+    (three shuffle-read passes over identical data at scale). The plan
+    must contain exactly one join and one Generate."""
+    plan = plan_of(spark, "scd2_upsert")
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    # one full-outer dim⟗updates join + the updates-building cust join
+    assert len(joins) == 2, (joins, plan)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan

@@ -37,8 +37,12 @@ ANCHORS = {
     "q21_waiting_suppliers": 5_119_180,
     # 6-table profit join; partsupp shares the (partkey,suppkey) exchange
     "q9_profit_by_nation": 10_146_432,
-    # as-of join: union + window, one order-key exchange
-    "asof_join_latest_order": 7_388_588,
+    # as-of join: union + window, one user-key exchange. Round 14: the
+    # orders-side de-tie pre-aggregation folded into the window ORDER BY
+    # as a tiebreak (opt guide §2.4), deleting its exchange — re-measured
+    # 5.4 MB (was 7_388_588 at the two-exchange r5 plan; see
+    # OPTIMIZATION_r14.md #11)
+    "asof_join_latest_order": 5_402_553,
     # full lineitem scan -> 6 groups: partial agg must stay map-side
     # (bytes here are FINAL agg rows only — kilobytes, not the table)
     "q1_pricing_summary": 1_026,
