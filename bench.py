@@ -454,9 +454,11 @@ def _ensure_sf1(sf1_dir: str) -> bool:
         import subprocess
 
         gen = os.path.join(_REPO, "tools", "gen_sf.py")
+        # Child stdout goes to OUR stderr: bench's stdout contract is ONE
+        # JSON line, and gen_sf.py prints per-table progress lines.
         subprocess.run(
             [sys.executable, gen, "--mult", "10", "--out", sf1_dir],
-            check=True, timeout=900,
+            check=True, timeout=900, stdout=sys.stderr,
         )
         return True
     except Exception as exc:  # sf1 is additive evidence, never fatal
