@@ -423,7 +423,17 @@ _BUILD_ORACLE = f"""
     "not just the parts. At 100 TB: scrub is a map-only scan, pair "
     "generation is bucket-bounded, components are O(log^2 n) rounds on "
     "the (small) edge list, decontamination broadcasts the benchmark-"
-    "sized eval grams; the corpus itself is never joined all-pairs.",
+    "sized eval grams; the corpus itself is never joined all-pairs. "
+    "Round 14 (opt guide §1.2/§5): the scrub verdict (kept_ids, 8 "
+    "bytes/doc) is localCheckpoint-ed once per invocation — Spark does "
+    "not dedupe common DataFrame subtrees, so without it the tokenize-"
+    "heavy scrub+repetition pass re-ran THREE times per run (once under "
+    "the pair self-join, twice in the collected plan: the training "
+    "branch and the contamination branch each re-derived it). The "
+    "checkpoint is a per-invocation intermediate of ids only (never a "
+    "cached base table, never reused across runs); every downstream "
+    "consumer becomes parquet-scan ⨝ id-set, and column pruning gives "
+    "the accounting branch a text-free scan.",
     tags=("pipeline", "training-data", "dedup", "graph", "integration"),
 )
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +458,14 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality") >= 0.45)
         & (F.col("dup_tok_fraction") <= 0.55)
     )
-    kept_ids = scored.join(rep, "doc_id").filter(keep).select("doc_id")
+    # kept_ids is consumed by THREE otherwise-independent subtrees (the
+    # pair self-join, the training branch, the contamination branch);
+    # checkpointing the id set (8 bytes/doc) makes the tokenize-heavy
+    # scrub+repetition pass run once per invocation instead of three
+    # times — a per-run intermediate, recomputed from parquet every call.
+    kept_ids = (
+        scored.join(rep, "doc_id").filter(keep).select("doc_id").localCheckpoint()
+    )
     kept_docs = docs.join(kept_ids, "doc_id")
 
     # stage 2: near-dup components over the kept set; drop non-keepers
