@@ -150,19 +150,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q9 product-type profit: five-way join (fact × derived "
     "partsupp × dims) rolled up by nation and order year. "
-    "The partsupp agg and the fact join share the (partkey, suppkey)-hash "
-    "shuffle; nation broadcast (constant-size); part/supplier left to AQE's "
+    "Nation broadcast (constant-size); part/supplier left to AQE's "
     "size guard; orders co-keyed on orderkey. Round 14 (opt guide §2.3): "
     "the %widget% filter keeps 12.5% of parts, and Spark does not reorder "
     "inner joins, so the part join runs FIRST — every later exchange "
-    "(fact pair-join side, supplier, orders) then carries 12.5% of "
-    "lineitem instead of 100%; at scale this also deletes one full-width "
-    "exchange (the old plan re-shuffled the fact x partsupp result on "
-    "partkey for the part join). partsupp itself still derives from the "
-    "FULL lineitem (its min/count must see every row of surviving pairs "
-    "only — partkey-restricting it is exact too, but would add a second "
-    "full lineitem exchange under shuffle-semi at scale, so it stays "
-    "unfiltered). Measured sf0.1: 2.28 s -> 2.09 s noop median. "
+    "(supplier, orders) then carries 12.5% of lineitem instead of 100%. "
+    "Round 15 (opt guide §2.4): the separate partsupp derivation is GONE. "
+    "ps_supplycost aggregates per (l_partkey, l_suppkey) — and the "
+    "%widget% predicate depends only on l_partkey, a group key, so every "
+    "row of a surviving pair survives the part join and min over the "
+    "part-FILTERED fact rows equals min over full lineitem for every "
+    "consumed pair. It is therefore a window min over the joined fact "
+    "(exact, bit-identical: same double division, same row multiset per "
+    "pair), which deletes the second full-lineitem scan AND its "
+    "full-width (partkey,suppkey) aggregation exchange outright. Under "
+    "shuffle join the window needs NO exchange of its own: the part "
+    "SMJ's HashPartitioning(l_partkey) already satisfies the window's "
+    "(l_partkey, l_suppkey) clustering — only a sort-within-partition "
+    "remains (plan-asserted). Measured sf0.1: shuffle 10.1 MB -> ~1.5 MB. "
     "Per-row profit is computed in double (bit-identical in any engine), "
     "scaled to integer 1e-4 units, and summed as DECIMAL(38,0) — exact, "
     "order-independent, and with headroom beyond int64 (1e-4-scaled "
@@ -172,22 +177,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "tpch", "multiway-join"),
 )
 def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
 
-    joined = (
-        li.join(part, li.l_partkey == part.p_partkey)  # selective join first
-        .join(
-            ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+    # Selective join first; then the pair-min as a window over the
+    # filtered fact rows (see description: exact because the part filter
+    # is a function of the pair's own group key).
+    pair_w = Window.partitionBy("l_partkey", "l_suppkey")
+    fact = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .withColumn(
+            "ps_supplycost",
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(pair_w),
         )
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+    )
+    joined = (
+        fact.join(supp, fact.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(orders, fact.l_orderkey == orders.o_orderkey)
     )
     profit_i = F.round(
         (
@@ -388,39 +401,45 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q20 potential part promotion: nested correlated "
     "subqueries — suppliers whose availqty for any 'small%' part exceeds a "
-    "fraction of that pair's 1996 shipped quantity — compiled to two hash "
-    "aggregations co-keyed on (partkey, suppkey), a broadcast-semi part "
-    "filter, and a final semi join into supplier. No per-row subquery "
-    "execution anywhere.",
+    "fraction of that pair's 1996 shipped quantity — compiled to ONE hash "
+    "aggregation on (partkey, suppkey), a broadcast-semi part filter, and "
+    "a final semi join into supplier. No per-row subquery execution "
+    "anywhere. Round 15 (opt guide §2.4): the former second pair-keyed "
+    "aggregation (1996 quantity) and the pair join that recombined it "
+    "with partsupp are folded into the SAME aggregation as conditional "
+    "sums — availqty = count(*), qty_1996 = sum(CASE WHEN shipdate in "
+    "1996 THEN quantity END); a pair with no 1996 rows gets NULL, and "
+    "NULL > x is false, which is exactly the old inner join's drop. The "
+    "'small%' part semi-filter sits BELOW the aggregation (exact: the "
+    "predicate is a function of l_partkey, a group key, so dropped "
+    "groups vanish whole and surviving groups keep every row — the same "
+    "push Catalyst applied to the OLD form's availqty branch, which a "
+    "single-agg form must do by hand). One lineitem scan and one "
+    "12.7%-of-pairs exchange replace two scans, two exchanges and a "
+    "pair join, bit-identically.",
     tags=("analytics", "tpch", "semi-join", "correlated-subquery"),
 )
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp(spark, sf_dir)
     li = load(spark, sf_dir, "lineitem")
-    year_qty = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty_1996"))
-    )
     small_parts = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
-
-    qualifying = (
-        ps.join(
-            year_qty,
-            (ps.ps_partkey == year_qty.l_partkey)
-            & (ps.ps_suppkey == year_qty.l_suppkey),
-        )
-        .filter(F.col("ps_availqty") > F.lit(0.01) * F.col("qty_1996"))
-        .join(
-            small_parts,
-            F.col("ps_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
-        .select("ps_suppkey")
+    li_small = li.join(
+        small_parts.select("p_partkey"),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
     )
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    pair_stats = li_small.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.count(F.lit(1)).alias("ps_availqty"),
+        F.sum(F.when(in_1996, F.col("l_quantity"))).alias("qty_1996"),
+    )
+    qualifying = pair_stats.filter(
+        F.col("ps_availqty") > F.lit(0.01) * F.col("qty_1996")
+    ).select("ps_suppkey")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")

@@ -167,20 +167,25 @@ def test_q11_reuses_perpart_exchange(spark):
     assert "ReusedExchange" in final, final
 
 
-def test_q9_partsupp_side_needs_no_extra_exchange(spark):
-    """The derived partsupp's groupBy exchange is on (partkey, suppkey) —
-    the same key the fact join uses — so under shuffle join the ps side
-    must go Sort→HashAggregate directly, with no second Exchange. This is
-    the shared-shuffle property that keeps the double lineitem read to one
-    extra aggregation at 100 TB."""
+def test_q9_single_lineitem_scan_and_free_window(spark):
+    """Round 15 (opt guide §2.4): the separate partsupp derivation is a
+    window min over the part-filtered fact, so q9 must (a) scan lineitem
+    exactly ONCE, and (b) under shuffle join pay NO exchange for that
+    window — the part SMJ's HashPartitioning(l_partkey) satisfies the
+    window's (l_partkey, l_suppkey) clustering, leaving only a
+    sort-within-partition between the join and the Window node."""
     with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
         df = QUERIES["q9_profit_by_nation"].fn(spark, SF_CORRECT)
         plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
     lines = plan.splitlines()
-    sort_idx = [i for i, l in enumerate(lines) if "Sort [ps_partkey" in l]
-    assert sort_idx, plan
-    nxt = lines[sort_idx[0] + 1]
-    assert "HashAggregate" in nxt and "Exchange" not in nxt, plan
+    win_idx = [i for i, l in enumerate(lines) if "Window [" in l or " Window " in l]
+    assert win_idx, plan
+    # Between the Window and the part join below it: Sort only, no Exchange.
+    for line in lines[win_idx[0] + 1:]:
+        if "Join" in line:
+            break
+        assert "Exchange" not in line, plan
 
 
 def test_q18_preaggregates_below_join(spark):

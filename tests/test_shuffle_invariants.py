@@ -35,8 +35,12 @@ ANCHORS = {
     # that reuse its orderkey partitioning) — re-measured 5.1 MB (was
     # 11_857_425 at the three-scan r5 plan; see OPTIMIZATION_r14.md)
     "q21_waiting_suppliers": 5_119_180,
-    # 6-table profit join; partsupp shares the (partkey,suppkey) exchange
-    "q9_profit_by_nation": 10_146_432,
+    # 6-table profit join. Round 15: the separate partsupp derivation is
+    # a window min over the part-filtered fact (opt guide §2.4), so the
+    # full-lineitem (partkey,suppkey) aggregation exchange is gone —
+    # re-measured 2.77 MB (was 10_146_432 at the r14 plan; the 3.7x drop
+    # IS the optimization, see OPTIMIZATION_r15.md)
+    "q9_profit_by_nation": 2_765_490,
     # as-of join: union + window, one user-key exchange. Round 14: the
     # orders-side de-tie pre-aggregation folded into the window ORDER BY
     # as a tiebreak (opt guide §2.4), deleting its exchange — re-measured
